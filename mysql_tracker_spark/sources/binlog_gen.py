@@ -1,0 +1,401 @@
+"""Deterministic synthetic binlog generator (FIXTURES.md §2).
+
+Produces the change-event stream a MySQL binlog tail would yield for a
+``transcripts`` table — the same logical content the reference tracker
+emits as ``CanalEntry.Entry`` rows after decode+convert
+(``tracker/parser/LogEventConvert.java:92-379``), but synthesized
+directly so tests and benchmarks need no MySQL server:
+
+* zipf-skewed conversation popularity (hot keys exercise skew handling),
+* valid per-key op chains INSERT -> UPDATE* -> [DELETE],
+* BEGIN/COMMIT transaction delimiters with xids every ~8 events
+  (the reference's Xid/QUERY boundary events,
+  ``LogEventConvert.java:156-302``),
+* file rotation every ``rotate_every`` positions (ROTATE semantics,
+  ``mysql/dbsync/LogDecoder.java:225-234``),
+* multi-row events (several row_idx under one pos — RowChange with
+  multiple RowData, ``EntryProtocol.proto:128-138``),
+* two mid-stream DDL events: ADD COLUMN then a type widen
+  (schema-evolution path),
+* a duplicated offset range appended at the tail (replay overlap that
+  last-writer-wins dedup must collapse),
+* ~2% noise rows for other tables/schemas (filter-path fodder).
+
+All value stringification follows the reference's text rules
+(SURVEY.md §1.2): timestamps ``yyyy-MM-dd HH:mm:ss``, integers as plain
+decimal strings, NULL = absent key.
+
+Generation is seeded numpy/pandas; only the map-column assembly is a
+Python comprehension (generator-side only — the engine itself never
+loops per row).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+BASE_TS = np.datetime64("2025-01-01T00:00:00")
+MAGIC_LEN = 4  # binlog file magic, mirrors the 4-byte 0xfe62696e header
+
+
+@dataclass
+class GenConfig:
+    n_events: int = 50_000
+    n_conversations: int = 1_000
+    max_turns: int = 20
+    zipf_a: float = 1.2
+    seed: int = 42
+    txn_mean: int = 8
+    rotate_every: int = 100_000
+    multirow_prob: float = 0.10
+    delete_prob: float = 0.30  # applied to last occurrence of a key
+    noise_prob: float = 0.02
+    dup_frac: float = 0.01
+    ddl_at: tuple = (0.4, 0.7)  # fractions of the stream where DDL lands
+    schema_name: str = "chat"
+    table_name: str = "transcripts"
+
+
+def _conv_probs(cfg: GenConfig) -> np.ndarray:
+    ranks = np.arange(1, cfg.n_conversations + 1, dtype=np.float64)
+    w = 1.0 / ranks**cfg.zipf_a
+    return w / w.sum()
+
+
+def _fmt_ts(ts: pd.Series) -> pd.Series:
+    """Reference timestamp text rule: yyyy-MM-dd HH:mm:ss."""
+    return ts.dt.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def gen_change_events(cfg: GenConfig | None = None) -> pd.DataFrame:
+    """Return the full ordered change-event stream as a pandas frame
+    with columns matching ``schema.CHANGE_EVENT_SCHEMA``."""
+    cfg = cfg or GenConfig()
+    rng = np.random.default_rng(cfg.seed)
+    n = cfg.n_events
+
+    # --- DML skeleton --------------------------------------------------------
+    conv = rng.choice(cfg.n_conversations, size=n, p=_conv_probs(cfg))
+    turn = rng.integers(0, cfg.max_turns, size=n)
+    dml = pd.DataFrame({"c": conv, "t": turn.astype(np.int32)})
+    grp = dml.groupby(["c", "t"], sort=False)
+    k = grp.cumcount()
+    n_occ = grp["c"].transform("size")
+    is_last = k == (n_occ - 1)
+    op = np.where(
+        k.to_numpy() == 0,
+        "INSERT",
+        np.where(
+            is_last.to_numpy() & (rng.random(n) < cfg.delete_prob),
+            "DELETE",
+            "UPDATE",
+        ),
+    )
+    version = (k + 1).to_numpy()
+    conv_id = pd.Series(conv).map(lambda i: f"conv_{i:06d}").astype("string")
+    # (vectorized enough at generator scale; conv ids cached by map table)
+    conv_tbl = pd.Series([f"conv_{i:06d}" for i in range(cfg.n_conversations)])
+    conv_id = conv_tbl.take(conv).reset_index(drop=True)
+    turn_s = pd.Series(turn).astype(str)
+    ver_s = pd.Series(version).astype(str)
+    text = conv_id.str.cat(turn_s, sep=":").str.cat("v" + ver_s, sep=":")
+    roles = np.where(turn % 2 == 0, "user", "assistant")
+    roles = np.where((turn % 7 == 3), "tool", roles)
+    tool = np.where(roles == "tool", "search", "")
+
+    # --- transactions --------------------------------------------------------
+    txn_sizes = rng.geometric(1.0 / cfg.txn_mean, size=n // 2 + 2).clip(1, 64)
+    bounds = np.cumsum(txn_sizes)
+    bounds = bounds[bounds < n]
+    txn_of = np.searchsorted(np.concatenate([bounds, [n]]), np.arange(n), side="right")
+    xid = txn_of.astype(np.int64) + 1
+
+    # --- multi-row event grouping -------------------------------------------
+    # consecutive events in the same txn may share one event frame (same pos)
+    new_group = np.ones(n, dtype=bool)
+    same_txn = np.zeros(n, dtype=bool)
+    same_txn[1:] = txn_of[1:] == txn_of[:-1]
+    merge_mask = same_txn & (rng.random(n) < cfg.multirow_prob)
+    new_group = ~merge_mask
+    group_id = np.cumsum(new_group) - 1
+    row_idx = np.arange(n) - np.maximum.accumulate(np.where(new_group, np.arange(n), 0))
+
+    # --- noise rows for filter tests -----------------------------------------
+    noise = rng.random(n) < cfg.noise_prob
+    schema_name = np.where(noise & (rng.random(n) < 0.5), "otherdb", cfg.schema_name)
+    table_name = np.where(noise, np.where(schema_name == "otherdb", cfg.table_name, "noise_tbl"), cfg.table_name)
+
+    dml = pd.DataFrame(
+        {
+            "seq": np.arange(n, dtype=np.int64),
+            "sub": np.zeros(n, dtype=np.int8),
+            "op": op,
+            "xid": xid,
+            "group_id": group_id,
+            "row_idx": row_idx.astype(np.int32),
+            "conv_id": conv_id.to_numpy(),
+            "turn_idx": turn.astype(np.int32),
+            "version": version,
+            "text": text.to_numpy(),
+            "role": roles,
+            "tool": tool,
+            "schema_name": schema_name,
+            "table_name": table_name,
+            "is_ddl": False,
+            "ddl_sql": None,
+        }
+    )
+
+    # --- BEGIN / COMMIT delimiters -------------------------------------------
+    txn_first = dml.groupby("xid", sort=False)["seq"].min()
+    txn_last = dml.groupby("xid", sort=False)["seq"].max()
+    begin = pd.DataFrame(
+        {"seq": txn_first.to_numpy(), "sub": np.int8(-1), "op": "BEGIN", "xid": txn_first.index.to_numpy()}
+    )
+    commit = pd.DataFrame(
+        {"seq": txn_last.to_numpy(), "sub": np.int8(1), "op": "COMMIT", "xid": txn_last.index.to_numpy()}
+    )
+
+    # --- DDL events -----------------------------------------------------------
+    ddl_seq1 = int(n * cfg.ddl_at[0])
+    ddl_seq2 = int(n * cfg.ddl_at[1])
+    ddl = pd.DataFrame(
+        {
+            "seq": [ddl_seq1, ddl_seq2],
+            "sub": np.int8(-2),
+            "op": "ALTER",
+            "xid": [None, None],
+            "is_ddl": True,
+            "ddl_sql": [
+                f"ALTER TABLE {cfg.schema_name}.{cfg.table_name} ADD COLUMN score INT",
+                f"ALTER TABLE {cfg.schema_name}.{cfg.table_name} MODIFY COLUMN score BIGINT",
+            ],
+            "schema_name": cfg.schema_name,
+            "table_name": cfg.table_name,
+        }
+    )
+
+    # score column appears after DDL1; values exceed int32 after DDL2 (widen)
+    has_score = dml["seq"] > ddl_seq1
+    wide_score = dml["seq"] > ddl_seq2
+    score = np.where(
+        wide_score,
+        3_000_000_000 + dml["version"].to_numpy() * 1000 + dml["turn_idx"].to_numpy(),
+        dml["version"].to_numpy() * 1000 + dml["turn_idx"].to_numpy(),
+    )
+    dml["score"] = np.where(has_score, score.astype("int64"), -1)
+
+    ev = pd.concat([dml, begin, commit, ddl], ignore_index=True)
+    ev = ev.sort_values(["seq", "sub"], kind="stable").reset_index(drop=True)
+    ev["group_id"] = ev["group_id"].astype("float64")
+    ev["is_ddl"] = ev["is_ddl"].eq(True)
+    ev["row_idx"] = ev["row_idx"].fillna(0).astype(np.int32)
+
+    # --- positions -------------------------------------------------------------
+    # one frame per event group (BEGIN/COMMIT/DDL are their own frames);
+    # frame boundary = first row of a group
+    is_dml = ev["op"].isin(["INSERT", "UPDATE", "DELETE"]).to_numpy()
+    gid = ev["group_id"].to_numpy()
+    prev_gid = np.roll(gid, 1)
+    prev_gid[0] = np.nan
+    frame_start = (~is_dml) | (gid != prev_gid) | np.isnan(gid)
+    frame_no = np.cumsum(frame_start) - 1
+
+    text_len = ev["text"].fillna("").str.len().to_numpy()
+    ddl_len = ev["ddl_sql"].fillna("").str.len().to_numpy()
+    row_size = np.where(is_dml, 60 + 2 * text_len, np.where(ev["is_ddl"], 60 + ddl_len, 31))
+    frame_size = pd.Series(row_size).groupby(frame_no).transform("sum").to_numpy()
+    # size attributed once per frame for offset math
+    first_of_frame_size = np.where(frame_start, frame_size, 0)
+    frame_end_global = MAGIC_LEN + np.cumsum(first_of_frame_size)
+    frame_start_global = frame_end_global - np.where(frame_start, frame_size, 0)
+    # propagate the frame's start offset to every row of the frame
+    start_per_frame = pd.Series(np.where(frame_start, frame_start_global, np.nan)).ffill().to_numpy()
+
+    file_no = (start_per_frame // cfg.rotate_every).astype(np.int64) + 1
+    pos_in_file = (start_per_frame % cfg.rotate_every).astype(np.int64) + MAGIC_LEN
+    files = pd.Series(file_no).map(lambda i: f"bin.{i:06d}")
+
+    ev["file"] = files.to_numpy()
+    ev["pos"] = pos_in_file
+    ev["server_id"] = np.int64(1)
+    ev["event_len"] = row_size.astype(np.int64)
+
+    # --- timestamps -------------------------------------------------------------
+    secs = np.cumsum(rng.exponential(0.5, size=len(ev))).astype("int64")
+    ev["ts"] = pd.Series(BASE_TS + secs.astype("timedelta64[s]")).dt.floor("s")
+
+    # --- before / after maps ------------------------------------------------------
+    ts_text = _fmt_ts(ev["ts"])
+    ev["_ts_text"] = ts_text
+
+    before, after = _build_maps(ev)
+    ev["before"] = before
+    ev["after"] = after
+
+    out = ev[
+        [
+            "file", "pos", "row_idx", "server_id", "ts", "xid", "op",
+            "schema_name", "table_name", "is_ddl", "ddl_sql", "before", "after",
+            "event_len",
+        ]
+    ].copy()
+    out["xid"] = out["xid"].astype("Int64")
+    out["pos"] = out["pos"].astype("int64")
+
+    # --- duplicated replay range appended at the tail -----------------------------
+    if cfg.dup_frac > 0 and len(out) > 200:
+        dup_n = max(1, int(len(out) * cfg.dup_frac))
+        start = int(rng.integers(0, len(out) - dup_n))
+        dup = out.iloc[start : start + dup_n].copy()
+        out = pd.concat([out, dup], ignore_index=True)
+
+    return out
+
+
+def _build_maps(ev: pd.DataFrame):
+    """Assemble before/after map columns (dicts; generator-side only).
+
+    Reference flatten rules (``HandlerNoParserMagpieHBase.java:735-793``):
+    DELETE -> source = all before cols, current = PK only;
+    INSERT -> current = after cols;
+    UPDATE -> both (the reference forgets to attach them — a known
+    reference bug; we implement the correct semantics, SURVEY.md §2.2 D8).
+    """
+    ops = ev["op"].to_numpy()
+    conv = ev["conv_id"].to_numpy()
+    turn = ev["turn_idx"].to_numpy()
+    ver = ev.get("version")
+    ver = ver.to_numpy() if ver is not None else np.zeros(len(ev))
+    text = ev["text"].to_numpy()
+    role = ev["role"].to_numpy()
+    tool = ev["tool"].to_numpy()
+    score = ev["score"].to_numpy() if "score" in ev else np.full(len(ev), -1)
+    ts_text = ev["_ts_text"].to_numpy()
+
+    before: list = [None] * len(ev)
+    after: list = [None] * len(ev)
+    for i in range(len(ev)):
+        o = ops[i]
+        if o not in ("INSERT", "UPDATE", "DELETE"):
+            continue
+        row = {
+            "conv_id": conv[i],
+            "turn_idx": str(int(turn[i])),
+            "role": role[i],
+            "text": text[i],
+            "tool": tool[i],
+            "ts": ts_text[i],
+        }
+        if score[i] >= 0:
+            row["score"] = str(int(score[i]))
+        pk = {"conv_id": conv[i], "turn_idx": str(int(turn[i]))}
+        if o == "INSERT":
+            after[i] = row
+        elif o == "UPDATE":
+            prev = dict(row)
+            prev["text"] = f"{conv[i]}:{turn[i]}:v{int(ver[i]) - 1}"
+            before[i] = prev
+            after[i] = row
+        else:  # DELETE
+            prev = dict(row)
+            prev["text"] = f"{conv[i]}:{turn[i]}:v{int(ver[i]) - 1}" if ver[i] > 1 else row["text"]
+            before[i] = prev
+            after[i] = pk
+    return before, after
+
+
+# ---------------------------------------------------------------------------
+# sequential oracle (the reference's replay-and-inspect pattern,
+# src/test/java/MysqlParserTest.java:13-29, made rigorous)
+# ---------------------------------------------------------------------------
+
+def expected_final_state(
+    events: pd.DataFrame,
+    schema_name: str = "chat",
+    table_name: str = "transcripts",
+) -> pd.DataFrame:
+    """Sequential LWW oracle: final transcripts state after applying the
+    whole stream in ``(file, pos, row_idx)`` order with duplicates
+    collapsed. Returns rows sorted by (conv_id, turn_idx)."""
+    e = events[
+        events["op"].isin(["INSERT", "UPDATE", "DELETE"])
+        & (events["schema_name"] == schema_name)
+        & (events["table_name"] == table_name)
+    ].copy()
+    e = e.drop_duplicates(subset=["file", "pos", "row_idx"], keep="first")
+    e = e.sort_values(["file", "pos", "row_idx"], kind="stable")
+    key = e["after"].map(lambda m: (m.get("conv_id"), int(m.get("turn_idx"))))
+    e["_k"] = key
+    last = e.groupby("_k", sort=False).tail(1)
+    live = last[last["op"] != "DELETE"]
+    rows = []
+    for m in live["after"]:
+        rows.append(
+            {
+                "conv_id": m["conv_id"],
+                "turn_idx": int(m["turn_idx"]),
+                "role": m.get("role"),
+                "text": m.get("text"),
+                "tool": m.get("tool"),
+                "ts": m.get("ts"),
+                "score": int(m["score"]) if "score" in m else None,
+            }
+        )
+    out = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "score"])
+    out["score"] = out["score"].astype("Int64")
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# parquet batch writer (micro-batch input layout)
+# ---------------------------------------------------------------------------
+
+def write_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> list[str]:
+    """Write the stream as offset-contiguous parquet micro-batches
+    ``batch_00000.parquet``… — the engine's replay input. Splits never
+    tear an event frame (rows sharing (file,pos) stay together)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    ev = events.drop(columns=["event_len"], errors="ignore")
+    # frame boundaries: change of (file,pos)
+    fp = ev["file"].astype(str) + ":" + ev["pos"].astype(str)
+    new_frame = (fp != fp.shift(1)).to_numpy()
+    frame_no = np.cumsum(new_frame) - 1
+    n_frames = frame_no[-1] + 1
+    cuts = np.linspace(0, n_frames, n_batches + 1).astype(int)
+    paths = []
+    map_ty = pa.map_(pa.string(), pa.string())
+    schema = pa.schema(
+        [
+            ("file", pa.string()),
+            ("pos", pa.int64()),
+            ("row_idx", pa.int32()),
+            ("server_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("xid", pa.int64()),
+            ("op", pa.string()),
+            ("schema_name", pa.string()),
+            ("table_name", pa.string()),
+            ("is_ddl", pa.bool_()),
+            ("ddl_sql", pa.string()),
+            ("before", map_ty),
+            ("after", map_ty),
+        ]
+    )
+    for b in range(n_batches):
+        sel = (frame_no >= cuts[b]) & (frame_no < cuts[b + 1])
+        chunk = ev[sel]
+        if chunk.empty:
+            continue
+        tbl = pa.Table.from_pandas(chunk.reset_index(drop=True), schema=schema, preserve_index=False)
+        path = os.path.join(out_dir, f"batch_{b:05d}.parquet")
+        pq.write_table(tbl, path)
+        paths.append(path)
+    return paths
