@@ -1,0 +1,96 @@
+"""Convert/project operators: map-typed change records -> typed rows
+(SURVEY.md §2.2 D4/D5/D8), plus sequencing (B3) and transaction
+boundary extraction (B4).
+
+The reference builds each record's columns in Java per row
+(``tracker/parser/LogEventConvert.java:381-550``); here the same
+"column assembly" is a single Catalyst projection over MapType columns
+— ``element_at`` + ``cast`` stay inside whole-stage codegen, no Python.
+
+The ``before``/``after`` maps hold the reference's canonical *string*
+renderings (SURVEY.md §1.2): casts below define the frozen
+string->typed rules (timestamps 'yyyy-MM-dd HH:mm:ss', plain decimal
+integers), so per-turn text equality is preserved end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+from ..schema import DML_OPS, LOG_ORDER
+
+
+def typed_from_map(map_col: str, schema: T.StructType) -> list[Column]:
+    """Projection list turning a map<string,string> column into typed
+    columns per ``schema`` (absent key -> null, the reference's NULL
+    rule)."""
+    cols = []
+    for fld in schema.fields:
+        c = F.element_at(F.col(map_col), fld.name)
+        if not isinstance(fld.dataType, T.StringType):
+            c = c.cast(fld.dataType)
+        cols.append(c.alias(fld.name))
+    return cols
+
+
+def project_changes(dml: DataFrame, schema: T.StructType) -> DataFrame:
+    """Typed change rows: target-schema columns from ``after`` (for
+    DELETE the PK lives in ``after`` too — reference flatten rule D8:
+    DELETE current = PK only), plus op and the log-order columns."""
+    return dml.select(
+        *[F.col(c) for c in LOG_ORDER],
+        F.col("op"),
+        *typed_from_map("after", schema),
+    )
+
+
+def with_sequence(df: DataFrame, batch_id: int) -> DataFrame:
+    """B3: re-pack with (batch_id, in_id) like the reference's
+    ``batchId/inId`` counters (``HandlerMagpieKafka.java:840-864``).
+    The log order already *is* a total order, so in_id is derived, not
+    stateful: a row_number over it within the batch."""
+    w = Window.orderBy(*[F.col(c) for c in LOG_ORDER])
+    return df.withColumn("batch_id", F.lit(batch_id)).withColumn(
+        "in_id", F.row_number().over(w) - 1
+    )
+
+
+def txn_end_position(batch: DataFrame) -> tuple[str, int] | None:
+    """B4: the greatest (file, pos) of a transaction-end event in the
+    batch — COMMIT rows (Xid events, ``MysqlTracker.java:339-346``) or
+    DDL (auto-committing QUERY). Replay from a checkpoint must start at
+    a txn boundary; the runner fences its commit watermark on this."""
+    ends = batch.filter(F.col("op").isin("COMMIT") | F.col("is_ddl"))
+    row = ends.agg(
+        F.max(F.struct(F.col("file"), F.col("pos"))).alias("m")
+    ).collect()[0]["m"]
+    if row is None:
+        return None
+    return row["file"], row["pos"]
+
+
+def offset_range(batch: DataFrame) -> dict:
+    """(file,pos) min/max of the batch — the per-batch offset manifest
+    entry (reference ZK checkpoint string, FIXTURES.md §3)."""
+    r = batch.agg(
+        F.min(F.struct("file", "pos")).alias("lo"),
+        F.max(F.struct("file", "pos")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return {
+        "file_start": r["lo"]["file"],
+        "pos_start": r["lo"]["pos"],
+        "file_end": r["hi"]["file"],
+        "pos_end": r["hi"]["pos"],
+        "rows": r["n"],
+    }
+
+
+def after_watermark(df: DataFrame, file: str | None, pos: int | None) -> DataFrame:
+    """Fencing predicate: only events strictly beyond the committed
+    watermark. (file, pos) compare is lexicographic on the struct —
+    matches binlog file rotation ordering."""
+    if file is None:
+        return df
+    wm = F.struct(F.lit(file).alias("file"), F.lit(pos).alias("pos"))
+    return df.filter(F.struct(F.col("file"), F.col("pos")) > wm)

@@ -1,0 +1,247 @@
+"""Replay driver: the reference's prepare/run lifecycle (SURVEY.md
+§2.8 O1/O2) as a fenced micro-batch loop.
+
+One ``run()`` iteration ≡ the reference's ``HandlerMagpieKafka.run()``
+micro-batch body (``tracker/HandlerMagpieKafka.java:818-935``):
+
+    drain (read batch) -> filter -> [apply DDL] -> LWW dedup ->
+    typed project -> MERGE -> commit watermark
+
+with two upgrades over the reference:
+
+* **exactly-once**: the offset watermark is committed *in the same
+  atomic lakestore snapshot* as the data (the reference confirms to ZK
+  only after the Kafka send — ``run()`` order :887 send, :892 confirm —
+  leaving an at-least-once duplicate window). Killing this job between
+  any two statements and re-running converges to the identical table.
+* **distribution**: decode/dedup/merge are Spark jobs; the hot-key
+  problem the reference never has (single reader) is handled by
+  map-side partial aggregation in LWW dedup plus AQE skew joins.
+
+DDL ordering: all of a batch's DDLs are applied to the table schema in
+log order *before* the batch's DML is merged. Because change values
+are canonical strings and the typed view is a pure function of the
+final schema (add-column → older events project null; widen → strings
+parse into the wider type), this is equivalent to interleaved
+application for the supported DDL set (add / widen).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .ddl import apply_ddl_events
+from .lakestore import LakeTable
+from .operators.dedup import lww_latest
+from .operators.filters import dml_for_table
+from .operators.parse import after_watermark, typed_from_map
+from .schema import CHANGE_EVENT_SCHEMA, LOG_ORDER, TRANSCRIPTS_BASE_SCHEMA
+
+
+@dataclass
+class ApplyStats:
+    batch_id: int
+    rows_in: int = 0
+    rows_applied: int = 0
+    skipped: bool = False
+    file_end: str | None = None
+    pos_end: int | None = None
+    txn_file_end: str | None = None
+    txn_pos_end: int | None = None
+    wall_ms: int = 0
+    snapshot_version: int | None = None
+    lag_s: float | None = None
+
+
+class CdcApplyJob:
+    """Replay a directory of offset-ordered change-event parquet batches
+    into a lakestore transcripts table, exactly once."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        table_path: str,
+        schema_name: str = "chat",
+        table_name: str = "transcripts",
+        base_schema: T.StructType = TRANSCRIPTS_BASE_SCHEMA,
+        key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+        n_buckets: int = 32,
+        files_per_batch: int = 1,
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.table_path = table_path
+        self.schema_name = schema_name
+        self.table_name = table_name
+        self.base_schema = base_schema
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+        self.files_per_batch = files_per_batch
+        self.table: LakeTable | None = None
+
+    # ------------------------------------------------------------- lifecycle
+
+    def prepare(self) -> LakeTable:
+        """O1 prepare: open-or-create the target table (position
+        bootstrap C2 = read watermark from the last committed
+        snapshot's properties)."""
+        if LakeTable.exists(self.table_path):
+            self.table = LakeTable.load(self.table_path)
+        else:
+            self.table = LakeTable.create(
+                self.table_path,
+                self.base_schema,
+                key_cols=self.key_cols,
+                bucket_by=self.key_cols[0],
+                n_buckets=self.n_buckets,
+            )
+        return self.table
+
+    def watermark(self) -> tuple[str | None, int | None, int]:
+        p = self.table.properties()
+        return (
+            p.get("offset_file"),
+            int(p["offset_pos"]) if "offset_pos" in p else None,
+            int(p.get("batch_seq", -1)),
+        )
+
+    def batch_files(self) -> list[list[str]]:
+        files = sorted(
+            os.path.join(self.input_dir, f)
+            for f in os.listdir(self.input_dir)
+            if f.endswith(".parquet")
+        )
+        k = self.files_per_batch
+        return [files[i : i + k] for i in range(0, len(files), k)]
+
+    def run(self, max_batches: int | None = None) -> list[ApplyStats]:
+        """O1 run loop: apply every pending micro-batch in order.
+        ``max_batches`` lets tests kill the job mid-stream (O2 replay)."""
+        if self.table is None:
+            self.prepare()
+        out = []
+        for i, group in enumerate(self.batch_files()):
+            if max_batches is not None and len(out) >= max_batches:
+                break
+            out.append(self.apply_batch(i, group))
+        return out
+
+    # ----------------------------------------------------------- micro-batch
+
+    def apply_batch(self, batch_id: int, paths: list[str]) -> ApplyStats:
+        t0 = time.time()
+        stats = ApplyStats(batch_id=batch_id)
+        wm_file, wm_pos, last_seq = self.watermark()
+
+        batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
+
+        # offset manifest of this batch + fencing (C1/C2):
+        # a batch whose whole range is <= the committed watermark was
+        # already applied (crash after commit, before loop advanced).
+        rng = batch.agg(
+            F.min(F.struct("file", "pos")).alias("lo"),
+            F.max(F.struct("file", "pos")).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.when(
+                    F.col("op").eqNullSafe("COMMIT") | F.col("is_ddl"),
+                    F.struct("file", "pos"),
+                )
+            ).alias("txn_hi"),
+            F.max("ts").alias("max_ts"),
+        ).collect()[0]
+        stats.rows_in = rng["n"]
+        if rng["n"] == 0:
+            stats.skipped = True
+            return stats
+        stats.file_end, stats.pos_end = rng["hi"]["file"], rng["hi"]["pos"]
+        if rng["txn_hi"] is not None:
+            stats.txn_file_end, stats.txn_pos_end = rng["txn_hi"]["file"], rng["txn_hi"]["pos"]
+        if wm_file is not None and (rng["hi"]["file"], rng["hi"]["pos"]) <= (wm_file, wm_pos):
+            stats.skipped = True
+            stats.wall_ms = int((time.time() - t0) * 1000)
+            return stats
+
+        # partial overlap: drop already-committed prefix (event-level fence)
+        batch = after_watermark(batch, wm_file, wm_pos)
+
+        # --- DDL first (ordered), driver-side: DDLs are rare by design ---
+        ddl_rows = (
+            batch.filter(
+                F.col("is_ddl")
+                & (F.col("schema_name") == self.schema_name)
+                & (F.col("table_name") == self.table_name)
+            )
+            .select(*LOG_ORDER, "ddl_sql")
+            .orderBy(*LOG_ORDER)
+            .collect()
+        )
+        if ddl_rows:
+            apply_ddl_events(self.table, ddl_rows, self.schema_name)
+
+        schema = self.table.schema()
+
+        # --- DML: filter -> LWW dedup on raw maps -> typed projection ---
+        dml = dml_for_table(batch, self.schema_name, self.table_name)
+        keyed = dml.select(
+            F.element_at("after", "conv_id").alias("conv_id"),
+            F.element_at("after", "turn_idx").cast("int").alias("turn_idx"),
+            *[F.col(c) for c in LOG_ORDER],
+            "op",
+            "after",
+        )
+        latest = lww_latest(keyed, self.key_cols, ["op", "after"])
+        non_key = [f for f in schema.fields if f.name not in self.key_cols]
+        changes = latest.select(
+            "conv_id",
+            "turn_idx",
+            *typed_from_map("after", T.StructType(non_key)),
+            (F.col("op") == "DELETE").alias("__delete"),
+        )
+
+        props = {
+            "offset_file": stats.file_end,
+            "offset_pos": str(stats.pos_end),
+            "batch_seq": str(batch_id),
+        }
+        if stats.txn_file_end is not None:
+            props["txn_end_file"] = stats.txn_file_end
+            props["txn_end_pos"] = str(stats.txn_pos_end)
+        version, summary = self.table.merge(self.spark, changes, properties=props)
+        stats.snapshot_version = version
+        stats.rows_applied = summary.get("upserts", 0)
+        stats.wall_ms = int((time.time() - t0) * 1000)
+        if rng["max_ts"] is not None:
+            stats.lag_s = time.time() - rng["max_ts"].timestamp()
+        self._append_lineage(stats)
+        return stats
+
+    # ---------------------------------------------------------------- lineage
+
+    def _append_lineage(self, stats: ApplyStats):
+        """Per-batch lineage/metrics row (FIXTURES.md §3). Observability
+        only — the snapshot properties are the correctness-bearing
+        checkpoint; this file is append-only JSONL like the reference's
+        monitor topic (``monitor/TrackerMonitor.java:153-192``)."""
+        path = os.path.join(self.table_path, "_lineage.jsonl")
+        rec = {
+            "batch_id": stats.batch_id,
+            "file_end": stats.file_end,
+            "pos_end": stats.pos_end,
+            "txn_file_end": stats.txn_file_end,
+            "txn_pos_end": stats.txn_pos_end,
+            "rows_in": stats.rows_in,
+            "rows_applied": stats.rows_applied,
+            "snapshot_version": stats.snapshot_version,
+            "wall_ms": stats.wall_ms,
+            "lag_s": stats.lag_s,
+            "ts_ms": int(time.time() * 1000),
+        }
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")

@@ -1,0 +1,102 @@
+"""LakeTable semantics: atomic commits, COW merge, evolution, travel."""
+
+import pytest
+from pyspark.sql import types as T
+
+from mysql_tracker_spark.lakestore import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+CH_SCHEMA = T.StructType(SCHEMA.fields + [T.StructField("__delete", T.BooleanType())])
+
+
+def _mk(spark, path):
+    t = LakeTable.create(path, SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4)
+    t.overwrite(spark.createDataFrame([("c1", 0, "a"), ("c1", 1, "b"), ("c2", 0, "c")], SCHEMA))
+    return t
+
+
+def test_merge_upsert_delete(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    ch = spark.createDataFrame(
+        [("c1", 1, "B", False), ("c2", 0, None, True), ("c3", 9, "n", False)], CH_SCHEMA
+    )
+    v, s = t.merge(spark, ch)
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark).collect()}
+    assert rows == {("c1", 0): "a", ("c1", 1): "B", ("c3", 9): "n"}
+    assert s["upserts"] == 2
+
+
+def test_merge_only_rewrites_affected_buckets(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    before = {b: [f["path"] for f in fs] for b, fs in t.manifest()["buckets"].items()}
+    ch = spark.createDataFrame([("c1", 0, "z", False)], CH_SCHEMA)
+    t.merge(spark, ch)
+    after = {b: [f["path"] for f in fs] for b, fs in t.manifest()["buckets"].items()}
+    changed = [b for b in after if after[b] != before.get(b)]
+    unchanged = [b for b in after if after[b] == before.get(b)]
+    assert len(changed) == 1  # only c1's bucket rewritten (COW)
+    assert unchanged  # others carried forward by reference
+
+
+def test_commit_collision(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    m = t.manifest()
+    m["version"] = t.current_version()
+    with pytest.raises(FileExistsError):
+        t._commit(m)
+
+
+def test_schema_evolution_widen_and_time_travel(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    v_before = t.current_version()
+    t.update_schema(
+        T.StructType(SCHEMA.fields + [T.StructField("score", T.IntegerType())]), "add"
+    )
+    ch = spark.createDataFrame(
+        [("c9", 0, "s", 7, False)],
+        T.StructType(t.schema().fields + [T.StructField("__delete", T.BooleanType())]),
+    )
+    t.merge(spark, ch)
+    t.update_schema(
+        T.StructType(SCHEMA.fields + [T.StructField("score", T.LongType())]), "widen"
+    )
+    ch2 = spark.createDataFrame(
+        [("c9", 1, "w", 3_000_000_000, False)],
+        T.StructType(t.schema().fields + [T.StructField("__delete", T.BooleanType())]),
+    )
+    t.merge(spark, ch2)
+    df = t.read(spark)
+    assert dict(df.dtypes)["score"] == "bigint"
+    got = {(r.conv_id, r.turn_idx): r.score for r in df.collect()}
+    assert got[("c9", 0)] == 7 and got[("c9", 1)] == 3_000_000_000
+    assert got[("c1", 0)] is None  # old rows null-filled, never rewritten
+    # time travel sees the pre-evolution world
+    old = t.read(spark, version=v_before)
+    assert "score" not in old.columns
+
+
+def test_properties_fencing_roundtrip(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    ch = spark.createDataFrame([("c1", 0, "z", False)], CH_SCHEMA)
+    t.merge(spark, ch, properties={"offset_file": "bin.000002", "offset_pos": "123"})
+    p = t.properties()
+    assert (p["offset_file"], p["offset_pos"]) == ("bin.000002", "123")
+
+
+def test_gc_orphans(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    # stage a fake orphan
+    import os
+
+    orphan = os.path.join(t.data_dir, "stage-dead", "__bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as f:
+        f.write("x")
+    assert t.gc_orphans() == 1
+    assert t.read(spark).count() == 3  # table unharmed

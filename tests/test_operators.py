@@ -1,0 +1,62 @@
+"""Filter + dedup operator unit tests on tiny frames."""
+
+from pyspark.sql import functions as F
+
+from mysql_tracker_spark.operators.dedup import exact_dedup, lww_latest, lww_latest_salted
+from mysql_tracker_spark.operators.filters import (
+    allowlist_filter,
+    dml_for_table,
+    handled_event_filter,
+    query_class_filter,
+    regex_name_filter,
+)
+
+COLS = "file string, pos long, row_idx int, op string, schema_name string, table_name string, is_ddl boolean, k string, v string"
+ROWS = [
+    ("bin.000001", 10, 0, "INSERT", "chat", "transcripts", False, "a", "v1"),
+    ("bin.000001", 20, 0, "UPDATE", "chat", "transcripts", False, "a", "v2"),
+    ("bin.000002", 5, 0, "UPDATE", "chat", "transcripts", False, "a", "v3"),
+    ("bin.000002", 5, 0, "UPDATE", "chat", "transcripts", False, "a", "v3"),  # replayed dup
+    ("bin.000001", 30, 0, "INSERT", "chat", "noise_tbl", False, "b", "x"),
+    ("bin.000001", 40, 0, "BEGIN", None, None, False, None, None),
+    ("bin.000001", 50, 0, "INSERT", "otherdb", "transcripts", False, "c", "y"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, COLS)
+
+
+def test_regex_filter(spark):
+    out = regex_name_filter(_df(spark), r"chat\..*").select("table_name").distinct().collect()
+    assert {r[0] for r in out} == {"transcripts", "noise_tbl"}
+
+
+def test_allowlist_filter(spark):
+    out = allowlist_filter(_df(spark), [("chat", "transcripts")])
+    assert out.count() == 4
+
+
+def test_query_class_filter_drops_txn(spark):
+    assert query_class_filter(_df(spark)).filter("op = 'BEGIN'").count() == 0
+
+
+def test_handled_event_filter(spark):
+    assert handled_event_filter(_df(spark)).count() == 6
+
+
+def test_dml_for_table(spark):
+    assert dml_for_table(_df(spark), "chat", "transcripts").count() == 4
+
+
+def test_lww_variants_agree_and_pick_max_order(spark):
+    df = dml_for_table(_df(spark), "chat", "transcripts")
+    a = lww_latest(df, ["k"], ["v"]).collect()
+    b = lww_latest_salted(df, ["k"], ["v"], n_salts=4).collect()
+    assert {(r.k, r.v) for r in a} == {(r.k, r.v) for r in b} == {("a", "v3")}
+    # file rotation respected: bin.000002:5 beats bin.000001:20
+
+
+def test_exact_dedup(spark):
+    df = _df(spark)
+    assert exact_dedup(df).count() == df.count() - 1
