@@ -1,0 +1,300 @@
+"""Sketch-based deduplication and bucketed ANN: MinHash+LSH, SimHash,
+random-hyperplane embedding LSH.
+
+Design stance: the shingle/minhash pipeline is **pure Catalyst
+higher-order functions** (split/transform/aggregate/xxhash64 — all
+JVM, whole-stage codegen); numpy-backed *vectorized* pandas UDFs are
+used only for bit-level packing Spark lacks built-ins for (simhash,
+hyperplane signs). No per-row Python anywhere.
+
+Scale notes (the 100 TB story):
+* minhash signatures are computed scan-local (no shuffle);
+* LSH banding shuffles once on (band_idx, band_hash) — candidate
+  generation is a bucket-local self-join, never an all-pairs cross
+  join;
+* the band self-join is skew-safe under AQE (a degenerate bucket —
+  e.g. the empty-text bucket — is split by skew-join handling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text import normalize_text
+
+_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime); (a*h + b) stays < 2^62: ANSI-safe
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, size=k, dtype=np.int64)
+    b = rng.integers(0, _P, size=k, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text (short docs fall
+    back to a single whole-text shingle)."""
+    toks = F.split(normalize_text(col), " ")
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) < n, F.array(joined)).otherwise(grams)
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct 64-bit shingle hashes, reduced mod P to keep the
+    affine permutations overflow-free under ANSI arithmetic."""
+    return F.array_distinct(
+        F.transform(shingles(col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    )
+
+
+def minhash_signature(col: Column, k: int = 32, n: int = 3, seed: int = 42) -> Column:
+    """k-permutation MinHash signature (array<bigint> length k) of the
+    text column's shingle set.
+
+    Built as ONE nested higher-order expression — ``transform`` over a
+    literal array of (a,b) permutation params with the shingle-hash
+    array bound once — so the expensive shingle pipeline is evaluated a
+    single time per row (k separate array_min(transform(...)) columns
+    would re-evaluate it k times after projection collapse)."""
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_params(k, seed)
+        ]
+    )
+    # bind the shingle-hash array to a lambda variable (single-element
+    # array wrapper) so it is computed once, not once per permutation
+    return F.element_at(
+        F.transform(
+            F.array(shingle_hashes(col, n)),
+            lambda hs: F.transform(
+                params,
+                lambda p: F.array_min(
+                    F.transform(hs, lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_P)))
+                ),
+            ),
+        ),
+        1,
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: docs sharing at least one
+    identical signature band. Returns distinct (id_a, id_b), id_a <
+    id_b. Shuffle cost: one exchange on (band, band_hash)."""
+    r = k // bands
+    sig = df.select(F.col(id_col).alias("id"), minhash_signature(F.col(text_col), k, n, seed).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, on=["band", "bh"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact n-gram Jaccard similarity of two text columns — the
+    verifier for LSH candidates."""
+    sa = F.array_distinct(shingles(a, n))
+    sb = F.array_distinct(shingles(b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidates -> exact-Jaccard verification -> (id_a, id_b, jaccard)
+    pairs above threshold. The verify join fetches only candidate rows."""
+    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands)
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    joined = (
+        cands.join(docs.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
+        .join(docs.withColumnsRenamed({"id": "id_b", "txt": "txt_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_ngram(F.col("txt_a"), F.col("txt_b")), 6).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit) — numpy-vectorized bit packing over token hashes
+# --------------------------------------------------------------------------
+
+@pandas_udf(T.LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """token-hash arrays -> 64-bit simhash. Vectorized: all docs of the
+    Arrow batch are concatenated, unpacked to a bit matrix, and reduced
+    per-document with np.add.reduceat — no per-row Python loop."""
+    lengths = hashes.map(len).to_numpy(dtype=np.int64)
+    out = np.zeros(len(hashes), dtype=np.uint64)
+    nonempty = lengths > 0
+    if nonempty.any():
+        flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes[nonempty]])
+        flat = flat.astype(np.uint64)
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        contrib = bits * 2 - 1  # bit -> +1 / -1
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lengths[nonempty][:-1], out=starts[1:])
+        sums = np.add.reduceat(contrib, starts, axis=0)
+        packed = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = packed
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash(col: Column) -> Column:
+    """64-bit SimHash of the text column (token-level)."""
+    tok_hashes = F.transform(
+        F.split(normalize_text(col), " "), lambda t: F.xxhash64(t)
+    )
+    return _simhash_from_hashes(tok_hashes)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dups: band the 64-bit hash into 4×16-bit keys (any
+    pair within hamming distance 3 must agree on ≥1 band), bucket-join,
+    verify with bit_count(xor)."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("id", "sh", "e.band", "e.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, on=["band", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH for embeddings — vectorized matmul in Arrow batches
+# --------------------------------------------------------------------------
+
+def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    """Returns a pandas UDF mapping array<float> -> bucket id (the sign
+    bits of ``n_planes`` fixed random hyperplane projections). One
+    numpy matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf(T.LongType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        signs = (m @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return _bucket
+
+
+def ann_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine: candidates share the query's hyperplane
+    bucket; exact cosine + rank within bucket. Recall is tunable via
+    n_planes (fewer planes -> bigger buckets -> higher recall)."""
+    from .similarity import cosine
+
+    bucket = hyperplane_bucket_udf(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__v"),
+        bucket(F.col(vec_col)).alias("__b"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket(F.col(vec_col)).alias("__b"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        v.join(q, on="__b")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv"), F.col("__v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

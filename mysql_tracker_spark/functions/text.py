@@ -1,0 +1,110 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+token counting, normalization, fingerprinting, quality scoring,
+language-ID heuristics. Pure Catalyst expressions (whole-stage
+codegen; no Python), each with an exact ANSI-SQL twin used by the
+DuckDB oracle (__spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# deliberately small, frozen stopword sets so Spark and the SQL oracle
+# agree byte-for-byte
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "que"),
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (empty string -> 0)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for near-dup detection: lowercase, strip
+    non-alphanumerics, collapse whitespace."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (md5 is
+    identical across Spark and DuckDB, making it oracle-checkable)."""
+    return F.md5(normalize_text(col))
+
+
+def word_regex_count(col: Column, word: str) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(rf"\b{word}\b"), F.lit(0)))
+
+
+def stopword_count(col: Column, words=STOPWORDS_EN) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    return F.round(n_punct / F.greatest(F.length(col), F.lit(1)), 6)
+
+
+def stopword_ratio(col: Column) -> Column:
+    return F.round(
+        stopword_count(col) / F.greatest(token_count(col), F.lit(1)), 6
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword
+    presence - punctuation excess. Deliberately simple and frozen; the
+    value is pipeline plumbing, not linguistics."""
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(0.5)).otherwise(F.lit(0.0))
+    sw = F.when(stopword_ratio(col) >= 0.01, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+    return F.round(len_ok + sw + punct_ok, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language ID: the language with the highest marker
+    count, ties broken by fixed language order (en,de,fr,es), 'und'
+    (undetermined) when no marker hits."""
+    counts = {
+        lang: F.size(
+            F.regexp_extract_all(
+                F.lower(col), F.lit(r"\b(" + "|".join(words) + r")\b"), F.lit(0)
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # reversed fixed order so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def lang_id_sql(col_sql: str) -> str:
+    """The DuckDB twin of :func:`lang_id` (same tie rules)."""
+    counts = {
+        lang: f"len(regexp_extract_all(lower({col_sql}), '\\b({'|'.join(words)})\\b'))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(counts.values())})"
+    expr = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        c = counts[lang]
+        expr = f"CASE WHEN {c} > 0 AND {c} = {best} THEN '{lang}' ELSE {expr} END"
+    return expr

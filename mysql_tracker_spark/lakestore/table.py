@@ -221,6 +221,7 @@ class LakeTable:
         changes: DataFrame,
         delete_col: str = "__delete",
         properties: dict[str, str] | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> tuple[int, dict]:
         """Copy-on-write MERGE: upsert non-delete change rows, remove
         delete rows, keyed on ``key_cols``. ``changes`` must hold exactly
@@ -228,62 +229,75 @@ class LakeTable:
         columns, and a boolean ``delete_col``.
 
         Only buckets containing changed keys are rewritten; everything
-        else carries forward by reference. Returns (version, stats).
+        else carries forward by reference. Callers that already know the
+        affected bucket set (the runner computes it in the same pass as
+        its offset manifest) pass ``affected_buckets`` — then the whole
+        merge is a single Spark job (the bucket-partitioned write); the
+        upsert count rides along as an ``observe`` metric instead of a
+        separate count job. Returns (version, stats).
         """
+        from pyspark.sql import Observation
+
         m = self.manifest()
         schema = self.schema()
         key_cols = m["key_cols"]
         nb = m["n_buckets"]
 
-        ch = changes.withColumn(_BUCKET_COL, _bucket_expr(m["bucket_by"], nb)).cache()
-        try:
-            affected = sorted(
-                r[0] for r in ch.select(_BUCKET_COL).distinct().collect()
-            )
-            upserts = ch.filter(~F.col(delete_col)).drop(delete_col)
-            n_upserts = upserts.count()
+        ch = changes.withColumn(_BUCKET_COL, _bucket_expr(m["bucket_by"], nb))
+        if affected_buckets is None:
+            ch = ch.cache()
+            affected = sorted(r[0] for r in ch.select(_BUCKET_COL).distinct().collect())
+        else:
+            affected = sorted(affected_buckets)
+        obs = Observation()
+        upserts = (
+            ch.filter(~F.col(delete_col))
+            .drop(delete_col)
+            .observe(obs, F.count(F.lit(1)).alias("n_upserts"))
+        )
 
-            # current rows of affected buckets, minus changed keys
-            groups: dict[int, list[str]] = {}
-            aff = set(affected)
-            for b_str, files in m["buckets"].items():
-                if int(b_str) in aff:
-                    for fe in files:
-                        groups.setdefault(fe["schema_id"], []).append(
-                            os.path.join(self.path, fe["path"])
-                        )
-            survivors = None
-            if groups:
-                parts = []
-                for sid, paths in sorted(groups.items()):
-                    old = T.StructType.fromJson(m["schemas"][str(sid)])
-                    df = spark.read.schema(old).parquet(*paths)
-                    old_names = {f.name for f in old.fields}
-                    cols = [
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        if f.name in old_names
-                        else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in schema.fields
-                    ]
-                    parts.append(df.select(*cols))
-                target = parts[0]
-                for p in parts[1:]:
-                    target = target.unionByName(p)
-                # anti-join away all changed keys (updates + deletes);
-                # change set is one deduped row per key → broadcastable
-                # when small; Catalyst/AQE picks the strategy.
-                survivors = target.join(
-                    ch.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-                ).withColumn(_BUCKET_COL, _bucket_expr(m["bucket_by"], nb))
+        # current rows of affected buckets, minus changed keys
+        groups: dict[int, list[str]] = {}
+        aff = set(affected)
+        for b_str, files in m["buckets"].items():
+            if int(b_str) in aff:
+                for fe in files:
+                    groups.setdefault(fe["schema_id"], []).append(
+                        os.path.join(self.path, fe["path"])
+                    )
+        survivors = None
+        if groups:
+            parts = []
+            for sid, paths in sorted(groups.items()):
+                old = T.StructType.fromJson(m["schemas"][str(sid)])
+                df = spark.read.schema(old).parquet(*paths)
+                old_names = {f.name for f in old.fields}
+                cols = [
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in old_names
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+                parts.append(df.select(*cols))
+            target = parts[0]
+            for p in parts[1:]:
+                target = target.unionByName(p)
+            # anti-join away all changed keys (updates + deletes);
+            # change set is one deduped row per key → broadcastable
+            # when small; Catalyst/AQE picks the strategy.
+            survivors = target.join(
+                ch.select(*key_cols), on=key_cols, how="left_anti"
+            ).withColumn(_BUCKET_COL, _bucket_expr(m["bucket_by"], nb))
 
-            merged = upserts.select(_BUCKET_COL, *[f.name for f in schema.fields])
-            if survivors is not None:
-                merged = survivors.select(
-                    _BUCKET_COL, *[f.name for f in schema.fields]
-                ).unionByName(merged)
+        merged = upserts.select(_BUCKET_COL, *[f.name for f in schema.fields])
+        if survivors is not None:
+            merged = survivors.select(
+                _BUCKET_COL, *[f.name for f in schema.fields]
+            ).unionByName(merged)
 
-            new_files = self._write_buckets(merged, schema)
-        finally:
+        new_files = self._write_buckets(merged, schema)
+        n_upserts = obs.get.get("n_upserts", 0)
+        if affected_buckets is None:
             ch.unpersist()
 
         new_buckets = {}

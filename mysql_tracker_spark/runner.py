@@ -141,21 +141,55 @@ class CdcApplyJob:
 
         batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
 
-        # offset manifest of this batch + fencing (C1/C2):
-        # a batch whose whole range is <= the committed watermark was
-        # already applied (crash after commit, before loop advanced).
-        rng = batch.agg(
-            F.min(F.struct("file", "pos")).alias("lo"),
-            F.max(F.struct("file", "pos")).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.max(
-                F.when(
-                    F.col("op").eqNullSafe("COMMIT") | F.col("is_ddl"),
-                    F.struct("file", "pos"),
-                )
-            ).alias("txn_hi"),
-            F.max("ts").alias("max_ts"),
-        ).collect()[0]
+        # ONE pass over the batch computes the offset manifest (observe
+        # metrics: C1/C2 fencing range, txn boundary B4, lag M3, the
+        # affected MERGE buckets) while collecting the rare DDL rows.
+        from pyspark.sql import Observation
+
+        from .lakestore.table import _bucket_expr
+
+        manifest = self.table.manifest()
+        nb = manifest["n_buckets"]
+        is_target_dml = (
+            F.col("op").isin("INSERT", "UPDATE", "DELETE")
+            & (F.col("schema_name") == self.schema_name)
+            & (F.col("table_name") == self.table_name)
+        )
+        bucket_of_row = F.when(
+            is_target_dml,
+            F.pmod(
+                F.xxhash64(F.lit(42), F.element_at("after", "conv_id")), F.lit(nb)
+            ),
+        )
+        obs = Observation()
+        ddl_rows = (
+            batch.observe(
+                obs,
+                F.min(F.struct("file", "pos")).alias("lo"),
+                F.max(F.struct("file", "pos")).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.when(
+                        F.col("op").eqNullSafe("COMMIT") | F.col("is_ddl"),
+                        F.struct("file", "pos"),
+                    )
+                ).alias("txn_hi"),
+                F.max("ts").alias("max_ts"),
+                F.collect_set(bucket_of_row).alias("buckets"),
+            )
+            .filter(
+                F.col("is_ddl")
+                & (F.col("schema_name") == self.schema_name)
+                & (F.col("table_name") == self.table_name)
+            )
+            .select(*LOG_ORDER, "ddl_sql")
+            .collect()
+        )
+        # sort the handful of DDL rows driver-side: an orderBy here would
+        # add a range-partitioning sampling job, which evaluates the
+        # observe node twice and breaks Observation's single-action rule
+        ddl_rows.sort(key=lambda r: (r["file"], r["pos"], r["row_idx"]))
+        rng = obs.get
         stats.rows_in = rng["n"]
         if rng["n"] == 0:
             stats.skipped = True
@@ -171,17 +205,6 @@ class CdcApplyJob:
         # partial overlap: drop already-committed prefix (event-level fence)
         batch = after_watermark(batch, wm_file, wm_pos)
 
-        # --- DDL first (ordered), driver-side: DDLs are rare by design ---
-        ddl_rows = (
-            batch.filter(
-                F.col("is_ddl")
-                & (F.col("schema_name") == self.schema_name)
-                & (F.col("table_name") == self.table_name)
-            )
-            .select(*LOG_ORDER, "ddl_sql")
-            .orderBy(*LOG_ORDER)
-            .collect()
-        )
         if ddl_rows:
             apply_ddl_events(self.table, ddl_rows, self.schema_name)
 
@@ -213,7 +236,14 @@ class CdcApplyJob:
         if stats.txn_file_end is not None:
             props["txn_end_file"] = stats.txn_file_end
             props["txn_end_pos"] = str(stats.txn_pos_end)
-        version, summary = self.table.merge(self.spark, changes, properties=props)
+        affected = [b for b in rng["buckets"] if b is not None]
+        changes = changes.cache()  # reused by upsert + anti-join branches
+        try:
+            version, summary = self.table.merge(
+                self.spark, changes, properties=props, affected_buckets=affected
+            )
+        finally:
+            changes.unpersist()
         stats.snapshot_version = version
         stats.rows_applied = summary.get("upserts", 0)
         stats.wall_ms = int((time.time() - t0) * 1000)
