@@ -226,7 +226,10 @@ def gen_change_events(cfg: GenConfig | None = None) -> pd.DataFrame:
     ev["event_len"] = row_size.astype(np.int64)
 
     # --- timestamps -------------------------------------------------------------
+    # all rows of one frame share the frame's header timestamp (real
+    # binlog semantics: executeTime lives in the event header)
     secs = np.cumsum(rng.exponential(0.5, size=len(ev))).astype("int64")
+    secs = pd.Series(np.where(frame_start, secs, np.nan)).ffill().to_numpy().astype("int64")
     ev["ts"] = pd.Series(BASE_TS + secs.astype("timedelta64[s]")).dt.floor("s")
 
     # --- before / after maps ------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Wire-format encode/decode round-trip (SURVEY §2.2 D1-D5): the
+vectorized binary decode must reproduce the typed change events
+exactly, including multi-row frames and checksums."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_tracker_spark.schema import CHANGE_EVENT_SCHEMA, RAW_FRAME_SCHEMA
+from mysql_tracker_spark.sources.binlog_gen import GenConfig, gen_change_events, write_batches
+from mysql_tracker_spark.sources.wire import (
+    HEADER_LEN,
+    decode_frames,
+    encode_frames,
+    write_wire_batches,
+)
+
+CFG = GenConfig(n_events=2500, n_conversations=100, seed=9)
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    ev = gen_change_events(CFG)
+    wire = str(tmp_path_factory.mktemp("wire"))
+    typed = str(tmp_path_factory.mktemp("typed"))
+    write_wire_batches(ev, wire, n_batches=3)
+    write_batches(ev, typed, n_batches=3)
+    return wire, typed
+
+
+def _canon(df):
+    key = ["file", "pos", "row_idx"]
+    cols = ["op", "xid", "schema_name", "table_name", "is_ddl", "ddl_sql", "server_id"]
+    # full-row distinct (replayed duplicates are exact copies);
+    # dropDuplicates(subset) + exceptAll over a mapInPandas plan trips
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1
+    return df.select(
+        *key,
+        *cols,
+        F.to_json("before").alias("bj"),
+        F.to_json("after").alias("aj"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("tss"),
+    ).distinct()
+
+
+def test_roundtrip_equals_typed(spark, dirs):
+    wire, typed = dirs
+    dec = _canon(decode_frames(spark.read.schema(RAW_FRAME_SCHEMA).parquet(wire)))
+    ref = _canon(spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(typed))
+    assert dec.exceptAll(ref).count() == 0
+    assert ref.exceptAll(dec).count() == 0
+
+
+def test_corrupt_frame_dropped(spark, dirs):
+    wire, _ = dirs
+    raw = spark.read.schema(RAW_FRAME_SCHEMA).parquet(wire)
+    # flip one byte in the body of every 50th frame
+    corrupt = raw.withColumn(
+        "payload",
+        F.when(
+            F.col("pos") % 50 == 0,
+            F.concat(
+                F.substring("payload", 1, HEADER_LEN),
+                F.lit(b"X"),
+                F.expr(f"substring(payload, {HEADER_LEN + 2})"),
+            ),
+        ).otherwise(F.col("payload")),
+    )
+    total = decode_frames(raw, drop_bad_crc=False).count()
+    kept = decode_frames(corrupt, drop_bad_crc=True).count()
+    dropped = total - kept
+    assert dropped > 0  # corrupted frames detected by checksum and dropped
+
+
+def test_multirow_frames_exist_and_decode(spark, dirs):
+    wire, _ = dirs
+    dec = decode_frames(spark.read.schema(RAW_FRAME_SCHEMA).parquet(wire))
+    multi = dec.groupBy("file", "pos").count().filter("count > 1").count()
+    assert multi > 0
