@@ -46,16 +46,27 @@ def main() -> None:
     )
 
     n_events = int(os.environ.get("BENCH_EVENTS", 0)) or max(int(4_000_000 * sf), 20_000)
+    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
+    fmt = os.environ.get("BENCH_FORMAT", "typed")  # typed | wire
     work = tempfile.mkdtemp(prefix="mts_bench_")
-    in_dir = os.path.join(work, "in")
-    tbl_dir = os.path.join(work, "tbl")
-    ev = gen_change_events(
-        GenConfig(n_events=n_events, n_conversations=max(n_events // 40, 100), seed=42)
-    )
-    write_batches(ev, in_dir, n_batches=4)
+    tbl_dir = os.environ.get("BENCH_TABLE_DIR") or os.path.join(work, "tbl")
+    in_dir = os.environ.get("BENCH_INPUT_DIR")  # pre-generated input (scaling runs)
+    if not in_dir:
+        in_dir = os.path.join(work, "in")
+        ev = gen_change_events(
+            GenConfig(n_events=n_events, n_conversations=max(n_events // 40, 100), seed=42)
+        )
+        if fmt == "wire":
+            from mysql_tracker_spark.sources.wire import write_wire_batches
+
+            write_wire_batches(ev, in_dir, n_batches=n_batches)
+        else:
+            write_batches(ev, in_dir, n_batches=n_batches)
 
     t0 = time.time()
-    job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=cpus, files_per_batch=1)
+    job = CdcApplyJob(
+        spark, in_dir, tbl_dir, n_buckets=cpus, files_per_batch=1, source_format=fmt
+    )
     stats = job.run()
     apply_sec = time.time() - t0
     applied_events = sum(s.rows_in for s in stats)

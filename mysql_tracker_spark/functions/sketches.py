@@ -236,21 +236,26 @@ def simhash_near_dups(
 # Random-hyperplane LSH for embeddings — vectorized matmul in Arrow batches
 # --------------------------------------------------------------------------
 
-def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
-    """Returns a pandas UDF mapping array<float> -> bucket id (the sign
-    bits of ``n_planes`` fixed random hyperplane projections). One
-    numpy matmul per Arrow batch."""
+def hyperplane_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42, n_tables: int = 1):
+    """Returns a pandas UDF mapping array<float> -> array of bucket ids,
+    one per hash table (the sign bits of ``n_planes`` fixed random
+    hyperplane projections per table). One numpy matmul per Arrow
+    batch; bucket ids are offset by table index so ids never collide
+    across tables."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, n_planes * n_tables))
 
-    @pandas_udf(T.LongType())
+    @pandas_udf(T.ArrayType(T.LongType()))
     def _bucket(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
-            return pd.Series([], dtype=np.int64)
+            return pd.Series([], dtype=object)
         m = np.stack(vecs.to_numpy())  # (batch, dim)
-        signs = (m @ planes) > 0  # (batch, n_planes)
+        signs = (m @ planes) > 0  # (batch, n_planes*n_tables)
+        signs = signs.reshape(len(m), n_tables, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return pd.Series(signs @ weights)
+        codes = signs @ weights  # (batch, n_tables)
+        codes = codes + (np.arange(n_tables, dtype=np.int64) << n_planes)
+        return pd.Series(list(codes))
 
     return _bucket
 
@@ -261,36 +266,41 @@ def ann_lsh(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k cosine: candidates share the query's hyperplane
-    bucket; exact cosine + rank within bucket. Recall is tunable via
-    n_planes (fewer planes -> bigger buckets -> higher recall)."""
+    """Approximate top-k cosine: candidates share ANY of the query's
+    ``n_tables`` hyperplane buckets (classic multi-table LSH — recall
+    grows with n_tables, candidate cost with 1/2^n_planes). Exact
+    cosine + rank over the deduped candidate set. One shuffle on
+    bucket id; never an all-pairs cross join."""
+    from pyspark.sql import Window
+
     from .similarity import cosine
 
-    bucket = hyperplane_bucket_udf(dim, n_planes, seed)
+    bucket = hyperplane_bucket_udf(dim, n_planes, seed, n_tables)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__v"),
-        bucket(F.col(vec_col)).alias("__b"),
+        F.explode(bucket(F.col(vec_col))).alias("__b"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        bucket(F.col(vec_col)).alias("__b"),
+        F.explode(bucket(F.col(vec_col))).alias("__b"),
     )
-    from pyspark.sql import Window
-
-    scored = (
+    cands = (
         v.join(q, on="__b")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__v")), 6).alias("cos"),
-        )
+        .select("query_id", "neighbor_id", "__qv", "__v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__v")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -73,6 +73,7 @@ class CdcApplyJob:
         key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
         n_buckets: int = 32,
         files_per_batch: int = 1,
+        source_format: str = "typed",  # "typed" | "wire"
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -83,6 +84,7 @@ class CdcApplyJob:
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
         self.files_per_batch = files_per_batch
+        self.source_format = source_format
         self.table: LakeTable | None = None
 
     # ------------------------------------------------------------- lifecycle
@@ -139,7 +141,17 @@ class CdcApplyJob:
         stats = ApplyStats(batch_id=batch_id)
         wm_file, wm_pos, last_seq = self.watermark()
 
-        batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
+        if self.source_format == "wire":
+            # the full reference pipeline: raw frames -> vectorized
+            # binary decode (D1-D5) -> typed change events
+            from .schema import RAW_FRAME_SCHEMA
+            from .sources.wire import decode_frames
+
+            batch = decode_frames(
+                self.spark.read.schema(RAW_FRAME_SCHEMA).parquet(*paths)
+            )
+        else:
+            batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
 
         # ONE pass over the batch computes the offset manifest (observe
         # metrics: C1/C2 fencing range, txn boundary B4, lag M3, the

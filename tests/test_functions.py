@@ -1,0 +1,116 @@
+"""Text / sketch / similarity function tests with hand-computed or
+property-based oracles."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_tracker_spark.functions import sketches as SK
+from mysql_tracker_spark.functions import similarity as SIM
+from mysql_tracker_spark.functions import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count_edges(spark):
+    df = _docs(spark, [(0, "a b  c"), (1, ""), (2, "   "), (3, "one")])
+    got = {r.doc_id: r.n for r in df.select("doc_id", TX.token_count(F.col("text")).alias("n")).collect()}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 1}
+
+
+def test_normalize_and_fingerprint_equal_for_near_identical(spark):
+    df = _docs(spark, [(0, "Hello,  World!"), (1, "hello world"), (2, "other text")])
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_lang_id_markers(spark):
+    df = _docs(
+        spark,
+        [(0, "the cat and the dog of war"), (1, "der Hund und die Katze"), (2, "xyz qqq")],
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "und"}
+
+
+def test_shingles_and_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e", "a b c d e"), (1, "a b c d e", "v w x y z")],
+        "i long, ta string, tb string",
+    )
+    j = {r.i: r.j for r in df.select("i", SK.jaccard_ngram(F.col("ta"), F.col("tb")).alias("j")).collect()}
+    assert j[0] == 1.0 and j[1] == 0.0
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [(0, base), (1, base + " extra"), (2, "completely different words here about spark shuffles and joins")]
+    rows += [(10 + i, f"unique document number {i} with its own totally distinct content {i*7}") for i in range(20)]
+    df = _docs(spark, rows)
+    pairs = {(r.id_a, r.id_b) for r in SK.minhash_near_dups(df, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)
+
+
+def test_minhash_deterministic(spark):
+    df = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    s1 = df.select(SK.minhash_signature(F.col("text"), k=16).alias("s")).collect()[0]["s"]
+    s2 = df.select(SK.minhash_signature(F.col("text"), k=16).alias("s")).collect()[0]["s"]
+    assert s1 == s2 and len(s1) == 16
+
+
+def test_simhash_identical_and_distant(spark):
+    df = spark.createDataFrame(
+        [(0, "spark shuffle join aggregation pipeline"), (1, "spark shuffle join aggregation pipeline"),
+         (2, "entirely unrelated set of words about gardening tomatoes rainfall")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.s for r in df.select("doc_id", SK.simhash(F.col("text")).alias("s")).collect()}
+    assert sh[0] == sh[1]
+    ham02 = bin((sh[0] ^ sh[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham02 > 3
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0])],
+        "i long, a array<double>, b array<double>",
+    )
+    got = {r.i: r.c for r in df.select("i", F.round(SIM.cosine(F.col("a"), F.col("b")), 9).alias("c")).collect()}
+    assert got[1] == 0.0 and got[2] == 1.0
+
+
+def test_knn_bruteforce_exact_small(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    vecs.append((9, [1.0, 0.1, 0.0, 0.0]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = SIM.knn_bruteforce(df, df.filter("vec_id = 9"), k=1)
+    row = out.collect()[0]
+    assert row.neighbor_id == 0 and row.rank == 1  # closest axis
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((50, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id) for r in SIM.knn_bruteforce(df, qs, k=3).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SK.ann_lsh(df, qs, dim=16, k=3, n_planes=3, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # multi-table LSH recovers most true neighbors
+
+
+def test_hyperplane_bucket_deterministic(spark):
+    df = spark.createDataFrame([(0, [1.0] * 8)], "vec_id long, embedding array<double>")
+    b = SK.hyperplane_bucket_udf(8, n_planes=4, seed=1, n_tables=2)
+    v1 = df.select(b(F.col("embedding")).alias("b")).collect()[0]["b"]
+    v2 = df.select(b(F.col("embedding")).alias("b")).collect()[0]["b"]
+    assert v1 == v2 and len(v1) == 2
