@@ -32,7 +32,14 @@ def main() -> None:
 
     from mysql_tracker_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+    # small scan partitions so a single micro-batch file fans out over
+    # all cores (decode parallelism is bounded by row groups x this)
+    spark = get_spark(
+        app_name="bench",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, float] = {}
@@ -64,8 +71,10 @@ def main() -> None:
             write_batches(ev, in_dir, n_batches=n_batches)
 
     t0 = time.time()
+    # bucket count constant across parallelism levels (identical table
+    # layout in scaling runs); > cores so the bucketed write load-balances
     job = CdcApplyJob(
-        spark, in_dir, tbl_dir, n_buckets=cpus, files_per_batch=1, source_format=fmt
+        spark, in_dir, tbl_dir, n_buckets=64, files_per_batch=1, source_format=fmt
     )
     stats = job.run()
     apply_sec = time.time() - t0

@@ -222,6 +222,7 @@ class LakeTable:
         delete_col: str = "__delete",
         properties: dict[str, str] | None = None,
         affected_buckets: list[int] | None = None,
+        count_upserts: bool = True,
     ) -> tuple[int, dict]:
         """Copy-on-write MERGE: upsert non-delete change rows, remove
         delete rows, keyed on ``key_cols``. ``changes`` must hold exactly
@@ -232,12 +233,12 @@ class LakeTable:
         else carries forward by reference. Callers that already know the
         affected bucket set (the runner computes it in the same pass as
         its offset manifest) pass ``affected_buckets`` — then the whole
-        merge is a single Spark job (the bucket-partitioned write); the
-        upsert count rides along as an ``observe`` metric instead of a
-        separate count job. Returns (version, stats).
+        merge is a single Spark job (the bucket-partitioned write).
+        ``count_upserts=False`` skips the upsert-count job (callers that
+        track row counts upstream — the runner observes its own batch
+        pass; an Observation here would deadlock under foreachBatch's
+        nested AQE execution). Returns (version, stats).
         """
-        from pyspark.sql import Observation
-
         m = self.manifest()
         schema = self.schema()
         key_cols = m["key_cols"]
@@ -249,12 +250,8 @@ class LakeTable:
             affected = sorted(r[0] for r in ch.select(_BUCKET_COL).distinct().collect())
         else:
             affected = sorted(affected_buckets)
-        obs = Observation()
-        upserts = (
-            ch.filter(~F.col(delete_col))
-            .drop(delete_col)
-            .observe(obs, F.count(F.lit(1)).alias("n_upserts"))
-        )
+        upserts = ch.filter(~F.col(delete_col)).drop(delete_col)
+        n_upserts = upserts.count() if count_upserts else -1
 
         # current rows of affected buckets, minus changed keys
         groups: dict[int, list[str]] = {}
@@ -296,7 +293,6 @@ class LakeTable:
             ).unionByName(merged)
 
         new_files = self._write_buckets(merged, schema)
-        n_upserts = obs.get.get("n_upserts", 0)
         if affected_buckets is None:
             ch.unpersist()
 

@@ -137,10 +137,6 @@ class CdcApplyJob:
     # ----------------------------------------------------------- micro-batch
 
     def apply_batch(self, batch_id: int, paths: list[str]) -> ApplyStats:
-        t0 = time.time()
-        stats = ApplyStats(batch_id=batch_id)
-        wm_file, wm_pos, last_seq = self.watermark()
-
         if self.source_format == "wire":
             # the full reference pipeline: raw frames -> vectorized
             # binary decode (D1-D5) -> typed change events
@@ -152,6 +148,27 @@ class CdcApplyJob:
             )
         else:
             batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
+        return self.apply_df(batch_id, batch)
+
+    def apply_df(self, batch_id: int, batch: DataFrame) -> ApplyStats:
+        """Apply one micro-batch given as a DataFrame of change events —
+        shared by the batch replay loop and the Structured Streaming
+        foreachBatch front-end.
+
+        The batch is cached for its lifetime: it feeds two jobs (the
+        offset-manifest/DDL pass and the dedup+merge write), and for the
+        wire format the upstream decode UDF would otherwise run twice.
+        MEMORY_AND_DISK default keeps oversized batches spill-safe."""
+        batch = batch.cache()
+        try:
+            return self._apply_df_inner(batch_id, batch)
+        finally:
+            batch.unpersist()
+
+    def _apply_df_inner(self, batch_id: int, batch: DataFrame) -> ApplyStats:
+        t0 = time.time()
+        stats = ApplyStats(batch_id=batch_id)
+        wm_file, wm_pos, last_seq = self.watermark()
 
         # ONE pass over the batch computes the offset manifest (observe
         # metrics: C1/C2 fencing range, txn boundary B4, lag M3, the
@@ -188,6 +205,7 @@ class CdcApplyJob:
                 ).alias("txn_hi"),
                 F.max("ts").alias("max_ts"),
                 F.collect_set(bucket_of_row).alias("buckets"),
+                F.count(F.when(is_target_dml, 1)).alias("n_dml"),
             )
             .filter(
                 F.col("is_ddl")
@@ -251,13 +269,20 @@ class CdcApplyJob:
         affected = [b for b in rng["buckets"] if b is not None]
         changes = changes.cache()  # reused by upsert + anti-join branches
         try:
+            # count_upserts=False: rows_applied comes from the first-pass
+            # observe (the reference's persisNum counter semantics); a
+            # merge-side Observation deadlocks under foreachBatch
             version, summary = self.table.merge(
-                self.spark, changes, properties=props, affected_buckets=affected
+                self.spark,
+                changes,
+                properties=props,
+                affected_buckets=affected,
+                count_upserts=False,
             )
         finally:
             changes.unpersist()
         stats.snapshot_version = version
-        stats.rows_applied = summary.get("upserts", 0)
+        stats.rows_applied = rng["n_dml"]
         stats.wall_ms = int((time.time() - t0) * 1000)
         if rng["max_ts"] is not None:
             stats.lag_s = time.time() - rng["max_ts"].timestamp()

@@ -399,6 +399,6 @@ def write_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> lis
             continue
         tbl = pa.Table.from_pandas(chunk.reset_index(drop=True), schema=schema, preserve_index=False)
         path = os.path.join(out_dir, f"batch_{b:05d}.parquet")
-        pq.write_table(tbl, path)
+        pq.write_table(tbl, path, row_group_size=16384)
         paths.append(path)
     return paths

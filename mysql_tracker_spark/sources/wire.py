@@ -270,6 +270,10 @@ def write_wire_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -
         if chunk.empty:
             continue
         path = os.path.join(out_dir, f"wire_{b:05d}.parquet")
-        pq.write_table(pa.Table.from_pandas(chunk, schema=schema, preserve_index=False), path)
+        pq.write_table(
+            pa.Table.from_pandas(chunk, schema=schema, preserve_index=False),
+            path,
+            row_group_size=16384,
+        )
         paths.append(path)
     return paths
