@@ -38,7 +38,7 @@ def main() -> None:
         app_name="bench",
         cores=cpus,
         shuffle_partitions=cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": "8m"},
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -296,7 +296,7 @@ class CdcApplyJob:
         only — the snapshot properties are the correctness-bearing
         checkpoint; this file is append-only JSONL like the reference's
         monitor topic (``monitor/TrackerMonitor.java:153-192``)."""
-        path = os.path.join(self.table_path, "_lineage.jsonl")
+        path = os.path.join(self.table_path, "lineage.jsonl")
         rec = {
             "batch_id": stats.batch_id,
             "file_end": stats.file_end,

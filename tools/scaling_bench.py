@@ -92,9 +92,9 @@ def main():
         GenConfig(n_events=n_events, n_conversations=max(n_events // 40, 100), seed=42)
     )
     if fmt == "wire":
-        write_wire_batches(ev, in_dir, n_batches=8)
+        write_wire_batches(ev, in_dir, n_batches=4)
     else:
-        write_batches(ev, in_dir, n_batches=8)
+        write_batches(ev, in_dir, n_batches=4)
 
     results = {}
     digests = {}
@@ -113,7 +113,7 @@ def main():
     md = f"""# BENCH — scaling evidence ({time.strftime('%Y-%m-%d %H:%M')} UTC)
 
 Protocol per BASELINE.md: same job, same pre-generated input
-({n_events:,} change events, {fmt} format, 8 micro-batches), two local
+({n_events:,} change events, {fmt} format, 4 micro-batches), two local
 parallelism levels standing in for N vs 4N executors;
 `spark.sql.shuffle.partitions` scaled with cores.
 
