@@ -1,0 +1,77 @@
+"""spark-submit entry point for the CDC apply job.
+
+Cluster usage (the north_rule's deployment shape):
+
+    zip -r mts.zip mysql_tracker_spark
+    spark-submit --master <cluster> --py-files mts.zip \
+        --conf spark.sql.shuffle.partitions=<total-cores> \
+        scripts/submit_apply.py \
+        --input /data/binlog_batches --table /lake/transcripts \
+        --format wire --buckets 1024
+
+Local sandbox equivalent:
+
+    spark-submit --master local[32] scripts/submit_apply.py \
+        --input /tmp/in --table /tmp/tbl --format typed
+
+Prints one JSON line per applied batch and a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="CDC binlog replay -> lakestore MERGE apply")
+    ap.add_argument("--input", required=True, help="directory of micro-batch parquet files")
+    ap.add_argument("--table", required=True, help="lakestore table path (created if absent)")
+    ap.add_argument("--format", default="typed", choices=["typed", "wire"])
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--files-per-batch", type=int, default=1)
+    ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument("--streaming", action="store_true", help="tail via Structured Streaming")
+    ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("mysql-tracker-spark-apply").getOrCreate()
+
+    if args.streaming:
+        from mysql_tracker_spark.streaming import CdcStreamJob
+
+        job = CdcStreamJob(
+            spark,
+            args.input,
+            args.table,
+            checkpoint_dir=args.checkpoint or args.table + "_ckpt",
+            source_format=args.format,
+            n_buckets=args.buckets,
+        )
+        stats = job.run_available()
+    else:
+        from mysql_tracker_spark.runner import CdcApplyJob
+
+        job2 = CdcApplyJob(
+            spark,
+            args.input,
+            args.table,
+            n_buckets=args.buckets,
+            files_per_batch=args.files_per_batch,
+            source_format=args.format,
+        )
+        stats = job2.run(max_batches=args.max_batches)
+
+    total = 0
+    for s in stats:
+        print(json.dumps(s.__dict__, default=str))
+        total += s.rows_in
+    print(json.dumps({"batches": len(stats), "events": total}), file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
