@@ -1,0 +1,50 @@
+"""Job configuration (SURVEY.md §2.8 O3 — the reference's TrackerConf,
+``tracker/utils/TrackerConf.java:89-231``: static defaults overridden
+by a per-job JSON with filter lists and position overrides).
+
+A JobConfig is a plain dataclass loadable from JSON; the fields mirror
+the reference's knobs that still make sense on Spark (filter regex /
+allow-list, start-position override, batch sizing) plus the engine's
+own (buckets, source format).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class JobConfig:
+    # identity (reference: jobId)
+    job_id: str = "mysql-tracker-spark"
+    # source
+    input_dir: str = ""
+    source_format: str = "typed"  # typed | wire
+    files_per_batch: int = 1  # flush-threshold analogue (B2 batchsize)
+    # target
+    table_path: str = ""
+    schema_name: str = "chat"
+    table_name: str = "transcripts"
+    n_buckets: int = 64
+    # filters (F1/F2; reference filterRegex + filterMap)
+    filter_regex: str | None = None
+    allowlist: list[list[str]] = field(default_factory=list)  # [schema, table] pairs
+    # position override (C2; reference logfile/offset config keys):
+    # start strictly AFTER this offset, ignoring any committed watermark
+    start_file: str | None = None
+    start_pos: int | None = None
+    # invalid-position policy (C5; reference deletes the checkpoint and
+    # reloads from the live head on errno 1236)
+    on_invalid_position: str = "fail"  # fail | reset_earliest
+
+    @classmethod
+    def load(cls, path: str) -> "JobConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(asdict(self), f, indent=2)

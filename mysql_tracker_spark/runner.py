@@ -155,15 +155,14 @@ class CdcApplyJob:
         shared by the batch replay loop and the Structured Streaming
         foreachBatch front-end.
 
-        The batch is cached for its lifetime: it feeds two jobs (the
-        offset-manifest/DDL pass and the dedup+merge write), and for the
-        wire format the upstream decode UDF would otherwise run twice.
-        MEMORY_AND_DISK default keeps oversized batches spill-safe."""
-        batch = batch.cache()
-        try:
-            return self._apply_df_inner(batch_id, batch)
-        finally:
-            batch.unpersist()
+        Deliberately NO .cache() anywhere: caching the map-typed batch
+        (or the deduped changes) thrashes the memory store under high
+        thread counts — measured 5x slowdown at local[32] — while the
+        only duplicated work, the LWW aggregation feeding both the
+        upsert and anti-join branches, is already covered by Spark's
+        shuffle reuse (ReusedExchange), and the wire decode re-run is a
+        cheap parallel vectorized scan."""
+        return self._apply_df_inner(batch_id, batch)
 
     def _apply_df_inner(self, batch_id: int, batch: DataFrame) -> ApplyStats:
         t0 = time.time()
@@ -267,20 +266,16 @@ class CdcApplyJob:
             props["txn_end_file"] = stats.txn_file_end
             props["txn_end_pos"] = str(stats.txn_pos_end)
         affected = [b for b in rng["buckets"] if b is not None]
-        changes = changes.cache()  # reused by upsert + anti-join branches
-        try:
-            # count_upserts=False: rows_applied comes from the first-pass
-            # observe (the reference's persisNum counter semantics); a
-            # merge-side Observation deadlocks under foreachBatch
-            version, summary = self.table.merge(
-                self.spark,
-                changes,
-                properties=props,
-                affected_buckets=affected,
-                count_upserts=False,
-            )
-        finally:
-            changes.unpersist()
+        # count_upserts=False: rows_applied comes from the first-pass
+        # observe (the reference's persisNum counter semantics); a
+        # merge-side Observation deadlocks under foreachBatch
+        version, summary = self.table.merge(
+            self.spark,
+            changes,
+            properties=props,
+            affected_buckets=affected,
+            count_upserts=False,
+        )
         stats.snapshot_version = version
         stats.rows_applied = rng["n_dml"]
         stats.wall_ms = int((time.time() - t0) * 1000)
