@@ -273,6 +273,45 @@ def q_emb_centroid_norms(spark, sf_dir):
 # pytest holds their rigorous oracles)
 # =========================================================================
 
+def q_doc_ngram_jaccard_near_dups(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (verification-grade twin of
+    the MinHash LSH path) — fully JVM-side, SQL-oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    return SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7).orderBy("id_a", "id_b")
+
+
+def q_emb_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact brute-force on a bounded
+    id range (the LSH-bucketed variant is emb_ann_lsh)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return SIM.cosine_near_dups(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def q_media_summary(spark, sf_dir):
+    """Multimodal metadata aggregation: synthesize opaque binary assets
+    distributed, aggregate on the typed meta struct ONLY (decode-free
+    planning — the 100 TB stance). Rows-only: the asset generator is
+    not SQL-expressible; pytest holds the decode/resize/frame oracles."""
+    from mysql_tracker_spark.functions import media as M
+
+    return M.media_summary(M.synth_assets(spark, n=96, seed=7)).orderBy("media_type")
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal decode -> feature extraction via Arrow-batched
+    mapInPandas (codec stubbed deterministically; plumbing real)."""
+    from mysql_tracker_spark.functions import media as M
+
+    feats = M.extract_features(M.synth_assets(spark, n=96, seed=7))
+    return feats.select(
+        "asset_id", "media_type", "width", "height",
+        F.round("mean_intensity", 4).alias("mean_intensity"),
+        F.round("std_intensity", 4).alias("std_intensity"),
+    ).orderBy("asset_id")
+
+
 def q_doc_minhash_near_dups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return SK.minhash_near_dups(d, threshold=0.7).orderBy("id_a", "id_b")
@@ -354,10 +393,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_centroid_norms": q_emb_centroid_norms,
-        # rows-only (no SQL twin): sketches + the real engine
+        "doc_ngram_jaccard_near_dups": q_doc_ngram_jaccard_near_dups,
+        "emb_cosine_near_dups": q_emb_cosine_near_dups,
+        # rows-only (no SQL twin): sketches, media synth + the real engine
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "media_summary": q_media_summary,
+        "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
     }
 
@@ -486,6 +529,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT * FROM v WHERE vec_id < 5) q, v
                 WHERE v.vec_id <> q.vec_id)
             WHERE rank <= 3
+        """,
+        "doc_ngram_jaccard_near_dups": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+                FROM documents),
+            g0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(generate_series(1, len(w) - 2), j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) END AS grams
+                FROM norm),
+            g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g0),
+            sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM g a JOIN g b USING (gram)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.7
+            ORDER BY id_a, id_b
+        """,
+        "emb_cosine_near_dups": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_inner_product(a.e, b.e) /
+                         (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cos
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_inner_product(a.e, b.e) /
+                        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.35
+            ORDER BY id_a, id_b
         """,
         "emb_centroid_norms": """
             SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm FROM (

@@ -2,16 +2,27 @@
 contract query suite, one JSON line on stdout.
 
 Env:
-  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_SF_DIR  input tables dir for the query suite
+                      (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] cores (default 32)
-  BENCH_EVENTS        override synthetic change-event count
+  BENCH_EVENTS        synthetic change-event count (default 8,000,000)
   BENCH_QUERIES=0     skip the query suite (apply-only, for scaling runs)
+  BENCH_WARMUP=0      skip the JIT/worker warm-up apply
+  BENCH_INPUT_DIR     pre-generated wire input (scaling runs)
+  BENCH_CACHE_DIR     where generated input is cached between runs
+                      (default /tmp/mts_bench_cache)
 
 The headline metric mirrors BASELINE.md: sustained change-events/sec of
-the fenced replay apply (decode -> filter -> LWW dedup -> MERGE ->
-atomic commit) on a deterministic synthetic binlog. The reference's
-single-JVM numbers to beat: ~543 ev/s sustained / ~208 entries/s
-sink-bound (see BASELINE.md).
+the fenced replay apply (JVM manifest -> Arrow-kernel wire decode ->
+narrow LWW dedup -> bucket-aligned delta -> MERGE commit) on a
+deterministic synthetic binlog generated DISTRIBUTED (one Spark task
+per chunk — the 10^10-event story needs no driver-side materialize).
+A warm-up apply runs first: the metric is steady-state throughput of a
+long-running CDC service, not JVM JIT/python-worker spin-up (~60 s,
+measured; see BENCH/BASELINE.md).
+
+Reference single-JVM numbers to beat: ~543 ev/s sustained / ~208
+entries/s sink-bound (BASELINE.md §6).
 """
 
 from __future__ import annotations
@@ -23,17 +34,54 @@ import sys
 import tempfile
 import time
 
+N_CHUNKS = 32
+FILES_PER_BATCH = 8
+SEED = 42
+WIRE_V = "v2"  # bump when the wire format changes (invalidates cache)
+
+
+def ensure_input(spark, n_events: int, cache_root: str) -> str:
+    """Generate (distributed) or reuse the cached wire input."""
+    from mysql_tracker_spark.sources.wire import write_wire_distributed
+
+    key = f"wire_{WIRE_V}_{n_events}_{N_CHUNKS}_{SEED}"
+    d = os.path.join(cache_root, key)
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    t0 = time.time()
+    write_wire_distributed(spark, n_events, d, n_chunks=N_CHUNKS, base_seed=SEED)
+    open(marker, "w").write("ok")
+    print(f"generated {n_events} events in {time.time()-t0:.0f}s -> {d}", file=sys.stderr)
+    return d
+
+
+def run_apply(spark, in_dir: str, tbl_dir: str, files_per_batch: int = FILES_PER_BATCH):
+    from mysql_tracker_spark.runner import CdcApplyJob
+
+    t0 = time.time()
+    job = CdcApplyJob(
+        spark, in_dir, tbl_dir, n_buckets=64,
+        files_per_batch=files_per_batch, source_format="wire",
+    )
+    stats = job.run()
+    wall = time.time() - t0
+    return wall, sum(s.rows_in for s in stats), stats
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
     run_queries = os.environ.get("BENCH_QUERIES", "1") != "0"
+    warmup = os.environ.get("BENCH_WARMUP", "1") != "0"
+    n_events = int(os.environ.get("BENCH_EVENTS", 0)) or 8_000_000
+    cache_root = os.environ.get("BENCH_CACHE_DIR", "/tmp/mts_bench_cache")
 
     from mysql_tracker_spark.session import get_spark
 
-    # small scan partitions so a single micro-batch file fans out over
-    # all cores (decode parallelism is bounded by row groups x this)
+    # small scan partitions so micro-batch files fan out over all cores
     spark = get_spark(
         app_name="bench",
         cores=cpus,
@@ -43,42 +91,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, float] = {}
+    work = tempfile.mkdtemp(prefix="mts_bench_")
 
     # ---- headline: CDC apply throughput --------------------------------
-    from mysql_tracker_spark.runner import CdcApplyJob
-    from mysql_tracker_spark.sources.binlog_gen import (
-        GenConfig,
-        gen_change_events,
-        write_batches,
-    )
+    in_dir = os.environ.get("BENCH_INPUT_DIR") or ensure_input(spark, n_events, cache_root)
 
-    n_events = int(os.environ.get("BENCH_EVENTS", 0)) or max(int(4_000_000 * sf), 20_000)
-    n_batches = int(os.environ.get("BENCH_BATCHES", "4"))
-    fmt = os.environ.get("BENCH_FORMAT", "typed")  # typed | wire
-    work = tempfile.mkdtemp(prefix="mts_bench_")
+    if warmup:
+        t0 = time.time()
+        run_apply(spark, in_dir, os.path.join(work, "tbl_warm"))
+        print(f"warm-up apply: {time.time()-t0:.1f}s", file=sys.stderr)
+
     tbl_dir = os.environ.get("BENCH_TABLE_DIR") or os.path.join(work, "tbl")
-    in_dir = os.environ.get("BENCH_INPUT_DIR")  # pre-generated input (scaling runs)
-    if not in_dir:
-        in_dir = os.path.join(work, "in")
-        ev = gen_change_events(
-            GenConfig(n_events=n_events, n_conversations=max(n_events // 40, 100), seed=42)
-        )
-        if fmt == "wire":
-            from mysql_tracker_spark.sources.wire import write_wire_batches
-
-            write_wire_batches(ev, in_dir, n_batches=n_batches)
-        else:
-            write_batches(ev, in_dir, n_batches=n_batches)
-
-    t0 = time.time()
-    # bucket count constant across parallelism levels (identical table
-    # layout in scaling runs); > cores so the bucketed write load-balances
-    job = CdcApplyJob(
-        spark, in_dir, tbl_dir, n_buckets=64, files_per_batch=1, source_format=fmt
-    )
-    stats = job.run()
-    apply_sec = time.time() - t0
-    applied_events = sum(s.rows_in for s in stats)
+    apply_sec, applied_events, _ = run_apply(spark, in_dir, tbl_dir)
     results["cdc_apply"] = round(apply_sec, 3)
     events_per_sec = round(applied_events / apply_sec, 1)
 

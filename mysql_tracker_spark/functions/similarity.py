@@ -66,3 +66,29 @@ def knn_bruteforce(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def cosine_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine >= threshold. Exact brute-force self-join — O(n^2)
+    comparisons, the verification-grade variant. At corpus scale run
+    the LSH-bucketed path (``sketches.ann_lsh`` buckets via random
+    hyperplanes) to generate candidates and verify only those here."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

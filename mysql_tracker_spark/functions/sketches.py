@@ -123,6 +123,55 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def ngram_jaccard_near_dups(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-duplicate pairs, fully JVM-side:
+    distinct shingles explode -> equi-join on shingle -> per-pair
+    intersection counts -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+
+    Scale note: this is the *verification-grade* exact variant — the
+    shingle join is O(sum of posting-list^2) and a stop-gram (a shingle
+    shared by thousands of docs) makes it explode. At corpus scale run
+    :func:`minhash_near_dups` (banded LSH, linear in candidates) and
+    feed ONLY its candidate pairs through :func:`jaccard_ngram` for the
+    exact check; the ``max_df`` cutoff below is the standard stop-gram
+    guard (drop shingles occurring in more than ``max_df`` docs — they
+    carry ~no similarity signal but dominate join fanout).
+    """
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = g.select(F.col("id").alias("id_a"), "gram")
+    b = g.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
     """Exact n-gram Jaccard similarity of two text columns — the
     verifier for LSH candidates."""

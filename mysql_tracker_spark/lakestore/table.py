@@ -45,12 +45,18 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 _BUCKET_COL = "__bucket"
-_HASH_SEED = 42
 
 
-def _bucket_expr(key_col: str, n_buckets: int):
-    # xxhash64 is a stable public Spark function; pmod keeps it non-negative
-    return F.pmod(F.xxhash64(F.lit(_HASH_SEED), F.col(key_col)), F.lit(n_buckets))
+def _bucket_expr(key_col: str | F.Column, n_buckets: int):
+    """Bucket id of a key — DELIBERATELY Spark's own Murmur3 ``hash()``
+    (seed 42) mod n_buckets: ``HashPartitioning`` places a row of
+    ``repartition(n_buckets, key)`` in partition ``pmod(hash(key), n)``,
+    so a repartition by the bucketing key makes partition i hold EXACTLY
+    bucket i. The apply pipeline exploits that to run dedup + the
+    bucket-partitioned write off a single exchange, with one output
+    file per bucket and no second shuffle."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.hash(c), F.lit(n_buckets))
 
 
 class LakeTable:
@@ -179,10 +185,15 @@ class LakeTable:
         under a unique staging subdir so concurrent writers never collide."""
         stage = f"stage-{uuid.uuid4().hex[:12]}"
         stage_dir = os.path.join(self.data_dir, stage)
+        m0 = self.manifest()
         cols = [f.name for f in schema.fields]
+        nb = m0["n_buckets"]
         (
             df.select(_BUCKET_COL, *cols)
-            .repartition(_BUCKET_COL)
+            # repartition by the BUCKETING KEY with numPartitions =
+            # n_buckets: partition i == bucket i (see _bucket_expr), so
+            # each task writes exactly one file into one bucket dir
+            .repartition(nb, F.col(m0["bucket_by"]))
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(stage_dir)

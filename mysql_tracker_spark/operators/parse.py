@@ -20,13 +20,14 @@ from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 from ..schema import DML_OPS, LOG_ORDER
 
 
-def typed_from_map(map_col: str, schema: T.StructType) -> list[Column]:
-    """Projection list turning a map<string,string> column into typed
-    columns per ``schema`` (absent key -> null, the reference's NULL
-    rule)."""
+def typed_from_map(map_col: str | Column, schema: T.StructType) -> list[Column]:
+    """Projection list turning a map<string,string> column (name or
+    expression) into typed columns per ``schema`` (absent key -> null,
+    the reference's NULL rule)."""
+    mc = F.col(map_col) if isinstance(map_col, str) else map_col
     cols = []
     for fld in schema.fields:
-        c = F.element_at(F.col(map_col), fld.name)
+        c = F.element_at(mc, fld.name)
         if not isinstance(fld.dataType, T.StringType):
             c = c.cast(fld.dataType)
         cols.append(c.alias(fld.name))

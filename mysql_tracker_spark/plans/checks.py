@@ -43,7 +43,12 @@ def python_stage_count(df: DataFrame) -> int:
     Uses simple mode: formatted mode prints each node twice (tree +
     details), double-counting."""
     txt = explain_str(df, mode="simple")
-    return len(re.findall(r"(ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)", txt))
+    return len(
+        re.findall(
+            r"(ArrowEvalPython|BatchEvalPython|MapInPandas|MapInArrow|PythonMapInArrow|FlatMapGroupsInPandas)",
+            txt,
+        )
+    )
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:

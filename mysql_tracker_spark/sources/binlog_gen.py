@@ -58,6 +58,10 @@ class GenConfig:
     ddl_at: tuple = (0.4, 0.7)  # fractions of the stream where DDL lands
     schema_name: str = "chat"
     table_name: str = "transcripts"
+    # offset added to generated binlog file numbers — lets a distributed
+    # generator give each chunk a disjoint, lexicographically ordered
+    # file range (chunk c -> files bin.{c*1000+1...})
+    file_base: int = 0
 
 
 def _conv_probs(cfg: GenConfig) -> np.ndarray:
@@ -96,8 +100,8 @@ def gen_change_events(cfg: GenConfig | None = None) -> pd.DataFrame:
         ),
     )
     version = (k + 1).to_numpy()
-    conv_id = pd.Series(conv).map(lambda i: f"conv_{i:06d}").astype("string")
-    # (vectorized enough at generator scale; conv ids cached by map table)
+    # conv ids via a cached map table (one python-format per conversation,
+    # not per event)
     conv_tbl = pd.Series([f"conv_{i:06d}" for i in range(cfg.n_conversations)])
     conv_id = conv_tbl.take(conv).reset_index(drop=True)
     turn_s = pd.Series(turn).astype(str)
@@ -216,7 +220,7 @@ def gen_change_events(cfg: GenConfig | None = None) -> pd.DataFrame:
     # propagate the frame's start offset to every row of the frame
     start_per_frame = pd.Series(np.where(frame_start, frame_start_global, np.nan)).ffill().to_numpy()
 
-    file_no = (start_per_frame // cfg.rotate_every).astype(np.int64) + 1
+    file_no = (start_per_frame // cfg.rotate_every).astype(np.int64) + 1 + cfg.file_base
     pos_in_file = (start_per_frame % cfg.rotate_every).astype(np.int64) + MAGIC_LEN
     files = pd.Series(file_no).map(lambda i: f"bin.{i:06d}")
 

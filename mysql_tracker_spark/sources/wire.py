@@ -16,6 +16,13 @@ frame := header(19B LE: ts u32 | type u8 | server_id u32 |
             joined by 0x1e)
          ++ checksum u32 (additive byte sum of header+body, mod 2^32)
 
+Body fields (10): op, xid, row_idx, schema_name, table_name, is_ddl,
+ddl_sql, key_kv, before_kv, after_kv. ``key_kv`` carries ONLY the
+primary-key columns — the wire analogue of the reference's per-column
+``isKey`` flag (``protocol/protobuf/EntryProtocol.proto:83``): the
+apply path extracts its partition/dedup keys from this tiny map
+instead of parsing the full row image.
+
 Decode (``decode_frames``) is a ``mapInPandas`` stage where every step
 is a numpy / pandas-C operation over the whole Arrow batch — header
 fields via one ``np.frombuffer`` on the stacked 19-byte prefixes,
@@ -82,6 +89,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("table_name", T.StringType()),
         T.StructField("is_ddl", T.BooleanType()),
         T.StructField("ddl_sql", T.StringType()),
+        T.StructField("key_kv", T.StringType()),
         T.StructField("before_kv", T.StringType()),
         T.StructField("after_kv", T.StringType()),
         T.StructField("crc_ok", T.BooleanType()),
@@ -95,12 +103,15 @@ def _kv_pack(m: dict | None) -> str:
     return ENTRY_SEP.join(f"{k}{KV_SEP}{v}" for k, v in m.items())
 
 
-def encode_frames(events: pd.DataFrame) -> pd.DataFrame:
+def encode_frames(
+    events: pd.DataFrame, key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> pd.DataFrame:
     """Encode a change-event frame (generator output) into wire frames
     ``(file, pos, payload)``. Rows sharing (file,pos) — multi-row
     events — pack into ONE frame whose body holds several row bodies.
     Generator-side helper (tests/bench input); numpy for the headers,
-    Python only at the final bytes join."""
+    Python only at the final bytes join. ``key_cols`` populate the
+    ``key_kv`` body field (the reference's isKey columns)."""
     ev = events.reset_index(drop=True)
     ts_u32 = (
         ev["ts"].astype("datetime64[ns]").astype("int64") // 10**9
@@ -115,6 +126,9 @@ def encode_frames(events: pd.DataFrame) -> pd.DataFrame:
         + FIELD_SEP + ev["table_name"].fillna("").astype(str)
         + FIELD_SEP + ev["is_ddl"].map({True: "1", False: "0"}).astype(str)
         + FIELD_SEP + ev["ddl_sql"].fillna("").astype(str)
+        + FIELD_SEP + ev["after"].map(
+            lambda m: _kv_pack({k: m[k] for k in key_cols if k in m} if m else None)
+        )
         + FIELD_SEP + ev["before"].map(_kv_pack)
         + FIELD_SEP + ev["after"].map(_kv_pack)
     )
@@ -137,17 +151,48 @@ def encode_frames(events: pd.DataFrame) -> pd.DataFrame:
     headers["flags"] = 0
     hbytes = headers.tobytes()
 
-    payloads = []
-    for i in range(n):
-        h = hbytes[i * HEADER_LEN : (i + 1) * HEADER_LEN]
-        b = body_bytes.iloc[i]
-        csum = (int(np.frombuffer(h, np.uint8).sum()) + int(np.frombuffer(b, np.uint8).sum())) & 0xFFFFFFFF
-        payloads.append(h + b + csum.to_bytes(4, "little"))
+    # --- payload assembly: C-level join of interleaved fragments ------
+    import itertools
+
+    import pyarrow as pa
+
+    blens64 = blens.astype(np.int64)
+    frame_lens = HEADER_LEN + blens64 + CRC_LEN
+    frame_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(frame_lens, out=frame_starts[1:])
+
+    # checksums: header row-sums + per-body sums (uint32 wrap = modulus)
+    harr = np.frombuffer(hbytes, dtype=np.uint8).reshape(n, HEADER_LEN)
+    body_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(blens64, out=body_off[1:])
+    body_flat = np.frombuffer(b"".join(body_bytes), dtype=np.uint8)
+    bcs = np.zeros(len(body_flat) + 1, dtype=np.uint32)
+    np.cumsum(body_flat, out=bcs[1:], dtype=np.uint32)
+    csum = (
+        harr.sum(axis=1, dtype=np.uint32) + (bcs[body_off[1:]] - bcs[body_off[:-1]])
+    ).astype("<u4")
+    cbytes = csum.tobytes()
+
+    hl, cl = HEADER_LEN, CRC_LEN
+    buf = b"".join(
+        itertools.chain.from_iterable(
+            zip(
+                (hbytes[i * hl : (i + 1) * hl] for i in range(n)),
+                body_bytes,
+                (cbytes[i * cl : (i + 1) * cl] for i in range(n)),
+            )
+        )
+    )
+    payload_arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        n,
+        [None, pa.py_buffer(frame_starts.tobytes()), pa.py_buffer(buf)],
+    )
     return pd.DataFrame(
         {
             "file": ev["file"].to_numpy()[first_idx],
             "pos": ev["pos"].to_numpy()[first_idx].astype("int64"),
-            "payload": payloads,
+            "payload": payload_arr.to_pandas(),
         }
     )
 
@@ -198,7 +243,7 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     fields = rows["body"].str.split(FIELD_SEP, expand=True)
     fields.columns = [
         "op", "xid", "row_idx", "schema_name", "table_name", "is_ddl", "ddl_sql",
-        "before_kv", "after_kv",
+        "key_kv", "before_kv", "after_kv",
     ][: fields.shape[1]]
     out = pd.DataFrame(
         {
@@ -213,6 +258,7 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "table_name": fields["table_name"].replace("", None),
             "is_ddl": fields["is_ddl"] == "1",
             "ddl_sql": fields["ddl_sql"].replace("", None),
+            "key_kv": fields["key_kv"],
             "before_kv": fields["before_kv"],
             "after_kv": fields["after_kv"],
             "crc_ok": rows["crc_ok"],
@@ -221,21 +267,175 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def decode_frames(raw: DataFrame, drop_bad_crc: bool = True) -> DataFrame:
-    """Raw wire frames -> typed change-event DataFrame (the D1-D5
-    pipeline). ``mapInPandas`` vectorized decode, then JVM-side
-    ``str_to_map`` to build before/after maps."""
+# Arrow-native decode output (kv maps still packed as strings; ts as
+# epoch micros — both converted JVM-side). Kept separate from
+# DECODED_SCHEMA so the hot path shuffles narrow strings, not maps.
+DECODED_KV_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("row_idx", T.IntegerType()),
+        T.StructField("server_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("xid", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("is_ddl", T.BooleanType()),
+        T.StructField("ddl_sql", T.StringType()),
+        T.StructField("key_kv", T.StringType()),
+        T.StructField("before_kv", T.StringType()),
+        T.StructField("after_kv", T.StringType()),
+        T.StructField("crc_ok", T.BooleanType()),
+    ]
+)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _decode_batch(pdf)
 
-    decoded = raw.mapInPandas(gen, schema=DECODED_SCHEMA)
+def _decode_batch_arrow(rb):
+    """Decode one Arrow RecordBatch of frames entirely with pyarrow C++
+    kernels + zero-copy numpy views — no per-row Python objects at all.
+
+    The pandas variant above (``_decode_batch``) is semantically
+    identical but churns millions of small PyObjects through the
+    allocator; under 30 concurrent task workers that contention costs
+    ~2.5x per-task (measured), so the hot path uses this one.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = rb.num_rows
+    names = [f.name for f in DECODED_KV_SCHEMA.fields]
+    if n == 0:
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=_arrow_type(f.dataType)) for f in DECODED_KV_SCHEMA.fields],
+            names=names,
+        )
+    pay = rb.column(rb.schema.get_field_index("payload"))
+    if isinstance(pay, pa.ChunkedArray):  # defensive; RecordBatch cols are Arrays
+        pay = pay.combine_chunks()
+
+    # --- header: fixed 19-byte prefixes -> one contiguous buffer ------
+    fsb = pc.cast(pc.binary_slice(pay, 0, HEADER_LEN), pa.binary(HEADER_LEN))
+    heads = np.frombuffer(
+        fsb.buffers()[1], dtype=_HEADER_DTYPE, count=n, offset=fsb.offset * HEADER_LEN
+    )
+
+    # --- checksum: byte sums over the zero-copy data buffer -----------
+    large = pa.types.is_large_binary(pay.type)
+    off_dt = np.int64 if large else np.int32
+    offs = np.frombuffer(pay.buffers()[1], dtype=off_dt)[pay.offset : pay.offset + n + 1]
+    # restrict to THIS batch's region: on a sliced RecordBatch the data
+    # buffer is the whole parent buffer — summing it all per slice
+    # would be O(N^2/slice) (measured: dominated the decode under load)
+    base = int(offs[0])
+    flat = np.frombuffer(pay.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
+    starts = (offs[:-1] - base).astype(np.int64)
+    ends = (offs[1:] - base).astype(np.int64)
+    # uint32 cumsum wraps mod 2^32 — exactly the checksum's modulus
+    cs = np.empty(len(flat) + 1, dtype=np.uint32)
+    cs[0] = 0
+    np.cumsum(flat, out=cs[1:], dtype=np.uint32)
+    total = cs[ends] - cs[starts]
+    crcb = flat[ends[:, None] - np.array([4, 3, 2, 1])].astype(np.uint32)
+    crc_stored = crcb @ np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
+    crc_ok_np = (total - crcb.sum(axis=1, dtype=np.uint32)) == crc_stored
+
+    # --- bodies: C++ string kernels ----------------------------------
+    body = pc.cast(pc.binary_slice(pay, HEADER_LEN, -CRC_LEN), pa.string())
+    rows = pc.split_pattern(body, "\x1c")
+    parent = pc.list_parent_indices(rows)
+    parent_np = parent.to_numpy()
+    flatrows = pc.list_flatten(rows)
+    fields0 = pc.split_pattern(flatrows, FIELD_SEP)
+    wellformed = pc.equal(pc.list_value_length(fields0), 10)
+    if pc.all(wellformed).as_py() is True:
+        fields = fields0  # common case: skip the guarded re-split
+    else:
+        safe = pc.if_else(wellformed, flatrows, pa.scalar(FIELD_SEP * 9))
+        fields = pc.split_pattern(safe, FIELD_SEP)
+    f = [pc.list_element(fields, i) for i in range(10)]
+
+    ok = pa.array(crc_ok_np[parent_np] & wellformed.to_numpy(zero_copy_only=False))
+
+    def nz(a):  # '' -> null (absent optional field)
+        return pc.if_else(pc.equal(a, ""), pa.scalar(None, pa.string()), a)
+
+    def num(a, typ):  # numeric parse gated on frame validity
+        return pc.cast(pc.if_else(ok, nz(a), pa.scalar(None, pa.string())), typ)
+
+    arrays = [
+        pc.take(rb.column(rb.schema.get_field_index("file")), parent),
+        pc.cast(pc.take(rb.column(rb.schema.get_field_index("pos")), parent), pa.int64()),
+        num(f[2], pa.int32()),  # row_idx
+        pa.array(heads["server_id"].astype(np.int64)[parent_np]),
+        pa.array((heads["ts"].astype(np.int64) * 1_000_000)[parent_np]),
+        num(f[1], pa.int64()),  # xid
+        f[0],  # op
+        nz(f[3]),  # schema_name
+        nz(f[4]),  # table_name
+        pc.equal(f[5], "1"),  # is_ddl
+        nz(f[6]),  # ddl_sql
+        f[7],  # key_kv
+        f[8],  # before_kv
+        f[9],  # after_kv
+        ok,  # crc_ok
+    ]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _arrow_type(dt: T.DataType):
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(),
+        "long": pa.int64(),
+        "integer": pa.int32(),
+        "boolean": pa.bool_(),
+    }[dt.typeName()]
+
+
+def decode_frames_kv(
+    raw: DataFrame, drop_bad_crc: bool = True, include_before: bool = False
+) -> DataFrame:
+    """Raw wire frames -> change events with before/after still PACKED
+    as kv strings (``mapInArrow`` C++ decode). The hot apply path dedups
+    on these narrow strings and builds maps only for the LWW winners.
+
+    ``include_before=False`` prunes the before-image from the
+    python->JVM Arrow transfer — the LWW apply never reads it, and it
+    is roughly as large as the after-image."""
+    schema = DECODED_KV_SCHEMA
+    drop_cols: list[str] = []
+    if not include_before:
+        schema = T.StructType([f for f in schema.fields if f.name != "before_kv"])
+        drop_cols = ["before_kv"]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            out = _decode_batch_arrow(rb)
+            for c in drop_cols:
+                out = out.drop_columns(c)
+            yield out
+
+    decoded = raw.mapInArrow(gen, schema=schema)
     if drop_bad_crc:
         decoded = decoded.filter(F.col("crc_ok"))
-    to_map = lambda c: F.when(  # noqa: E731
-        F.length(c) > 0, F.str_to_map(c, F.lit(ENTRY_SEP), F.lit(KV_SEP))
-    )
+    return decoded.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+
+
+def kv_to_map(col):
+    """Packed kv string -> map<string,string> ('' -> null map)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) > 0, F.str_to_map(c, F.lit(ENTRY_SEP), F.lit(KV_SEP)))
+
+
+def decode_frames(raw: DataFrame, drop_bad_crc: bool = True) -> DataFrame:
+    """Raw wire frames -> typed change-event DataFrame (the D1-D5
+    pipeline): Arrow-kernel decode, then JVM-side ``str_to_map`` for the
+    before/after maps."""
+    decoded = decode_frames_kv(raw, drop_bad_crc=drop_bad_crc, include_before=True)
     return decoded.select(
         "file",
         "pos",
@@ -248,9 +448,79 @@ def decode_frames(raw: DataFrame, drop_bad_crc: bool = True) -> DataFrame:
         "table_name",
         "is_ddl",
         "ddl_sql",
-        to_map(F.col("before_kv")).alias("before"),
-        to_map(F.col("after_kv")).alias("after"),
+        kv_to_map("before_kv").alias("before"),
+        kv_to_map("after_kv").alias("after"),
     )
+
+
+def write_wire_distributed(
+    spark,
+    total_events: int,
+    out_dir: str,
+    n_chunks: int = 32,
+    base_seed: int = 42,
+    n_conversations: int | None = None,
+    row_group_size: int = 16384,
+) -> list[str]:
+    """Generate + encode the synthetic binlog IN PARALLEL on the
+    executors: one Spark task per chunk, each producing a deterministic,
+    disjoint slice of the stream (chunk c -> seed ``base_seed+c``, binlog
+    files ``bin.{c*1000+1:06d}``...). This is the scale path — a driver
+    cannot materialize 10^10 events, but 1000 executors generating 10^7
+    each can, and chunk determinism makes the input reproducible at any
+    parallelism. Conversations are SHARED across chunks, so cross-chunk
+    upserts/deletes exercise the same LWW paths as the single-driver
+    generator.
+
+    Returns the sorted list of written parquet files (one per chunk;
+    log order == lexicographic file order == chunk order).
+    """
+    import os as _os
+
+    from .binlog_gen import GenConfig, gen_change_events
+
+    _os.makedirs(out_dir, exist_ok=True)
+    per_chunk = total_events // n_chunks
+    n_conv = n_conversations or max(total_events // 40, 100)
+
+    def gen_chunk(iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in iterator:
+            for c in pdf["id"].tolist():
+                cfg = GenConfig(
+                    n_events=per_chunk,
+                    n_conversations=n_conv,
+                    seed=base_seed + int(c),
+                    file_base=int(c) * 1000,
+                )
+                frames = gen_change_events(cfg)
+                enc = encode_frames(frames)
+                path = _os.path.join(out_dir, f"wire_{int(c):05d}.parquet")
+                schema = pa.schema(
+                    [("file", pa.string()), ("pos", pa.int64()), ("payload", pa.binary())]
+                )
+                pq.write_table(
+                    pa.Table.from_pandas(enc, schema=schema, preserve_index=False),
+                    path,
+                    row_group_size=row_group_size,
+                )
+                yield pd.DataFrame({"path": [path], "frames": [len(enc)], "events": [len(frames)]})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("frames", T.LongType()),
+            T.StructField("events", T.LongType()),
+        ]
+    )
+    res = (
+        spark.range(n_chunks, numPartitions=n_chunks)
+        .mapInPandas(gen_chunk, schema=out_schema)
+        .collect()
+    )
+    return sorted(r["path"] for r in res)
 
 
 def write_wire_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> list[str]:

@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--files-per-batch", type=int, default=1)
     ap.add_argument("--max-batches", type=int, default=None)
+    ap.add_argument(
+        "--reset-policy", default=None, choices=["fail", "earliest"],
+        help="validate the committed watermark against retained input "
+        "before applying (reference errno-1236 recovery, C5/C7)",
+    )
     ap.add_argument("--streaming", action="store_true", help="tail via Structured Streaming")
     ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     args = ap.parse_args()
@@ -63,6 +68,9 @@ def main() -> None:
             files_per_batch=args.files_per_batch,
             source_format=args.format,
         )
+        if args.reset_policy:
+            probe = job2.validate_position(reset_policy=args.reset_policy)
+            print(json.dumps({"position_probe": probe}), file=sys.stderr)
         stats = job2.run(max_batches=args.max_batches)
 
     total = 0

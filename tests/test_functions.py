@@ -114,3 +114,47 @@ def test_hyperplane_bucket_deterministic(spark):
     v1 = df.select(b(F.col("embedding")).alias("b")).collect()[0]["b"]
     v2 = df.select(b(F.col("embedding")).alias("b")).collect()[0]["b"]
     assert v1 == v2 and len(v1) == 2
+
+
+def test_ngram_jaccard_near_dups_exact(spark):
+    """Planted near-dup pair found with exact jaccard; distinct docs
+    excluded; pairwise values match the scalar jaccard_ngram oracle."""
+    import pandas as pd
+    from mysql_tracker_spark.functions.sketches import jaccard_ngram, ngram_jaccard_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different text about spark engines and parquet files"),
+            (4, "completely different text about spark engines and parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_near_dups(docs, n=3, threshold=0.5).collect()
+    }
+    assert (3, 4) in got and got[(3, 4)] == 1.0
+    assert (1, 2) in got
+    ref = docs.alias("a").crossJoin(docs.alias("b")).filter("a.doc_id = 1 AND b.doc_id = 2")
+    from pyspark.sql import functions as F
+    expected = ref.select(F.round(jaccard_ngram(F.col("a.text"), F.col("b.text"), 3), 6).alias("j")).collect()[0]["j"]
+    assert abs(got[(1, 2)] - expected) < 1e-9
+    assert not any({a, b} == {1, 3} for a, b in got)
+
+
+def test_cosine_near_dups_bruteforce(spark):
+    from mysql_tracker_spark.functions.similarity import cosine_near_dups
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+            (3, [0.0, 1.0, 0.0]),      # orthogonal
+            (4, [0.0, 0.995, 0.1]),    # near-dup of 3
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_near_dups(vecs, threshold=0.95).collect()}
+    assert pairs == {(1, 2), (3, 4)}

@@ -1,0 +1,94 @@
+"""Multimodal binary-column pipeline (media module): synthesis,
+decode/feature/resize/frame-sample stages as Arrow-batched mapInPandas
+— codec stubbed deterministically, plumbing (schema, partitioning,
+batch shape) real."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mysql_tracker_spark.functions import media as M
+
+
+def test_synth_deterministic_and_typed(spark):
+    a = M.synth_assets(spark, n=24, seed=7).orderBy("asset_id").collect()
+    b = M.synth_assets(spark, n=24, seed=7, parallelism=3).orderBy("asset_id").collect()
+    assert [bytes(r["payload"]) for r in a] == [bytes(r["payload"]) for r in b]
+    r0 = a[0]
+    assert bytes(r0["payload"])[:4] == M.MAGIC
+    assert r0["meta"]["bytes"] == len(bytes(r0["payload"]))
+    assert {r["media_type"] for r in a} == {"image", "audio", "video"}
+
+
+def test_decode_roundtrip_matches_header():
+    import pandas as pd
+
+    payload = M.MAGIC + struct.pack("<BHHH", M.KIND_IMAGE, 4, 3, 1) + bytes(range(12))
+    img = M.decode_image(payload)
+    assert img.shape == (3, 4)
+    assert img.reshape(-1).tolist() == list(range(12))
+
+
+def test_real_codec_is_explicit_stub():
+    payload = M.MAGIC + struct.pack("<BHHH", M.KIND_IMAGE, 2, 2, 1) + bytes(4)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(payload, codec="real")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(payload, codec="real")
+
+
+def test_feature_extraction_matches_numpy_oracle(spark):
+    assets = M.synth_assets(spark, n=18, seed=9)
+    feats = {r["asset_id"]: r for r in M.extract_features(assets).collect()}
+    for r in assets.collect():
+        _, w, h, fr, px = M._decode_payload(bytes(r["payload"]))
+        f = feats[r["asset_id"]]
+        flat = px.reshape(-1).astype(np.float64)
+        assert f["width"] == w and f["height"] == h
+        assert abs(f["mean_intensity"] - flat.mean()) < 1e-9
+        assert abs(f["std_intensity"] - flat.std()) < 1e-9
+        assert abs(sum(f["histogram"]) - 1.0) < 1e-9
+        assert len(f["histogram"]) == 8
+
+
+def test_resize_geometry(spark):
+    assets = M.synth_assets(spark, n=9, seed=3)
+    thumbs = {r["asset_id"]: r for r in M.resize_images(assets, 8, 8).collect()}
+    for r in assets.collect():
+        t = thumbs[r["asset_id"]]
+        assert t["thumb_w"] == 8 and t["thumb_h"] == 8
+        assert len(bytes(t["thumb"])) == 64
+        # corner pixel invariant: nearest-neighbour keeps (0,0)
+        _, w, h, _, px = M._decode_payload(bytes(r["payload"]))
+        assert bytes(t["thumb"])[0] == int(px[0][0, 0])
+
+
+def test_frame_sampling_video_only_and_stride(spark):
+    assets = M.synth_assets(spark, n=24, seed=7)
+    frames = M.sample_frames(assets, every=2).collect()
+    by_asset = {}
+    for f in frames:
+        by_asset.setdefault(f["asset_id"], []).append(f["frame_idx"])
+    kinds = {r["asset_id"]: (r["media_type"], r["meta"]["n_frames"]) for r in assets.collect()}
+    assert by_asset, "some video assets expected"
+    for aid, idxs in by_asset.items():
+        mt, nf = kinds[aid]
+        assert mt == "video"
+        assert sorted(idxs) == list(range(0, nf, 2))
+    # non-video assets yield no frames
+    for aid, (mt, _) in kinds.items():
+        if mt != "video":
+            assert aid not in by_asset
+
+
+def test_media_summary_is_jvm_only(spark):
+    from mysql_tracker_spark.plans.checks import python_stage_count
+
+    assets = M.synth_assets(spark, n=12, seed=7)
+    summary = M.media_summary(assets)
+    # the synthesis stage is python by design; the aggregation adds none
+    assert python_stage_count(summary) == python_stage_count(assets)
+    rows = {r["media_type"]: r for r in summary.collect()}
+    assert rows["image"]["n_assets"] == 4
+    assert rows["video"]["max_frames"] >= 2
