@@ -330,6 +330,15 @@ def q_emb_ann_lsh(spark, sf_dir):
     return SK.ann_lsh(emb, qs, dim=64, k=3, n_planes=6)
 
 
+def q_emb_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (trained scale path; see similarity.ann_ivf)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    return SIM.ann_ivf(emb, qs, dim=64, k=3, n_cells=16, n_probe=4)
+
+
 def q_cdc_apply_transcripts_final(spark, sf_dir):
     """The flagship engine path end-to-end: deterministic synthetic
     binlog -> fenced replay -> lakestore MERGE -> final transcripts.
@@ -399,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "emb_ann_lsh": q_emb_ann_lsh,
+        "emb_ann_ivf": q_emb_ann_ivf,
         "media_summary": q_media_summary,
         "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,

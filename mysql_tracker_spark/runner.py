@@ -75,7 +75,14 @@ class CdcApplyJob:
         n_buckets: int = 32,
         files_per_batch: int = 1,
         source_format: str = "typed",  # "typed" | "wire"
+        n_salts: int = 0,
     ):
+        """``n_salts > 0`` switches LWW dedup to the explicit two-phase
+        salted aggregation (local max per (key, salt) -> global max per
+        key) for workloads where a single hot conversation floods
+        individual input partitions faster than map-side partial
+        aggregation collapses it (north_star skew handling; semantics
+        identical, see operators/dedup.py)."""
         self.spark = spark
         self.input_dir = input_dir
         self.table_path = table_path
@@ -86,6 +93,7 @@ class CdcApplyJob:
         self.n_buckets = n_buckets
         self.files_per_batch = files_per_batch
         self.source_format = source_format
+        self.n_salts = n_salts
         self.table: LakeTable | None = None
 
     # ------------------------------------------------------------- lifecycle
@@ -182,6 +190,13 @@ class CdcApplyJob:
             "(reference errno-1236 analogue); pass reset_policy='earliest' to "
             "clear the checkpoint and replay retained input"
         )
+
+    def _lww(self, keyed: DataFrame, payload_cols: list[str]) -> DataFrame:
+        if self.n_salts > 0:
+            from .operators.dedup import lww_latest_salted
+
+            return lww_latest_salted(keyed, self.key_cols, payload_cols, self.n_salts)
+        return lww_latest(keyed, self.key_cols, payload_cols)
 
     def batch_files(self) -> list[list[str]]:
         files = sorted(
@@ -347,7 +362,7 @@ class CdcApplyJob:
             "op",
             "after_kv",
         )
-        latest = lww_latest(keyed, self.key_cols, ["op", "after_kv"])
+        latest = self._lww(keyed, ["op", "after_kv"])
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
             *self.key_cols,
@@ -501,7 +516,7 @@ class CdcApplyJob:
             "op",
             "after",
         )
-        latest = lww_latest(keyed, self.key_cols, ["op", "after"])
+        latest = self._lww(keyed, ["op", "after"])
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
             "conv_id",

@@ -106,6 +106,25 @@ def test_wire_kill_restart_converges(spark, wire_stream, tmp_path):
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
 
 
+def test_salted_dedup_identical_under_extreme_skew(spark, tmp_path):
+    """north_star skew handling: with one conversation dominating the
+    stream (zipf_a=2.0), the explicit salted two-phase LWW produces the
+    IDENTICAL final table as the plain dedup and the oracle."""
+    cfg = GenConfig(n_events=4000, n_conversations=40, zipf_a=2.0, seed=11)
+    ev = gen_change_events(cfg)
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=3)
+    plain = CdcApplyJob(spark, d, str(tmp_path / "a"), n_buckets=8)
+    plain.run()
+    salted = CdcApplyJob(spark, d, str(tmp_path / "b"), n_buckets=8, n_salts=8)
+    salted.run()
+    a = normalize(plain.table.read(spark).toPandas())
+    b = normalize(salted.table.read(spark).toPandas())
+    pd.testing.assert_frame_equal(a[CMP], b[CMP])
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(b[CMP], exp[CMP])
+
+
 def test_invalid_position_detect_and_reset(spark, stream, tmp_path):
     """C7 position probe + C5 recovery: a watermark pointing before the
     retained input (retention gap) is detected; reset_policy='earliest'

@@ -158,3 +158,28 @@ def test_cosine_near_dups_bruteforce(spark):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in cosine_near_dups(vecs, threshold=0.95).collect()}
     assert pairs == {(1, 2), (3, 4)}
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with clustered data: probing 4 of 8 cells recovers most true
+    neighbors; exact on identical input when probing ALL cells."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)) * 4
+    pts = np.concatenate([centers[i % 8] + rng.standard_normal(16) * 0.3 for i in range(80)]).reshape(80, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = df.filter("vec_id < 5")
+    exact = {(r.query_id, r.neighbor_id) for r in SIM.knn_bruteforce(df, qs, k=3).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ann_ivf(df, qs, dim=16, k=3, n_cells=8, n_probe=4, sample=80).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+    # probing every cell == exact brute force
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ann_ivf(df, qs, dim=16, k=3, n_cells=8, n_probe=8, sample=80).collect()
+    }
+    assert full == exact
