@@ -45,6 +45,52 @@ def project_changes(dml: DataFrame, schema: T.StructType) -> DataFrame:
     )
 
 
+def avro_flat_records(
+    events: DataFrame,
+    dbname: str = "mysql",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """D8: the reference's flattened Avro change record
+    (``protocol/avro/EventEntry.avro:1-17``), built from an Entry in
+    ``tracker/HandlerNoParserMagpieHBase.java:735-793``:
+    ``{dbName, schema, tableName, operation, dbOptTimestamp, ddlSql,
+    source: map, current: map}``. Flatten rules:
+
+    * DELETE: ``source`` = full before image, ``current`` = key columns
+      only (reference :750-761 copies only isKey columns forward);
+    * INSERT: ``source`` = empty, ``current`` = after image (:762-770);
+    * UPDATE: ``source`` = before, ``current`` = after. **Deliberate
+      divergence**: the reference builds both maps but never assigns
+      them to the record (:771-781 constructs ``source``/``current``
+      HashMaps and forgets ``setSource``/``setCurrent`` — UPDATE
+      records ship with empty maps). We implement the evident intent;
+      consumers diffing against reference output will see empty maps
+      there for UPDATEs.
+    """
+    keys_only = F.map_filter(F.col("after"), lambda k, _v: k.isin(*key_cols))
+    empty = F.create_map().cast("map<string,string>")
+    source = (
+        F.when(F.col("op") == "DELETE", F.col("before"))
+        .when(F.col("op") == "UPDATE", F.col("before"))
+        .otherwise(empty)
+    )
+    current = (
+        F.when(F.col("op") == "DELETE", keys_only)
+        .when(F.col("op").isin("INSERT", "UPDATE"), F.col("after"))
+        .otherwise(empty)
+    )
+    return events.select(
+        F.lit(dbname).alias("dbName"),
+        F.col("schema_name").alias("schema"),
+        F.col("table_name").alias("tableName"),
+        F.col("op").alias("operation"),
+        F.unix_millis("ts").alias("dbOptTimestamp"),
+        F.col("ddl_sql").alias("ddlSql"),
+        F.coalesce(source, empty).alias("source"),
+        F.coalesce(current, empty).alias("current"),
+    )
+
+
 def with_sequence(df: DataFrame, batch_id: int) -> DataFrame:
     """B3: re-pack with (batch_id, in_id) like the reference's
     ``batchId/inId`` counters (``HandlerMagpieKafka.java:840-864``).

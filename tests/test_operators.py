@@ -60,3 +60,32 @@ def test_lww_variants_agree_and_pick_max_order(spark):
 def test_exact_dedup(spark):
     df = _df(spark)
     assert exact_dedup(df).count() == df.count() - 1
+
+
+def test_avro_flat_records_rules(spark):
+    """D8 flatten: DELETE keeps only key cols in current; INSERT has
+    empty source; UPDATE carries both images (reference forgets to set
+    them — documented divergence)."""
+    from mysql_tracker_spark.operators.parse import avro_flat_records
+    import datetime as dt
+
+    rows = [
+        ("INSERT", None, {"conv_id": "c1", "turn_idx": "0", "text": "a"}),
+        ("UPDATE", {"conv_id": "c1", "turn_idx": "0", "text": "a"},
+         {"conv_id": "c1", "turn_idx": "0", "text": "b"}),
+        ("DELETE", {"conv_id": "c1", "turn_idx": "0", "text": "b"},
+         {"conv_id": "c1", "turn_idx": "0"}),
+    ]
+    df = spark.createDataFrame(
+        [("chat", "transcripts", op, dt.datetime(2025, 1, 1), None, b_, a_) for op, b_, a_ in rows],
+        "schema_name string, table_name string, op string, ts timestamp, ddl_sql string, "
+        "before map<string,string>, after map<string,string>",
+    )
+    out = {r["operation"]: r for r in avro_flat_records(df).collect()}
+    assert out["INSERT"]["source"] == {}
+    assert out["INSERT"]["current"]["text"] == "a"
+    assert out["UPDATE"]["source"]["text"] == "a"
+    assert out["UPDATE"]["current"]["text"] == "b"
+    assert set(out["DELETE"]["current"].keys()) == {"conv_id", "turn_idx"}
+    assert out["DELETE"]["source"]["text"] == "b"
+    assert all(r["dbName"] == "mysql" and r["tableName"] == "transcripts" for r in out.values())

@@ -66,3 +66,26 @@ def test_stream_restart_resumes_and_converges(spark, tmp_path):
     got = normalize(job2.job.table.read(spark).toPandas())
     exp = normalize(expected_final_state(ev))
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
+def test_stream_wire_format_matches_oracle(spark, tmp_path):
+    """Streaming over raw BINARY wire frames: decode in foreachBatch,
+    same final table as the oracle."""
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    ev = gen_change_events(CFG)
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(ev, in_dir, n_batches=3)
+    job = CdcStreamJob(
+        spark,
+        in_dir,
+        str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="wire",
+        n_buckets=8,
+    )
+    stats = job.run_available()
+    assert sum(s.rows_in for s in stats) == len(ev)
+    got = normalize(job.job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
