@@ -17,8 +17,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 LINEAGE_JSON_SCHEMA = T.StructType(
     [
         T.StructField("batch_id", T.LongType()),
+        T.StructField("file_start", T.StringType()),
+        T.StructField("pos_start", T.LongType()),
         T.StructField("file_end", T.StringType()),
         T.StructField("pos_end", T.LongType()),
+        T.StructField("bytes_in", T.LongType()),
         T.StructField("txn_file_end", T.StringType()),
         T.StructField("txn_pos_end", T.LongType()),
         T.StructField("rows_in", T.LongType()),

@@ -49,8 +49,11 @@ class ApplyStats:
     rows_in: int = 0
     rows_applied: int = 0
     skipped: bool = False
+    file_start: str | None = None
+    pos_start: int | None = None
     file_end: str | None = None
     pos_end: int | None = None
+    bytes_in: int | None = None
     txn_file_end: str | None = None
     txn_pos_end: int | None = None
     wall_ms: int = 0
@@ -303,6 +306,7 @@ class CdcApplyJob:
             F.sum(F.size("rows_arr")).alias("n"),
             F.sum(F.size(F.filter("rows_arr", is_dml_row))).alias("n_dml"),
             F.max(F.when(F.col("is_commit") | F.col("cand_ddl"), fp)).alias("txn_hi"),
+            F.sum(F.length("payload")).alias("bytes_in"),
             F.max("ts_s").alias("max_ts_s"),
             F.collect_list(
                 F.when(F.col("cand_ddl"), F.struct("file", "pos", "payload"))
@@ -314,7 +318,9 @@ class CdcApplyJob:
         if stats.rows_in == 0:
             stats.skipped = True
             return stats
+        stats.file_start, stats.pos_start = m["lo"]["file"], m["lo"]["pos"]
         stats.file_end, stats.pos_end = m["hi"]["file"], m["hi"]["pos"]
+        stats.bytes_in = int(m["bytes_in"] or 0)
         if m["txn_hi"] is not None:
             stats.txn_file_end, stats.txn_pos_end = m["txn_hi"]["file"], m["txn_hi"]["pos"]
         if wm_file is not None and (stats.file_end, stats.pos_end) <= (wm_file, wm_pos):
@@ -350,7 +356,15 @@ class CdcApplyJob:
 
         # --- 2. single decode pass -> narrow dedup -> typed delta -----
         raw_f = after_watermark(raw, wm_file, wm_pos)
-        dec = decode_frames_kv(raw_f)
+        # F4 pre-decode gate, faithful to the reference's decoder
+        # BitSet (LogDecoder.java:108-134): only row-event frames
+        # (WRITE/UPDATE/DELETE_ROWS, header type byte 30/31/32) reach
+        # the Python decode — BEGIN/COMMIT/DDL frames (~1/3 of the
+        # stream) were fully consumed by the JVM manifest pass above
+        raw_dml = raw_f.filter(
+            F.expr("substring(payload, 5, 1) IN (X'1E', X'1F', X'20')")
+        )
+        dec = decode_frames_kv(raw_dml)
         dml = dml_for_table(dec, self.schema_name, self.table_name)
         # keys from the tiny key_kv map (isKey columns), NOT the full
         # row image — the full after map is built only for LWW winners
@@ -491,6 +505,7 @@ class CdcApplyJob:
         if rng["n"] == 0:
             stats.skipped = True
             return stats
+        stats.file_start, stats.pos_start = rng["lo"]["file"], rng["lo"]["pos"]
         stats.file_end, stats.pos_end = rng["hi"]["file"], rng["hi"]["pos"]
         if rng["txn_hi"] is not None:
             stats.txn_file_end, stats.txn_pos_end = rng["txn_hi"]["file"], rng["txn_hi"]["pos"]
@@ -562,8 +577,11 @@ class CdcApplyJob:
         path = os.path.join(self.table_path, "lineage.jsonl")
         rec = {
             "batch_id": stats.batch_id,
+            "file_start": stats.file_start,
+            "pos_start": stats.pos_start,
             "file_end": stats.file_end,
             "pos_end": stats.pos_end,
+            "bytes_in": stats.bytes_in,
             "txn_file_end": stats.txn_file_end,
             "txn_pos_end": stats.txn_pos_end,
             "rows_in": stats.rows_in,
