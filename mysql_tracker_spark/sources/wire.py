@@ -132,14 +132,22 @@ def encode_frames(
         + FIELD_SEP + ev["before"].map(_kv_pack)
         + FIELD_SEP + ev["after"].map(_kv_pack)
     )
-    # group rows of one frame (same file,pos)
+    # group rows of one frame (same file,pos) — frames are consecutive
+    # runs, so join runs directly (a pandas groupby.agg(join) here cost
+    # ~13 s/M rows in per-group python overhead)
     fp = ev["file"].astype(str) + ":" + ev["pos"].astype(str)
     new_frame = (fp != fp.shift(1)).to_numpy()
-    frame_no = np.cumsum(new_frame) - 1
-    body_per_frame = bodies.groupby(frame_no).agg("\x1c".join)
     first_idx = np.flatnonzero(new_frame)
-
-    body_bytes = body_per_frame.str.encode("utf-8")
+    barr = bodies.to_numpy()
+    run_ends = np.append(first_idx[1:], len(barr))
+    body_bytes = pd.Series(
+        [
+            barr[s].encode("utf-8")
+            if e == s + 1
+            else "\x1c".join(barr[s:e]).encode("utf-8")
+            for s, e in zip(first_idx, run_ends)
+        ]
+    )
     blens = body_bytes.str.len().to_numpy()
     n = len(first_idx)
     headers = np.zeros(n, dtype=_HEADER_DTYPE)
