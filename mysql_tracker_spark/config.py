@@ -31,7 +31,10 @@ class JobConfig:
     filter_regex: str | None = None
     allowlist: list[list[str]] = field(default_factory=list)  # [schema, table] pairs
     # position override (C2; reference logfile/offset config keys):
-    # start strictly AFTER this offset, ignoring any committed watermark
+    # used only when no checkpoint has been committed yet — the
+    # reference's resolution order is checkpoint, then config position,
+    # then live head (HandlerMagpieKafka.java:363-406). Events at or
+    # before (start_file, start_pos) are fenced out.
     start_file: str | None = None
     start_pos: int | None = None
     # invalid-position policy (C5; reference deletes the checkpoint and

@@ -17,7 +17,10 @@ exists in two semantically equivalent forms —
 
 This is the documented exception to "UDFs are the slow path": Arrow
 batch UDFs beat *interpreted* Catalyst HOF chains; the rule holds only
-against codegen'd built-ins.
+against codegen'd built-ins. (Consistent with the measurements in
+"Accelerating Python UDFs in Vectorized Query Execution", CIDR 2022 —
+vectorized UDF dispatch amortizes the boundary cost that makes scalar
+UDFs slow.)
 
 Scale notes (the 100 TB story):
 * minhash signatures are computed scan-local (no shuffle);

@@ -366,6 +366,25 @@ class LakeTable:
         m = self.manifest(version)
         return [fe["path"] for files in m["buckets"].values() for fe in files]
 
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Iceberg-style snapshot expiry: drop all but the newest
+        ``keep_last`` snapshot manifests, then delete data files no
+        longer referenced by any surviving snapshot. Time travel is
+        bounded to the retained window; the current snapshot (and its
+        replay watermark properties) is always kept. Returns the number
+        of expired snapshot versions."""
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        to_drop = versions[:-keep_last] if keep_last > 0 else []
+        for v in to_drop:
+            os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
+        if to_drop:
+            self.gc_orphans()
+        return len(to_drop)
+
     def gc_orphans(self) -> int:
         """Delete data files not referenced by any snapshot (crash debris)."""
         live: set[str] = set()

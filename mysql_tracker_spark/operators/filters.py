@@ -9,7 +9,7 @@ the filter prunes row groups before decode work happens.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..schema import DML_OPS
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
-from ..schema import DML_OPS, LOG_ORDER
+from ..schema import LOG_ORDER
 
 
 def typed_from_map(map_col: str | Column, schema: T.StructType) -> list[Column]:

@@ -79,6 +79,9 @@ class CdcApplyJob:
         files_per_batch: int = 1,
         source_format: str = "typed",  # "typed" | "wire"
         n_salts: int = 0,
+        start_file: str | None = None,
+        start_pos: int | None = None,
+        reset_policy: str | None = None,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -97,7 +100,33 @@ class CdcApplyJob:
         self.files_per_batch = files_per_batch
         self.source_format = source_format
         self.n_salts = n_salts
+        # C2 bootstrap fallback (reference order: checkpoint first, then
+        # config-supplied position — HandlerMagpieKafka.java:363-406)
+        self.start_file = start_file
+        self.start_pos = start_pos
+        self.reset_policy = reset_policy
         self.table: LakeTable | None = None
+
+    @classmethod
+    def from_config(cls, spark: SparkSession, cfg) -> "CdcApplyJob":
+        """Build a job from a :class:`~mysql_tracker_spark.config.JobConfig`
+        (the reference's per-job JSON, O3)."""
+        policy = {"fail": "fail", "reset_earliest": "earliest"}.get(
+            cfg.on_invalid_position
+        )
+        return cls(
+            spark,
+            cfg.input_dir,
+            cfg.table_path,
+            schema_name=cfg.schema_name,
+            table_name=cfg.table_name,
+            n_buckets=cfg.n_buckets,
+            files_per_batch=cfg.files_per_batch,
+            source_format=cfg.source_format,
+            start_file=cfg.start_file,
+            start_pos=cfg.start_pos,
+            reset_policy=policy,
+        )
 
     # ------------------------------------------------------------- lifecycle
 
@@ -128,11 +157,15 @@ class CdcApplyJob:
     def watermark(self) -> tuple[str | None, int | None, int]:
         p = self.table.properties()
         f = p.get("offset_file") or None  # "" = cleared checkpoint (C5 reset)
-        return (
-            f,
-            int(p["offset_pos"]) if f is not None and p.get("offset_pos") else None,
-            int(p.get("batch_seq") or -1),
-        )
+        seq = int(p.get("batch_seq") or -1)
+        if f is not None:
+            return f, int(p["offset_pos"]) if p.get("offset_pos") else None, seq
+        if self.start_file is not None:
+            # C2 fallback: config-supplied start position (events at or
+            # before it are fenced out), used only when no checkpoint
+            # has ever been committed — the reference's resolution order
+            return self.start_file, int(self.start_pos or 0), seq
+        return None, None, seq
 
     def validate_position(self, reset_policy: str = "fail") -> dict:
         """C7 position-validity probe + C5 invalid-position recovery.
@@ -225,6 +258,8 @@ class CdcApplyJob:
         ``max_batches`` lets tests kill the job mid-stream (O2 replay)."""
         if self.table is None:
             self.prepare()
+        if self.reset_policy is not None:
+            self.validate_position(self.reset_policy)
         out = []
         for i, group in enumerate(self.batch_files()):
             if max_batches is not None and len(out) >= max_batches:

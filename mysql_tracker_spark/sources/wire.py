@@ -23,12 +23,15 @@ primary-key columns — the wire analogue of the reference's per-column
 apply path extracts its partition/dedup keys from this tiny map
 instead of parsing the full row image.
 
-Decode (``decode_frames``) is a ``mapInPandas`` stage where every step
-is a numpy / pandas-C operation over the whole Arrow batch — header
-fields via one ``np.frombuffer`` on the stacked 19-byte prefixes,
-checksums via ``np.add.reduceat`` over the concatenated payload
-buffer, body fields via vectorized ``str.split`` — followed by
-JVM-side ``str_to_map`` for the before/after maps. No per-row Python.
+Decode (``decode_frames_kv``/``decode_frames``) is a ``mapInArrow``
+stage built from pyarrow C++ kernels + zero-copy numpy views — header
+fields via one ``np.frombuffer`` on the cast fixed-size prefixes,
+checksums via a wrapping-uint32 cumsum over the slice's region of the
+shared data buffer, body fields via ``pc.split_pattern`` /
+``pc.list_element`` — followed by JVM-side ``str_to_map`` for the
+before/after maps. No per-row Python objects at all in the hot path
+(a pandas reference decoder, ``_decode_batch``, backs tests and the
+driver-side DDL-frame decode).
 
 Event type codes follow the reference's constants
 (``mysql/dbsync/LogEvent.java:115-214``): QUERY=2, XID=16,
@@ -36,8 +39,6 @@ WRITE_ROWS=30, UPDATE_ROWS=31, DELETE_ROWS=32.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd

@@ -21,6 +21,13 @@ the reference tails the binlog socket:
 No event-time watermark is needed for correctness — order is
 positional, as in the reference (SURVEY.md §2.9 streaming notes); the
 lag metric (M3) rides in the per-batch lineage rows.
+
+The exactly-once-through-idempotent-sink shape (at-least-once
+micro-batch delivery + transactional/idempotent writer keyed by batch
+range) follows the design described in "Structured Streaming: A
+Declarative API for Real-Time Applications in Apache Spark" (SIGMOD
+2018) §3.2; our lakestore commit carries the fencing range itself, so
+correctness never depends on the streaming checkpoint.
 """
 
 from __future__ import annotations

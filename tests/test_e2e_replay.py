@@ -165,3 +165,34 @@ def test_schema_evolved_mid_stream(spark, stream, tmp_path):
     job.run()
     sch = dict(job.table.read(spark).dtypes)
     assert sch["score"] == "bigint"  # ADD COLUMN INT then widened to BIGINT
+
+
+def test_job_from_config_start_override(spark, stream, tmp_path):
+    """O3 config wiring + C2 position-override fallback: a configured
+    start position fences out the earlier events; once a checkpoint is
+    committed it takes precedence over the config."""
+    from mysql_tracker_spark.config import JobConfig
+
+    d, ev = stream
+    full = CdcApplyJob(spark, d, str(tmp_path / "full"), n_buckets=8)
+    st = full.run()
+    # start from the end of batch 2 -> first two batches fenced
+    cfg = JobConfig(
+        input_dir=d,
+        table_path=str(tmp_path / "t"),
+        n_buckets=8,
+        start_file=st[1].file_end,
+        start_pos=st[1].pos_end,
+        on_invalid_position="fail",
+    )
+    p = str(tmp_path / "cfg.json")
+    cfg.dump(p)
+    job = CdcApplyJob.from_config(spark, JobConfig.load(p))
+    stats = job.run()
+    # only the tail after the override was applied
+    assert sum(s.rows_applied for s in stats) < sum(s.rows_applied for s in st)
+    got_keys = job.table.read(spark).count()
+    assert 0 < got_keys < full.table.read(spark).count() + 1
+    # a second run resumes from the committed checkpoint (all skipped)
+    again = CdcApplyJob.from_config(spark, JobConfig.load(p))
+    assert all(s.skipped for s in again.run())

@@ -100,3 +100,41 @@ def test_gc_orphans(spark, tmp_table_dir):
         f.write("x")
     assert t.gc_orphans() == 1
     assert t.read(spark).count() == 3  # table unharmed
+
+
+def test_expire_snapshots_bounds_history_and_gc(spark, tmp_table_dir):
+    """Snapshot expiry keeps the newest K versions, deletes orphaned
+    data files, and the current snapshot still reads correctly."""
+    import os
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    t = LakeTable.create(tmp_table_dir, schema, key_cols=["k"], bucket_by="k", n_buckets=4)
+    for i in range(6):
+        ch = spark.createDataFrame([(f"k{j}", f"v{i}") for j in range(8)], schema).withColumn(
+            "__delete", F.lit(False)
+        )
+        t.merge(spark, ch)
+    n_before = len(os.listdir(t.snap_dir))
+    dropped = t.expire_snapshots(keep_last=2)
+    assert dropped == n_before - 2
+    assert len(os.listdir(t.snap_dir)) == 2
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {f"k{j}": "v5" for j in range(8)}
+    # all remaining data files are referenced by SOME kept snapshot
+    import json
+
+    live = set()
+    for fn in os.listdir(t.snap_dir):
+        with open(os.path.join(t.snap_dir, fn)) as f:
+            man = json.load(f)
+        for files in man["buckets"].values():
+            live.update(fe["path"] for fe in files)
+    on_disk = set()
+    for root, _d, files in os.walk(t.data_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, fn), t.path))
+    assert on_disk <= live

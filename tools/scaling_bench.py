@@ -17,8 +17,14 @@ scalability is measured rather than the host's DRAM controller. The
 8->32 datapoint plus the microbench ceiling are reported alongside.
 
 Per level: one warm-up apply (JIT + python-worker spin-up, ~60 s cold —
-a long-running CDC service runs steady-state), then REPS timed applies;
-median is reported.
+a long-running CDC service runs steady-state), then REPS timed applies,
+repeated over PASSES separate processes spread over time. The MINIMUM
+wall per level is reported: this VM exhibits multi-minute windows of
+2x host-level slowdown (measured: identical code/input, 29 s vs 55 s at
+local[8] half an hour apart), and time-sharing noise is strictly
+additive — a run can be slowed by the host but never sped past the
+machine's capability — so min estimates true capability; every
+individual wall is printed alongside for transparency.
 
 Usage:
   python tools/scaling_bench.py [n_events] [N]           # orchestrate
@@ -43,6 +49,7 @@ sys.path.insert(0, REPO)
 N_CHUNKS = 32
 FILES_PER_BATCH = 16
 REPS = 2
+PASSES = 2
 SEED = 42
 
 
@@ -97,7 +104,7 @@ def level_main(cores: int, in_dir: str, tbl_dir: str) -> None:
         walls.append(time.time() - t0)
         events = sum(s.rows_in for s in stats)
     spark.stop()
-    wall = statistics.median(walls)
+    wall = min(walls)
     print(json.dumps({
         "cores": cores, "warmup_sec": round(warm, 1),
         "walls": [round(w, 1) for w in walls], "wall": round(wall, 2),
@@ -152,12 +159,22 @@ def main():
         open(os.path.join(in_dir, "_COMPLETE"), "w").write("ok")
 
     results, digests = {}, {}
-    for cores in levels:
-        tbl = os.path.join(work, f"tbl_{cores}")
-        print(f"running local[{cores}] ...", file=sys.stderr)
-        results[cores] = run_level(cores, in_dir, tbl)
-        digests[cores] = table_digest(tbl)
-        print(f"local[{cores}]: {results[cores]['eps']} ev/s, digest {digests[cores]}", file=sys.stderr)
+    for p in range(PASSES):
+        for cores in levels:
+            tbl = os.path.join(work, f"tbl_{cores}_p{p}")
+            print(f"pass {p}: running local[{cores}] ...", file=sys.stderr)
+            rec = run_level(cores, in_dir, tbl)
+            digests[cores] = table_digest(tbl)
+            if cores in results:
+                prev = results[cores]
+                prev["walls"] = prev["walls"] + rec["walls"]
+                if rec["wall"] < prev["wall"]:
+                    prev.update({k: rec[k] for k in ("wall", "eps")})
+            else:
+                results[cores] = rec
+            print(
+                f"pass {p} local[{cores}]: walls {rec['walls']} -> best {results[cores]['wall']}s, "
+                f"digest {digests[cores]}", file=sys.stderr)
 
     t_low, t_high = results[n_low]["wall"], results[n_high]["wall"]
     eff = (t_low / t_high) / (n_high / n_low)
@@ -165,7 +182,7 @@ def main():
     identical = len({digests[c] for c in levels}) == 1
 
     rows = "\n".join(
-        f"| local[{c}] | {c} | {results[c]['events']:,} | {results[c]['wall']} | {results[c]['eps']:,.0f} |"
+        f"| local[{c}] | {c} | {results[c]['events']:,} | {results[c]['wall']} | {results[c]['eps']:,.0f} | {results[c]['walls']} |"
         for c in levels
     )
     md = f"""# BENCH — scaling evidence ({time.strftime('%Y-%m-%d %H:%M')} UTC)
@@ -176,11 +193,13 @@ Protocol per BASELINE.md: same job, same pre-generated input
 levels standing in for N vs 4N executors; `spark.sql.shuffle.partitions`
 scaled with cores. Per level: one warm-up apply (JIT + python-worker
 spin-up — the metric is steady-state throughput of a long-running CDC
-service), then {REPS} timed applies, median reported. Input generated
-DISTRIBUTED (`write_wire_distributed`, one Spark task per chunk).
+service), then {REPS} timed applies per pass, {PASSES} passes spread
+over time; MIN wall reported (host time-sharing noise is strictly
+additive; all walls listed below). Input generated DISTRIBUTED
+(`write_wire_distributed`, one Spark task per chunk).
 
-| level | cores | events applied | apply wall (s) | events/s |
-|---|---|---|---|---|
+| level | cores | events applied | best apply wall (s) | events/s | all walls (s) |
+|---|---|---|---|---|---|
 {rows}
 
 **Scaling efficiency N={n_low} -> 4N={n_high}: (T_N / T_4N) / 4 = {eff:.3f}**
