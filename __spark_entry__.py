@@ -139,6 +139,40 @@ def q_cdc_apply_lww_final_state(spark, sf_dir):
     )
 
 
+def q_cdc_running_total_per_user(spark, sf_dir):
+    """Window function coverage: running event-count and value sum per
+    user in log order (the reference's batch counters, made cumulative)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("event_seq"),
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+def q_cdc_click_purchase_same_hour(spark, sf_dir):
+    """Set-operation coverage: (user, hour) slots with a click
+    INTERSECT slots with a purchase (sparse, non-trivial result)."""
+    ev = _t(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts")).alias("hour")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", hr)
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", hr)
+    return clicks.intersect(buys)
+
+
+def q_cdc_rollup_type_hour(spark, sf_dir):
+    """Grouping-sets coverage: event counts by (type, hour) with ROLLUP
+    subtotals — the reference's monitor counters at two granularities."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .rollup("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # =========================================================================
 # Relational coverage (joins/aggregations/sorts) — TPC-H-ish
 # =========================================================================
@@ -392,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_window_hourly": q_cdc_window_hourly,
         "cdc_lag_us_per_user": q_cdc_lag_us_per_user,
         "cdc_apply_lww_final_state": q_cdc_apply_lww_final_state,
+        "cdc_running_total_per_user": q_cdc_running_total_per_user,
+        "cdc_click_purchase_same_hour": q_cdc_click_purchase_same_hour,
+        "cdc_rollup_type_hour": q_cdc_rollup_type_hour,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q6_revenue": q_tpch_q6,
@@ -458,6 +495,22 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts DESC, event_id DESC) rn
                 FROM events)
             WHERE rn = 1 AND last_type <> 'error'
+        """,
+        "cdc_running_total_per_user": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_seq,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+            FROM events
+        """,
+        "cdc_click_purchase_same_hour": """
+            SELECT user_id, date_trunc('hour', ts) AS hour FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id, date_trunc('hour', ts) FROM events WHERE event_type = 'purchase'
+        """,
+        "cdc_rollup_type_hour": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY ROLLUP (event_type, hour)
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
