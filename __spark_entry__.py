@@ -314,6 +314,16 @@ def q_doc_ngram_jaccard_near_dups(spark, sf_dir):
     return SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7).orderBy("id_a", "id_b")
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the exact n-gram
+    Jaccard pair graph (iterative min-label propagation) -> the
+    canonical-doc assignment a dedup pipeline keeps. Oracle: recursive
+    CTE transitive closure on the same pair set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7)
+    return SK.near_dup_clusters(pairs).orderBy("id")
+
+
 def q_emb_cosine_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact brute-force on a bounded
     id range (the LSH-bucketed variant is emb_ann_lsh)."""
@@ -441,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroid_norms": q_emb_centroid_norms,
         "doc_ngram_jaccard_near_dups": q_doc_ngram_jaccard_near_dups,
         "emb_cosine_near_dups": q_emb_cosine_near_dups,
+        "doc_dedup_clusters": q_doc_dedup_clusters,
         # rows-only (no SQL twin): sketches, media synth + the real engine
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -616,6 +627,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "doc_dedup_clusters": """
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+                FROM documents),
+            g0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(generate_series(1, len(w) - 2), j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) END AS grams
+                FROM norm),
+            g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g0),
+            sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+                WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.7),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT src AS id, dst AS r FROM edges
+                UNION SELECT src, src FROM edges
+                UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
         """,
         "emb_cosine_near_dups": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)

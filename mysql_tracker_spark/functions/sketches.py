@@ -468,3 +468,56 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph
+    ``(id_a, id_b)`` -> ``(id, cluster_id)`` where cluster_id is the
+    MINIMUM doc id of the component (the canonical survivor a dedup
+    pipeline keeps).
+
+    Iterative min-label propagation (alternating large-star/small-star
+    style): each round joins every node's current label against its
+    neighbors' and takes the minimum; converges in O(diameter) rounds
+    — near-dup components are tiny (pairs of variants), so this is
+    2-3 rounds in practice with a driver-side convergence check per
+    round (one count per iteration, the canonical Spark iterative-
+    algorithm shape). Input pairs are assumed deduplicated (id_a <
+    id_b, e.g. from :func:`minhash_near_dups`).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

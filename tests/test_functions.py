@@ -183,3 +183,14 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         for r in SIM.ann_ivf(df, qs, dim=16, k=3, n_cells=8, n_probe=8, sample=80).collect()
     }
     assert full == exact
+
+
+def test_near_dup_clusters_connected_components(spark):
+    from mysql_tracker_spark.functions.sketches import near_dup_clusters
+
+    # components: {1,2,3,4} (chain), {7,9}, singleton edges only
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
