@@ -278,8 +278,15 @@ class CdcApplyJob:
     # ------------------------------------------------------ wire fast path
 
     def _apply_wire(self, batch_id: int, paths: list[str]) -> ApplyStats:
+        from .schema import RAW_FRAME_SCHEMA
+
+        raw = self.spark.read.schema(RAW_FRAME_SCHEMA).parquet(*paths)
+        return self._apply_wire_df(batch_id, raw)
+
+    def _apply_wire_df(self, batch_id: int, raw: DataFrame) -> ApplyStats:
         """Apply one micro-batch of raw wire frames with exactly ONE
-        Python decode pass.
+        Python decode pass. Shared by the batch replay loop and the
+        Structured Streaming foreachBatch front-end.
 
         The naive structure (decode everything, then observe + merge)
         runs the vectorized decode twice per batch and shuffles fat map
@@ -302,7 +309,6 @@ class CdcApplyJob:
         """
         import shutil
 
-        from .schema import RAW_FRAME_SCHEMA
         from .sources.wire import (
             FIELD_SEP,
             _decode_batch,
@@ -311,10 +317,11 @@ class CdcApplyJob:
         )
         from .lakestore.table import _bucket_expr
 
+        if self.table is None:
+            self.prepare()
         t0 = time.time()
         stats = ApplyStats(batch_id=batch_id)
         wm_file, wm_pos, _ = self.watermark()
-        raw = self.spark.read.schema(RAW_FRAME_SCHEMA).parquet(*paths)
 
         # --- 1. manifest pass: one JVM aggregation over raw frames ----
         body = F.decode(F.expr("substring(payload, 20, length(payload)-23)"), "UTF-8")

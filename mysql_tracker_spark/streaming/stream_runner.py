@@ -64,10 +64,11 @@ class CdcStreamJob:
 
     def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
         if self.source_format == "wire":
-            from ..sources.wire import decode_frames
-
-            batch_df = decode_frames(batch_df)
-        self.stats.append(self.job.apply_df(int(epoch_id), batch_df))
+            # the optimized wire path: JVM manifest pass + single Arrow
+            # decode + narrow dedup + bucket-aligned delta MERGE
+            self.stats.append(self.job._apply_wire_df(int(epoch_id), batch_df))
+        else:
+            self.stats.append(self.job.apply_df(int(epoch_id), batch_df))
 
     def start(self, available_now: bool = True):
         """Start the streaming query. ``available_now=True`` drains the
