@@ -59,12 +59,15 @@ def q_cdc_lww_last_event_per_user(spark, sf_dir):
 
 
 def q_cdc_seq_numbering(spark, sf_dir):
-    """B3 sequencing: deterministic in_id over the total log order."""
+    """B3 sequencing: deterministic in_id over the total log order.
+    Two-phase numbering (range-repartition + per-partition offsets) —
+    no single-task global sort in the plan (see
+    operators.parse.global_sequence)."""
+    from mysql_tracker_spark.operators.parse import global_sequence
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return ev.select(
-        "event_id", (F.row_number().over(w) - 1).cast("bigint").alias("in_id")
-    )
+    seq = global_sequence(ev, ["ts", "event_id"], out_col="in_id")
+    return seq.select("event_id", F.col("in_id").cast("bigint").alias("in_id"))
 
 
 def q_cdc_txn_boundary_positions(spark, sf_dir):

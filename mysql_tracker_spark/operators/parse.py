@@ -91,14 +91,66 @@ def avro_flat_records(
     )
 
 
+def global_sequence(
+    df: DataFrame,
+    order_cols: tuple[str, ...] | list[str],
+    out_col: str = "in_id",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Global 0-based sequence numbers over a total order WITHOUT a
+    single-task global sort.
+
+    ``Window.orderBy`` with no partitionBy moves the entire input
+    through one task — correct, but a scale-killer (Spark itself warns).
+    This is the classic two-phase replacement (the DataFrame analogue of
+    ``rdd.zipWithIndex``):
+
+    1. range-repartition on the order key (parallel sampled shuffle) and
+       sort within partitions; ``monotonically_increasing_id`` then
+       encodes ``(partition_id << 33) | local_row_index`` — local
+       indices follow the sorted within-partition order because the
+       nondeterministic id expression cannot be reordered past the sort;
+    2. per-partition counts (tiny aggregation, ≤ n_parts rows) turn into
+       cumulative start offsets, broadcast-joined back:
+       ``seq = local_index + offset[partition]``.
+
+    Both phases read the same shuffled exchange (reused), so the
+    numbering is consistent; rows with equal order keys get an arbitrary
+    but stable relative order (the reference's single-reader arrival
+    order is equally arbitrary for concurrent events).
+    """
+    order = [F.col(c) for c in order_cols]
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    tagged = (
+        df.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright(F.col("__mid"), 33))
+        .withColumn("__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+    )
+    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # the offsets frame is ≤ n_parts rows: a window over it is trivially
+    # single-task but over a tiny input — not a scale concern
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__mid", "__pid", "__local", "__off")
+    )
+
+
 def with_sequence(df: DataFrame, batch_id: int) -> DataFrame:
     """B3: re-pack with (batch_id, in_id) like the reference's
     ``batchId/inId`` counters (``HandlerMagpieKafka.java:840-864``).
     The log order already *is* a total order, so in_id is derived, not
-    stateful: a row_number over it within the batch."""
-    w = Window.orderBy(*[F.col(c) for c in LOG_ORDER])
-    return df.withColumn("batch_id", F.lit(batch_id)).withColumn(
-        "in_id", F.row_number().over(w) - 1
+    stateful — a two-phase global sequence over it (no single-task
+    sort; see :func:`global_sequence`)."""
+    return global_sequence(df, LOG_ORDER, out_col="in_id").withColumn(
+        "batch_id", F.lit(batch_id)
     )
 
 

@@ -61,6 +61,26 @@ def test_whole_stage_codegen_present(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_seq_numbering_has_no_global_single_task_sort(spark):
+    """B3 two-phase sequencing: the main data path must be a parallel
+    range-repartition + within-partition sort, never a row_number over
+    an unpartitioned Window (single-task Exchange SinglePartition over
+    the full input). The only SinglePartition exchange allowed is the
+    tiny per-partition-counts branch (<= shuffle.partitions rows),
+    which sits directly above a HashAggregate."""
+    from mysql_tracker_spark.plans.checks import explain_str
+
+    df = entrymod.q_cdc_seq_numbering(spark, SF)
+    txt = explain_str(df, mode="simple")
+    assert "row_number" not in txt, "global-window row_number reintroduced"
+    assert "rangepartitioning" in txt, "two-phase range repartition missing"
+    # every SinglePartition exchange must feed from an aggregate (the
+    # counts branch), never from a scan/sort of the full input
+    for seg in txt.split("Exchange SinglePartition")[1:]:
+        first_node = seg.strip().splitlines()[1] if "\n" in seg else ""
+        assert "HashAggregate" in first_node or "HashAggregate" in seg[:300], txt
+
+
 def test_decode_has_exactly_one_python_stage(spark, tmp_path):
     from mysql_tracker_spark.schema import RAW_FRAME_SCHEMA
     from mysql_tracker_spark.sources.binlog_gen import GenConfig, gen_change_events
