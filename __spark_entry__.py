@@ -386,11 +386,23 @@ def q_emb_ann_ivf(spark, sf_dir):
     return SIM.ann_ivf(emb, qs, dim=64, k=3, n_cells=16, n_probe=4)
 
 
+# Fixed location the flagship oracle SQL reads the generated change
+# events from (DuckDB side of the driver's side-by-side check). The
+# Spark query below (re)writes it atomically via temp-file + rename, so
+# a concurrent run can never expose a torn file; the apply WORK dir, by
+# contrast, is per-run unique.
+FLAGSHIP_ORACLE_DUMP = "/tmp/mts_flagship_oracle/events_flat.parquet"
+
+
 def q_cdc_apply_transcripts_final(spark, sf_dir):
-    """The flagship engine path end-to-end: deterministic synthetic
-    binlog -> fenced replay -> lakestore MERGE -> final transcripts.
-    Correctness vs the sequential oracle is asserted in
-    tests/test_e2e_replay.py; the driver records rows/schema here."""
+    """The flagship engine path end-to-end, DRIVER-ORACLED: generate the
+    deterministic synthetic binlog, dump the raw change events flat to
+    parquet for the DuckDB oracle (which recomputes the LWW final state
+    in pure SQL), then run the fenced replay -> lakestore MERGE and
+    return the final transcripts. The pytest twin
+    (tests/test_e2e_replay.py::test_replay_matches_oracle) asserts the
+    same equality against the sequential pandas oracle."""
+    import shutil
     import tempfile
 
     from mysql_tracker_spark.runner import CdcApplyJob
@@ -400,17 +412,44 @@ def q_cdc_apply_transcripts_final(spark, sf_dir):
         write_batches,
     )
 
-    work = os.path.join(tempfile.gettempdir(), "mts_entry_apply")
+    work = tempfile.mkdtemp(prefix="mts_entry_apply_")
     in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
-    import shutil
-
-    shutil.rmtree(work, ignore_errors=True)
     ev = gen_change_events(GenConfig(n_events=4000, n_conversations=150, seed=5))
+
+    # flat dump for the SQL oracle: one row per DML change event with
+    # the after-image exploded to columns (mechanical reshaping only —
+    # dedup/LWW/delete semantics stay in the oracle SQL)
+    import pandas as pd
+
+    dml = ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])]
+    amap = dml["after"]
+    flat = pd.DataFrame(
+        {
+            "file": dml["file"].to_numpy(),
+            "pos": dml["pos"].to_numpy(),
+            "row_idx": dml["row_idx"].to_numpy(),
+            "op": dml["op"].to_numpy(),
+            "schema_name": dml["schema_name"].to_numpy(),
+            "table_name": dml["table_name"].to_numpy(),
+            "conv_id": amap.map(lambda m: m.get("conv_id")).to_numpy(),
+            "turn_idx": amap.map(lambda m: int(m["turn_idx"])).astype("int32").to_numpy(),
+            "role": amap.map(lambda m: m.get("role")).to_numpy(),
+            "text": amap.map(lambda m: m.get("text")).to_numpy(),
+            "tool": amap.map(lambda m: m.get("tool")).to_numpy(),
+            "ts_text": amap.map(lambda m: m.get("ts")).to_numpy(),
+            "score": amap.map(lambda m: m.get("score")).astype("Int64").to_numpy(),
+        }
+    )
+    os.makedirs(os.path.dirname(FLAGSHIP_ORACLE_DUMP), exist_ok=True)
+    tmp = os.path.join(work, "events_flat.parquet")
+    flat.to_parquet(tmp, index=False)
+    os.replace(tmp, FLAGSHIP_ORACLE_DUMP)  # atomic on POSIX
+
     write_batches(ev, in_dir, n_batches=3)
     job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
     job.run()
     out = job.table.read(spark)
-    return out.select(
+    result = out.select(
         "conv_id",
         "turn_idx",
         "role",
@@ -419,6 +458,10 @@ def q_cdc_apply_transcripts_final(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
         "score",
     ).orderBy("conv_id", "turn_idx")
+    # materialize before the work dir vanishes (lakestore read is lazy)
+    rows = result.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 # =========================================================================
@@ -677,5 +720,31 @@ def oracle_sql() -> dict[str, str]:
                     FROM embeddings)
                 GROUP BY label, i)
             GROUP BY label
+        """,
+        # Flagship engine oracle: recompute the LWW final transcripts
+        # state in pure SQL from the flat change-event dump the Spark
+        # query writes (exact duplicates = replay overlap collapse via
+        # DISTINCT; winner per key = greatest (file,pos,row_idx);
+        # DELETE winners drop out). Must equal the engine's replayed
+        # lakestore table byte-for-byte.
+        "cdc_apply_transcripts_final": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
         """,
     }
