@@ -64,6 +64,30 @@ TRANSCRIPTS_BASE_SCHEMA = T.StructType(
 )
 
 TRANSCRIPTS_KEY = ("conv_id", "turn_idx")
+
+# --- typed-metrics target (SURVEY.md §1.2 type-surface coverage) -------------
+# Exercises the frozen stringification rules in values.py end-to-end:
+# unsigned-promoted integer columns (TINY->short ... LONGLONG->decimal),
+# DECIMAL toPlainString, and the temporal TEXT columns that must stay
+# strings because the reference's zero-date sentinel ("0000-00-00 ...",
+# RowsLogBuffer.java:395-449) is not a representable Timestamp/Date.
+METRICS_TYPED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("turn_idx", T.IntegerType(), True),
+        T.StructField("u8", T.ShortType(), True),       # unsigned TINY
+        T.StructField("u16", T.IntegerType(), True),    # unsigned SHORT
+        T.StructField("u24", T.IntegerType(), True),    # unsigned INT24
+        T.StructField("u32", T.LongType(), True),       # unsigned LONG
+        T.StructField("u64", T.DecimalType(20, 0), True),  # unsigned LONGLONG
+        T.StructField("price", T.DecimalType(12, 4), True),
+        T.StructField("dur", T.StringType(), True),     # TIME (text, ±838h)
+        T.StructField("born", T.StringType(), True),    # DATE (zero sentinel)
+        T.StructField("y", T.StringType(), True),       # YEAR ("0000" | 1901+)
+        T.StructField("created", T.StringType(), True),  # TIMESTAMP (sentinel)
+        T.StructField("ratio", T.DoubleType(), True),
+    ]
+)
 # total order of the log; ties impossible (SURVEY.md §7 "hard parts")
 LOG_ORDER = ("file", "pos", "row_idx")
 

@@ -317,6 +317,149 @@ def _build_maps(ev: pd.DataFrame):
 
 
 # ---------------------------------------------------------------------------
+# typed-metrics stream: exercises the §1.2 stringification surface
+# (values.py) through the full wire -> decode -> apply path
+# ---------------------------------------------------------------------------
+
+def gen_typed_metric_events(
+    n_events: int = 2000,
+    n_keys: int = 300,
+    seed: int = 7,
+    schema_name: str = "chat",
+    table_name: str = "metrics",
+) -> pd.DataFrame:
+    """Change events for the ``METRICS_TYPED_SCHEMA`` table whose values
+    are rendered with the frozen reference rules (values.py): raw signed
+    integer decodes (negatives re-base for unsigned columns), DECIMAL
+    with preserved scale, TIME/DATE/YEAR/TIMESTAMP text including the
+    zero sentinels. Stream shape mirrors :func:`gen_change_events`
+    (INSERT -> UPDATE* chains, BEGIN/COMMIT delimiters, offset-ordered
+    frames) at reduced complexity — no DDL, no multi-row frames."""
+    from ..values import (
+        render_date_series,
+        render_decimal_series,
+        render_int_series,
+        render_time_series,
+        render_timestamp_series,
+        render_year_series,
+    )
+    from decimal import Decimal
+
+    rng = np.random.default_rng(seed)
+    n = n_events
+    key = rng.integers(0, n_keys, size=n)
+    conv = key // 10
+    turn = (key % 10).astype(np.int32)
+    d = pd.DataFrame({"c": conv, "t": turn})
+    k = d.groupby(["c", "t"], sort=False).cumcount()
+    op = np.where(k.to_numpy() == 0, "INSERT", "UPDATE")
+    last = d.groupby(["c", "t"], sort=False)["c"].transform("size").to_numpy() - 1
+    is_del = (k.to_numpy() == last) & (rng.random(n) < 0.15) & (k.to_numpy() > 0)
+    op = np.where(is_del, "DELETE", op)
+
+    # raw signed decodes — negatives exercise the unsigned re-basing
+    u8 = pd.Series(rng.integers(-(1 << 7), 1 << 7, size=n))
+    u16 = pd.Series(rng.integers(-(1 << 15), 1 << 15, size=n))
+    u24 = pd.Series(rng.integers(-(1 << 23), 1 << 23, size=n))
+    u32 = pd.Series(rng.integers(-(1 << 31), 1 << 31, size=n))
+    u64 = pd.Series(rng.integers(-(1 << 62), (1 << 62), size=n))
+    price_raw = pd.Series(rng.integers(-(10**8), 10**8, size=n))
+    price = price_raw.map(lambda v: Decimal(int(v)).scaleb(-4))
+    dur = pd.Series(rng.integers(-838 * 3600, 838 * 3600 + 3599, size=n))
+    year_col = pd.Series(np.where(rng.random(n) < 0.1, 0, rng.integers(1970, 2031, size=n)))
+    month = pd.Series(np.where(year_col == 0, 0, rng.integers(1, 13, size=n)))
+    day = pd.Series(np.where(year_col == 0, 0, rng.integers(1, 29, size=n)))
+    y_raw = pd.Series(np.where(rng.random(n) < 0.1, 0, rng.integers(1, 256, size=n)))
+    created = pd.Series(
+        np.where(rng.random(n) < 0.1, 0, rng.integers(1, 2_000_000_000, size=n))
+    )
+    ratio = pd.Series(rng.random(n)).map(lambda v: repr(float(v)))
+
+    rendered = pd.DataFrame(
+        {
+            "conv_id": pd.Series([f"conv_{i:05d}" for i in range(n_keys // 10 + 1)]).take(conv).to_numpy(),
+            "turn_idx": pd.Series(turn).astype(str).to_numpy(),
+            "u8": render_int_series(u8, 1, True),
+            "u16": render_int_series(u16, 2, True),
+            "u24": render_int_series(u24, 3, True),
+            "u32": render_int_series(u32, 4, True),
+            "u64": render_int_series(u64, 8, True),
+            "price": render_decimal_series(price),
+            "dur": render_time_series(dur),
+            "born": render_date_series(year_col, month, day),
+            "y": render_year_series(y_raw),
+            "created": render_timestamp_series(created),
+            "ratio": ratio,
+        }
+    )
+
+    # transactions + offsets (one frame per event)
+    txn_sizes = rng.geometric(1.0 / 8, size=n // 2 + 2).clip(1, 64)
+    bounds = np.cumsum(txn_sizes)
+    bounds = bounds[bounds < n]
+    txn_of = np.searchsorted(np.concatenate([bounds, [n]]), np.arange(n), side="right")
+
+    recs = rendered.to_dict("records")
+    after = []
+    before = []
+    for i, r in enumerate(recs):
+        pk = {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"]}
+        if op[i] == "DELETE":
+            before.append(dict(r))
+            after.append(pk)
+        elif op[i] == "UPDATE":
+            before.append(dict(r))
+            after.append(dict(r))
+        else:
+            before.append(None)
+            after.append(dict(r))
+
+    ev = pd.DataFrame(
+        {
+            "seq": np.arange(n, dtype=np.int64),
+            "sub": np.zeros(n, dtype=np.int8),
+            "op": op,
+            "xid": txn_of.astype(np.int64) + 1,
+            "row_idx": np.zeros(n, dtype=np.int32),
+            "schema_name": schema_name,
+            "table_name": table_name,
+            "is_ddl": False,
+            "ddl_sql": None,
+            "before": before,
+            "after": after,
+        }
+    )
+    txn_first = ev.groupby("xid", sort=False)["seq"].min()
+    txn_last = ev.groupby("xid", sort=False)["seq"].max()
+    begin = pd.DataFrame(
+        {"seq": txn_first.to_numpy(), "sub": np.int8(-1), "op": "BEGIN", "xid": txn_first.index.to_numpy()}
+    )
+    commit = pd.DataFrame(
+        {"seq": txn_last.to_numpy(), "sub": np.int8(1), "op": "COMMIT", "xid": txn_last.index.to_numpy()}
+    )
+    out = pd.concat([ev, begin, commit], ignore_index=True)
+    out = out.sort_values(["seq", "sub"], kind="stable").reset_index(drop=True)
+    m = len(out)
+    out["row_idx"] = out["row_idx"].fillna(0).astype(np.int32)
+    # concat turns absent map cells into NaN floats; maps must be dict|None
+    for c in ("before", "after"):
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    out["is_ddl"] = out["is_ddl"].eq(True)
+    out["file"] = "bin.000001"
+    out["pos"] = MAGIC_LEN + 64 * np.arange(m, dtype=np.int64)
+    out["server_id"] = np.int64(1)
+    secs = np.cumsum(rng.exponential(0.5, size=m)).astype("int64")
+    out["ts"] = pd.Series(BASE_TS + secs.astype("timedelta64[s]")).dt.floor("s")
+    out["xid"] = out["xid"].astype("Int64")
+    return out[
+        [
+            "file", "pos", "row_idx", "server_id", "ts", "xid", "op",
+            "schema_name", "table_name", "is_ddl", "ddl_sql", "before", "after",
+        ]
+    ].copy()
+
+
+# ---------------------------------------------------------------------------
 # sequential oracle (the reference's replay-and-inspect pattern,
 # src/test/java/MysqlParserTest.java:13-29, made rigorous)
 # ---------------------------------------------------------------------------
