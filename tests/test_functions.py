@@ -194,3 +194,57 @@ def test_near_dup_clusters_connected_components(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 40-node path graph (diameter 39) must converge — pointer
+    jumping makes that O(log d) rounds — with the per-round
+    localCheckpoint keeping the plan bounded (no lineage blowup)."""
+    from mysql_tracker_spark.functions.sketches import near_dup_clusters
+
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
+    )
+    labels = near_dup_clusters(pairs, max_iter=12)
+    got = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    # lineage is truncated: the final frame's logical plan is a
+    # checkpoint scan + join head, not 12 rounds of nested joins
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 3, plan[:2000]
+
+
+def test_ngram_max_df_bounds_stopgram_fanout(spark):
+    """Stop-gram guard: 300 docs share one boilerplate sentence; with
+    max_df the posting self-join stays bounded (candidates ~ only the
+    planted pair), and results above threshold are unchanged vs the
+    exact variant."""
+    from mysql_tracker_spark.functions.sketches import (
+        ngram_jaccard_near_dups,
+        posting_candidates,
+    )
+
+    boiler = "all rights reserved contact us for more information about licensing"
+    rows = [(i, f"doc{i}a doc{i}b doc{i}c doc{i}d doc{i}e " + boiler)
+            for i in range(300)]
+    # planted near-dup pair with distinctive shared content
+    rows.append((1000, "the quick brown fox jumps over the lazy dog tonight in paris"))
+    rows.append((1001, "the quick brown fox jumps over the lazy dog tonight in london"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cands = posting_candidates(docs, n=3, max_df=50)
+    n_cands = cands.count()
+    # without the guard the boilerplate grams alone give 300*299/2 ≈ 45k
+    # candidate pairs; with it only genuinely-sharing docs survive
+    assert n_cands < 2000, n_cands
+    guarded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_near_dups(docs, n=3, threshold=0.7, max_df=50).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_near_dups(docs, n=3, threshold=0.7).collect()
+    }
+    assert (1000, 1001) in guarded
+    assert guarded == exact
