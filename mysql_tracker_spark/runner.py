@@ -66,6 +66,11 @@ class CdcApplyJob:
     """Replay a directory of offset-ordered change-event parquet batches
     into a lakestore transcripts table, exactly once."""
 
+    # Bound on the wire manifest pass's driver-side DDL-frame collect:
+    # QUERY frames beyond this raise loudly instead of OOMing the
+    # driver (DDL is rare by nature; 1024/batch is already pathological).
+    MAX_DDL_FRAMES_PER_BATCH = 1024
+
     def __init__(
         self,
         spark: SparkSession,
@@ -345,27 +350,62 @@ class CdcApplyJob:
             16, 10,
         ).cast("long")
         is_commit = op0 == "COMMIT"
-        cand_ddl = ~op0.isin("INSERT", "UPDATE", "DELETE", "BEGIN", "COMMIT")
+        # DDL candidates: gated on the HEADER TYPE BYTE being QUERY(2) —
+        # the reference's decoder dispatch (LogDecoder.java:108-134) —
+        # not merely "unknown op text": a corrupt/adversarial stream can
+        # make arbitrary frames carry unknown ops, and collecting their
+        # full payloads would be an unbounded driver collect. QUERY
+        # frames are BEGIN or DDL; BEGIN is excluded by op text.
+        cand_ddl = F.expr("substring(payload, 5, 1) = X'02'") & (op0 != "BEGIN")
+        # n_dml counts target-DML rows PAST THE FENCE only (lineage
+        # rows_applied semantics; replay-overlap rows are not applied).
+        # CRC caveat: this JVM pass does not checksum-verify frames — a
+        # corrupt frame that still pattern-matches the DML signature is
+        # counted here but dropped by the decode, so rows_applied is an
+        # upper bound under corruption (exact on clean streams).
+        if wm_file is not None:
+            wm_lit = F.struct(F.lit(wm_file).alias("file"), F.lit(wm_pos).alias("pos"))
+            past_fence = F.struct(F.col("file"), F.col("pos")) > wm_lit
+        else:
+            past_fence = F.lit(True)
         fp = F.struct("file", "pos")
         m = raw.select(
             "file", "pos", "payload",
             rows_arr.alias("rows_arr"), op0.alias("op0"),
             is_commit.alias("is_commit"), cand_ddl.alias("cand_ddl"),
+            past_fence.alias("past_fence"),
             ts_le.alias("ts_s"),
         ).agg(
             F.min(fp).alias("lo"),
             F.max(fp).alias("hi"),
             F.sum(F.size("rows_arr")).alias("n"),
-            F.sum(F.size(F.filter("rows_arr", is_dml_row))).alias("n_dml"),
+            F.sum(
+                F.when(
+                    F.col("past_fence"), F.size(F.filter("rows_arr", is_dml_row))
+                ).otherwise(F.lit(0))
+            ).alias("n_dml"),
             F.max(F.when(F.col("is_commit") | F.col("cand_ddl"), fp)).alias("txn_hi"),
             F.sum(F.length("payload")).alias("bytes_in"),
             F.max("ts_s").alias("max_ts_s"),
-            F.collect_list(
-                F.when(F.col("cand_ddl"), F.struct("file", "pos", "payload"))
+            F.sum(F.col("cand_ddl").cast("long")).alias("n_cand_ddl"),
+            F.slice(
+                F.collect_list(
+                    F.when(F.col("cand_ddl"), F.struct("file", "pos", "payload"))
+                ),
+                1,
+                self.MAX_DDL_FRAMES_PER_BATCH + 1,
             ).alias("ddl_frames"),
         ).collect()[0]
         stats.phase_ms["manifest"] = int((time.time() - t0) * 1000)
 
+        if int(m["n_cand_ddl"] or 0) > self.MAX_DDL_FRAMES_PER_BATCH:
+            raise RuntimeError(
+                f"batch {batch_id}: {m['n_cand_ddl']} candidate-DDL (QUERY) "
+                f"frames exceed the {self.MAX_DDL_FRAMES_PER_BATCH} cap — "
+                "refusing the unbounded driver collect. Either the input is "
+                "corrupt/adversarial or the batch genuinely carries that much "
+                "DDL; split it into smaller micro-batches."
+            )
         stats.rows_in = int(m["n"] or 0)
         if stats.rows_in == 0:
             stats.skipped = True

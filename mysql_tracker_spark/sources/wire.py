@@ -350,7 +350,23 @@ def _decode_batch_arrow(rb):
     crc_ok_np = (total - crcb.sum(axis=1, dtype=np.uint32)) == crc_stored
 
     # --- bodies: C++ string kernels ----------------------------------
-    body = pc.cast(pc.binary_slice(pay, HEADER_LEN, -CRC_LEN), pa.string())
+    body_bin = pc.binary_slice(pay, HEADER_LEN, -CRC_LEN)
+    try:
+        body = pc.cast(body_bin, pa.string())
+    except pa.lib.ArrowInvalid:
+        # rare corrupt path: a flipped byte can make a body invalid
+        # UTF-8, and the C++ cast would fail the whole TASK instead of
+        # dropping the frame. Salvage per-row (corruption is rare, so
+        # Python here is off the hot path): invalid bodies become empty
+        # strings, which fail the wellformed field-count check below and
+        # fall into the existing drop path.
+        vals = []
+        for b in body_bin.to_pylist():
+            try:
+                vals.append(b.decode("utf-8"))
+            except UnicodeDecodeError:
+                vals.append("")
+        body = pa.array(vals, pa.string())
     rows = pc.split_pattern(body, "\x1c")
     parent = pc.list_parent_indices(rows)
     parent_np = parent.to_numpy()
@@ -418,6 +434,12 @@ def decode_frames_kv(
     if not include_before:
         schema = T.StructType([f for f in schema.fields if f.name != "before_kv"])
         drop_cols = ["before_kv"]
+
+    # truncated frames (shorter than header+crc+1) cannot be decoded —
+    # drop them JVM-side before the Arrow kernel (the fixed-width header
+    # cast would otherwise fail the task); same semantics as the
+    # crc-fail drop path
+    raw = raw.filter(F.length("payload") > HEADER_LEN + CRC_LEN)
 
     def gen(batches):
         import pyarrow as pa

@@ -72,6 +72,82 @@ def test_corrupt_frame_dropped(spark, dirs):
     assert dropped > 0  # corrupted frames detected by checksum and dropped
 
 
+def test_invalid_utf8_frame_dropped_not_task_failure(spark, dirs):
+    """A genuinely corrupted frame (non-ASCII byte flip -> invalid
+    UTF-8 body) must fall into the drop path, not fail the decode
+    task (the C++ binary->string cast raises on invalid UTF-8)."""
+    wire, _ = dirs
+    raw = spark.read.schema(RAW_FRAME_SCHEMA).parquet(wire)
+    corrupt = raw.withColumn(
+        "payload",
+        F.when(
+            F.col("pos") % 50 == 0,
+            F.concat(
+                F.substring("payload", 1, HEADER_LEN),
+                F.lit(bytes([0xFF, 0xFE])),  # invalid UTF-8 sequence
+                F.expr(f"substring(payload, {HEADER_LEN + 3})"),
+            ),
+        ).otherwise(F.col("payload")),
+    )
+    total = decode_frames(raw, drop_bad_crc=False).count()
+    kept = decode_frames(corrupt, drop_bad_crc=True).count()
+    assert 0 < kept < total
+
+
+def test_truncated_frame_dropped_not_task_failure(spark, dirs):
+    """Frames shorter than header+crc are undecodable; they must be
+    dropped JVM-side, not crash the fixed-width header cast."""
+    wire, _ = dirs
+    raw = spark.read.schema(RAW_FRAME_SCHEMA).parquet(wire)
+    corrupt = raw.withColumn(
+        "payload",
+        F.when(F.col("pos") % 50 == 0, F.expr("substring(payload, 1, 10)"))
+        .otherwise(F.col("payload")),
+    )
+    total = decode_frames(raw, drop_bad_crc=False).count()
+    kept = decode_frames(corrupt, drop_bad_crc=True).count()
+    assert 0 < kept < total
+
+
+def test_ddl_flood_bounded_collect_raises(spark, tmp_path):
+    """10k unknown-op QUERY frames must not become an unbounded driver
+    collect: the wire manifest pass caps candidate-DDL frames and
+    raises loudly (operator decision) instead of OOMing."""
+    import pandas as pd
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import gen_change_events
+
+    ev = gen_change_events(GenConfig(n_events=500, n_conversations=50, seed=3))
+    flood = pd.DataFrame(
+        {
+            "file": "bin.000099",
+            "pos": 4 + 64 * np.arange(10_000, dtype=np.int64),
+            "row_idx": np.int32(0),
+            "server_id": np.int64(1),
+            "ts": ev["ts"].iloc[0],
+            "xid": pd.array([None] * 10_000, dtype="Int64"),
+            "op": "FLUSHCACHE",  # unknown op -> encoder emits QUERY type byte
+            "schema_name": "chat",
+            "table_name": "transcripts",
+            "is_ddl": False,
+            "ddl_sql": None,
+            "before": None,
+            "after": None,
+        }
+    )
+    flood["before"] = flood["before"].astype(object).where(flood["before"].notna(), None)
+    flood["after"] = flood["after"].astype(object).where(flood["after"].notna(), None)
+    ev_all = pd.concat([ev.drop(columns=["event_len"]), flood], ignore_index=True)
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(ev_all, in_dir, n_batches=1)
+    job = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "tbl"), n_buckets=4, source_format="wire"
+    )
+    with pytest.raises(RuntimeError, match="cap"):
+        job.run()
+
+
 def test_multirow_frames_exist_and_decode(spark, dirs):
     wire, _ = dirs
     dec = decode_frames(spark.read.schema(RAW_FRAME_SCHEMA).parquet(wire))
