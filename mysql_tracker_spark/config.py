@@ -40,6 +40,10 @@ class JobConfig:
     # invalid-position policy (C5; reference deletes the checkpoint and
     # reloads from the live head on errno 1236)
     on_invalid_position: str = "fail"  # fail | reset_earliest
+    # destructive-DDL policy (DROP/RENAME of the target table):
+    # "raise" = operator decision (default), "ignore" = skip like the
+    # reference (it only invalidates its meta cache)
+    on_destructive_ddl: str = "raise"
 
     @classmethod
     def load(cls, path: str) -> "JobConfig":

@@ -54,27 +54,44 @@ _WIDEN_OK = {
 }
 
 _NAME = r"[`\"']?(\w+)[`\"']?"
+_QTBL = rf"(?:{_NAME}\.)?{_NAME}"
 _ADD_RE = re.compile(
-    rf"ALTER\s+TABLE\s+(?:{_NAME}\.)?{_NAME}\s+ADD\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
+    rf"ALTER\s+TABLE\s+{_QTBL}\s+ADD\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
     re.IGNORECASE,
 )
 _MODIFY_RE = re.compile(
-    rf"ALTER\s+TABLE\s+(?:{_NAME}\.)?{_NAME}\s+(?:MODIFY|CHANGE)\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
+    rf"ALTER\s+TABLE\s+{_QTBL}\s+(?:MODIFY|CHANGE)\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
     re.IGNORECASE,
 )
+# full reference classification surface (SimpleDdlParser.java:13-33,
+# matched in its order :36-80); CINDEX/DINDEX before CREATE/DROP TABLE
+# tests would be wrong — the reference tries TABLE patterns first
+_CREATE_RE = re.compile(rf"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QTBL}", re.IGNORECASE)
+_DROP_RE = re.compile(rf"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?{_QTBL}", re.IGNORECASE)
+_TRUNCATE_RE = re.compile(rf"^\s*TRUNCATE\s+(?:TABLE\s+)?{_QTBL}", re.IGNORECASE)
+_RENAME_RE = re.compile(rf"^\s*RENAME\s+TABLE\s+{_QTBL}\s+TO\s+{_QTBL}", re.IGNORECASE)
+_ALTER_RENAME_RE = re.compile(rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+RENAME\s+(?:TO\s+)?{_QTBL}", re.IGNORECASE)
+_CINDEX_RE = re.compile(rf"^\s*CREATE\s+(?:\w+\s+)*?INDEX\s+{_NAME}\s+ON\s+{_QTBL}", re.IGNORECASE)
+_DINDEX_RE = re.compile(rf"^\s*DROP\s+INDEX\s+{_NAME}\s+ON\s+{_QTBL}", re.IGNORECASE)
+_COMMENT_RE = re.compile(r"/\*.*?\*/", re.DOTALL)
 _CLASS_RE = re.compile(
-    r"^\s*(?:/\*.*?\*/\s*)*(CREATE|DROP|ALTER|TRUNCATE|RENAME)\b", re.IGNORECASE | re.DOTALL
+    r"^\s*(CREATE|DROP|ALTER|TRUNCATE|RENAME)\b", re.IGNORECASE
 )
 
 
 @dataclass
 class DdlResult:
-    kind: str  # ADD_COLUMN | WIDEN | OTHER
+    # ADD_COLUMN | WIDEN | CREATE | DROP | TRUNCATE | RENAME |
+    # CINDEX | DINDEX | OTHER  (reference EventType vocabulary,
+    # EntryProtocol.proto:185-198; DROP ≡ the reference's ERASE)
+    kind: str
     schema_name: str | None
     table_name: str | None
     column: str | None = None
     new_type: T.DataType | None = None
     sql: str = ""
+    # RENAME target: (schema|None, table)
+    rename_to: tuple[str | None, str] | None = None
 
 
 def _spark_type(type_text: str) -> T.DataType | None:
@@ -90,17 +107,57 @@ def _spark_type(type_text: str) -> T.DataType | None:
 
 
 def parse_ddl(sql: str, default_schema: str | None = None) -> DdlResult:
-    """Classify one DDL statement (reference SimpleDdlParser regexes,
-    re-expressed; comments and backticks tolerated)."""
-    m = _ADD_RE.search(sql)
+    """Classify one DDL statement (reference SimpleDdlParser patterns
+    ``SimpleDdlParser.java:13-97``, re-expressed; comments stripped
+    first like ``removeComment``, backticks tolerated). Classification
+    order follows the reference's ``parse()`` (:36-80): ALTER first,
+    then CREATE/DROP TABLE, TRUNCATE, RENAME, CREATE/DROP INDEX."""
+    sql_clean = _COMMENT_RE.sub(" ", sql or "")
+    m = _ADD_RE.search(sql_clean)
     if m:
         sch, tbl, col, ty = m.groups()
         return DdlResult("ADD_COLUMN", sch or default_schema, tbl, col, _spark_type(ty), sql)
-    m = _MODIFY_RE.search(sql)
+    m = _MODIFY_RE.search(sql_clean)
     if m:
         sch, tbl, col, ty = m.groups()
         return DdlResult("WIDEN", sch or default_schema, tbl, col, _spark_type(ty), sql)
-    c = _CLASS_RE.match(sql or "")
+    m = _ALTER_RENAME_RE.match(sql_clean)
+    if m:
+        s1, t1, s2, t2 = m.groups()
+        return DdlResult(
+            "RENAME", s1 or default_schema, t1, sql=sql,
+            rename_to=(s2 or default_schema, t2),
+        )
+    # index DDL before the generic CREATE/DROP TABLE tests: "CREATE
+    # INDEX i ON t" has no TABLE keyword so order is safe either way,
+    # but keep the disambiguation explicit
+    m = _CINDEX_RE.match(sql_clean)
+    if m:
+        _idx, sch, tbl = m.groups()
+        return DdlResult("CINDEX", sch or default_schema, tbl, sql=sql)
+    m = _DINDEX_RE.match(sql_clean)
+    if m:
+        _idx, sch, tbl = m.groups()
+        return DdlResult("DINDEX", sch or default_schema, tbl, sql=sql)
+    m = _CREATE_RE.match(sql_clean)
+    if m:
+        sch, tbl = m.groups()
+        return DdlResult("CREATE", sch or default_schema, tbl, sql=sql)
+    m = _DROP_RE.match(sql_clean)
+    if m:
+        sch, tbl = m.groups()
+        return DdlResult("DROP", sch or default_schema, tbl, sql=sql)
+    m = _TRUNCATE_RE.match(sql_clean)
+    if m:
+        sch, tbl = m.groups()
+        return DdlResult("TRUNCATE", sch or default_schema, tbl, sql=sql)
+    m = _RENAME_RE.match(sql_clean)
+    if m:
+        s1, t1, s2, t2 = m.groups()
+        return DdlResult(
+            "RENAME", s1 or default_schema, t1, sql=sql,
+            rename_to=(s2 or default_schema, t2),
+        )
     return DdlResult("OTHER", default_schema, None, sql=sql)
 
 

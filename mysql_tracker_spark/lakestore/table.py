@@ -328,6 +328,22 @@ class LakeTable:
         v = self._commit(new)
         return v, new["summary"]
 
+    def truncate(self, properties: dict[str, str] | None = None) -> int:
+        """TRUNCATE TABLE as an atomic empty-overwrite commit: the next
+        snapshot references no data files (schema, bucketing, and
+        properties survive). Idempotent under replay — re-truncating an
+        empty table commits another empty snapshot. Mirrors the
+        reference's TRUNCATE event class (``SimpleDdlParser.java:60-70``)
+        with lakehouse semantics: history stays time-travelable."""
+        m = self.manifest()
+        new = dict(m)
+        new["version"] = m["version"] + 1
+        new["parent"] = m["version"]
+        new["buckets"] = {}
+        new["properties"] = {**m["properties"], **(properties or {})}
+        new["summary"] = {"operation": "truncate", "ts_ms": int(time.time() * 1000)}
+        return self._commit(new)
+
     # ------------------------------------------------------- schema evolution
 
     def update_schema(self, new_schema: T.StructType, note: str = "") -> int:

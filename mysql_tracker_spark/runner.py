@@ -35,7 +35,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .ddl import apply_ddl_events
 from .lakestore import LakeTable
 from .operators.dedup import lww_latest
 from .operators.filters import dml_for_table
@@ -87,6 +86,7 @@ class CdcApplyJob:
         start_file: str | None = None,
         start_pos: int | None = None,
         reset_policy: str | None = None,
+        on_destructive_ddl: str = "raise",  # raise | ignore
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -110,6 +110,7 @@ class CdcApplyJob:
         self.start_file = start_file
         self.start_pos = start_pos
         self.reset_policy = reset_policy
+        self.on_destructive_ddl = on_destructive_ddl
         self.table: LakeTable | None = None
 
     @classmethod
@@ -131,6 +132,7 @@ class CdcApplyJob:
             start_file=cfg.start_file,
             start_pos=cfg.start_pos,
             reset_policy=policy,
+            on_destructive_ddl=cfg.on_destructive_ddl,
         )
 
     # ------------------------------------------------------------- lifecycle
@@ -231,6 +233,62 @@ class CdcApplyJob:
             "(reference errno-1236 analogue); pass reset_policy='earliest' to "
             "clear the checkpoint and replay retained input"
         )
+
+    def _handle_ddl(self, ddl_rows) -> tuple[str, int] | None:
+        """Apply a batch's DDL rows (already sorted in log order) with
+        the full reference event-class vocabulary
+        (``SimpleDdlParser.java:36-80``):
+
+        * ADD_COLUMN / WIDEN: schema evolution before the batch's DML
+          (order-equivalent for add/widen — runner module docstring);
+        * TRUNCATE of the target: an atomic empty-overwrite commit;
+          returns the truncate (file, pos) so the caller discards
+          same-batch DML at or before it — equivalent to interleaved
+          application (everything applied before a truncate is wiped by
+          it). Replay-safe: truncate is idempotent and the watermark
+          only advances with the batch's final merge commit.
+        * DROP / RENAME of the target: RAISE by default — silently
+          continuing would apply subsequent DML to a table that no
+          longer exists under this identity (``on_destructive_ddl=
+          "ignore"`` skips them, the reference's own behavior: it only
+          invalidates its meta cache, ``LogEventConvert.java:220-230``).
+        * CREATE / CINDEX / DINDEX / OTHER: no-op for the target.
+
+        Idempotent under replay: re-applied ADD/WIDEN are no-ops,
+        re-TRUNCATE of an empty table commits another empty snapshot.
+        """
+        from .ddl import evolve_schema, parse_ddl
+
+        trunc_fp: tuple[str, int] | None = None
+        for row in ddl_rows:
+            sql = row["ddl_sql"]
+            if not sql:
+                continue
+            parsed = parse_ddl(sql, self.schema_name)
+            targets = (
+                parsed.schema_name == self.schema_name
+                and parsed.table_name == self.table_name
+            )
+            if parsed.kind in ("ADD_COLUMN", "WIDEN"):
+                if targets:
+                    new_schema = evolve_schema(self.table.schema(), parsed)
+                    if new_schema is not None:
+                        self.table.update_schema(new_schema, note=sql)
+            elif parsed.kind == "TRUNCATE" and targets:
+                self.table.truncate()
+                trunc_fp = (row["file"], row["pos"])
+            elif parsed.kind in ("DROP", "RENAME") and targets:
+                if self.on_destructive_ddl == "ignore":
+                    continue
+                raise RuntimeError(
+                    f"{parsed.kind} against the target table "
+                    f"{self.schema_name}.{self.table_name} at "
+                    f"({row['file']}, {row['pos']}): {sql!r} — refusing to "
+                    "continue applying DML to a dropped/renamed identity. "
+                    "Pass on_destructive_ddl='ignore' to skip (reference "
+                    "behavior) or retarget the job."
+                )
+        return trunc_fp
 
     def _lww(self, keyed: DataFrame, payload_cols: list[str]) -> DataFrame:
         if self.n_salts > 0:
@@ -440,14 +498,18 @@ class CdcApplyJob:
                     dd.apply(lambda r: (r["file"], r["pos"]) > (wm_file, wm_pos), axis=1)
                 ]
             ddl_rows = dd.sort_values(["file", "pos", "row_idx"]).to_dict("records")
-            if ddl_rows:
-                apply_ddl_events(self.table, ddl_rows, self.schema_name)
+            trunc_fp = self._handle_ddl(ddl_rows) if ddl_rows else None
+        else:
+            trunc_fp = None
 
         schema = self.table.schema()
         nb = self.table.manifest()["n_buckets"]
 
         # --- 2. single decode pass -> narrow dedup -> typed delta -----
         raw_f = after_watermark(raw, wm_file, wm_pos)
+        if trunc_fp is not None:
+            # discard DML at or before the truncate (it was wiped)
+            raw_f = after_watermark(raw_f, *trunc_fp)
         # F4 pre-decode gate, faithful to the reference's decoder
         # BitSet (LogDecoder.java:108-134): only row-event frames
         # (WRITE/UPDATE/DELETE_ROWS, header type byte 30/31/32) reach
@@ -609,8 +671,9 @@ class CdcApplyJob:
         # partial overlap: drop already-committed prefix (event-level fence)
         batch = after_watermark(batch, wm_file, wm_pos)
 
-        if ddl_rows:
-            apply_ddl_events(self.table, ddl_rows, self.schema_name)
+        trunc_fp = self._handle_ddl(ddl_rows) if ddl_rows else None
+        if trunc_fp is not None:
+            batch = after_watermark(batch, *trunc_fp)
 
         schema = self.table.schema()
 

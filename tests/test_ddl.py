@@ -32,8 +32,32 @@ def test_parse_modify_widen():
 
 
 def test_parse_comment_prefix_classifies():
+    # reference removeComment strips /* */ BEFORE classification
+    # (SimpleDdlParser.java:37)
     r = parse_ddl("/* app */ TRUNCATE TABLE chat.transcripts")
-    assert r.kind == "OTHER"
+    assert r.kind == "TRUNCATE" and r.table_name == "transcripts"
+
+
+def test_parse_full_event_class_vocabulary():
+    # SimpleDdlParser.java:13-33 pattern surface
+    r = parse_ddl("TRUNCATE TABLE chat.transcripts")
+    assert r.kind == "TRUNCATE" and (r.schema_name, r.table_name) == ("chat", "transcripts")
+    r = parse_ddl("TRUNCATE transcripts", "chat")
+    assert r.kind == "TRUNCATE" and (r.schema_name, r.table_name) == ("chat", "transcripts")
+    r = parse_ddl("DROP TABLE IF EXISTS chat.transcripts")
+    assert r.kind == "DROP" and r.table_name == "transcripts"
+    r = parse_ddl("CREATE TABLE chat.new_t (id INT)")
+    assert r.kind == "CREATE" and r.table_name == "new_t"
+    r = parse_ddl("RENAME TABLE chat.transcripts TO chat.transcripts_old")
+    assert r.kind == "RENAME" and r.table_name == "transcripts"
+    assert r.rename_to == ("chat", "transcripts_old")
+    r = parse_ddl("ALTER TABLE chat.transcripts RENAME TO chat.t2")
+    assert r.kind == "RENAME" and r.rename_to == ("chat", "t2")
+    r = parse_ddl("CREATE UNIQUE INDEX idx ON chat.transcripts (conv_id)")
+    assert r.kind == "CINDEX" and r.table_name == "transcripts"
+    r = parse_ddl("DROP INDEX idx ON chat.transcripts")
+    assert r.kind == "DINDEX" and r.table_name == "transcripts"
+    assert parse_ddl("SET NAMES utf8").kind == "OTHER"
 
 
 def test_parse_decimal():

@@ -196,3 +196,83 @@ def test_job_from_config_start_override(spark, stream, tmp_path):
     # a second run resumes from the committed checkpoint (all skipped)
     again = CdcApplyJob.from_config(spark, JobConfig.load(p))
     assert all(s.skipped for s in again.run())
+
+
+# ---------------------------------------------------------------------------
+# destructive DDL: TRUNCATE applies (empty-overwrite + suffix replay),
+# DROP/RENAME raise by operator policy (SimpleDdlParser.java:60-70 classes)
+# ---------------------------------------------------------------------------
+
+def _inject_ddl_event(ev, frac, op, sql):
+    """Insert a DDL frame at ~frac of the stream, at a fresh position
+    just before an existing frame boundary."""
+    import numpy as np
+
+    fp = ev["file"].astype(str) + ":" + ev["pos"].astype(str).str.zfill(12)
+    frame_rows = np.flatnonzero((fp != fp.shift(1)).to_numpy())
+    cut_row = int(frame_rows[int(len(frame_rows) * frac)])
+    f, p = ev["file"].iloc[cut_row], int(ev["pos"].iloc[cut_row])
+    row = {
+        "file": f, "pos": p - 1, "row_idx": 0, "server_id": 1,
+        "ts": ev["ts"].iloc[cut_row], "xid": None, "op": op,
+        "schema_name": "chat", "table_name": "transcripts",
+        "is_ddl": True, "ddl_sql": sql, "before": None, "after": None,
+    }
+    out = pd.concat(
+        [ev.iloc[:cut_row], pd.DataFrame([row]), ev.iloc[cut_row:]],
+        ignore_index=True,
+    )
+    for c in ("before", "after"):
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    out["xid"] = out["xid"].astype("Int64")
+    return out, (f, p - 1)
+
+
+def _suffix_after(ev, fp):
+    f, p = fp
+    mask = (ev["file"] > f) | ((ev["file"] == f) & (ev["pos"] > p))
+    return ev[mask]
+
+
+@pytest.mark.parametrize("fmt", ["typed", "wire"])
+def test_truncate_mid_stream(spark, tmp_path, fmt):
+    """A mid-stream TRUNCATE of the target wipes everything applied
+    before it; the final table equals the LWW replay of the SUFFIX
+    only. Replay after completion stays a no-op (exactly-once)."""
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    ev = gen_change_events(GenConfig(n_events=3000, n_conversations=120, seed=13))
+    ev2, fp = _inject_ddl_event(ev, 0.55, "TRUNCATE", "TRUNCATE TABLE chat.transcripts")
+    d = str(tmp_path / "in")
+    if fmt == "typed":
+        write_batches(ev2, d, n_batches=4)
+    else:
+        write_wire_batches(ev2, d, n_batches=4)
+    job = CdcApplyJob(
+        spark, d, str(tmp_path / "t"), n_buckets=8, source_format=fmt
+    )
+    job.run()
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(_suffix_after(ev2, fp)))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+    again = CdcApplyJob(spark, d, str(tmp_path / "t"), n_buckets=8, source_format=fmt)
+    assert all(s.skipped for s in again.run())
+
+
+def test_drop_table_raises_unless_ignored(spark, tmp_path):
+    ev = gen_change_events(GenConfig(n_events=800, n_conversations=50, seed=17))
+    ev2, _ = _inject_ddl_event(ev, 0.5, "DROP", "DROP TABLE chat.transcripts")
+    d = str(tmp_path / "in")
+    write_batches(ev2, d, n_batches=2)
+    job = CdcApplyJob(spark, d, str(tmp_path / "t1"), n_buckets=4)
+    with pytest.raises(RuntimeError, match="DROP"):
+        job.run()
+    # operator override: skip destructive DDL (the reference's own
+    # behavior — it only invalidates its meta cache) and apply the rest
+    job2 = CdcApplyJob(
+        spark, d, str(tmp_path / "t2"), n_buckets=4, on_destructive_ddl="ignore"
+    )
+    job2.run()
+    got = normalize(job2.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev2))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
