@@ -185,6 +185,34 @@ def offset_range(batch: DataFrame) -> dict:
     }
 
 
+def after_gtid_set(df: DataFrame, executed: str) -> DataFrame:
+    """GTID-set fencing: drop events whose transaction is inside the
+    executed set ``"server_uuid:lo-hi"`` (MySQL's interval-compressed
+    GTID-set form — a constant predicate, so this scales regardless of
+    how many transactions the set covers).
+
+    Equivalence contract (tested): when the position watermark sits at
+    a TRANSACTION BOUNDARY (B4/C4 — the only place the engine commits
+    one), fencing by ``(file, pos)`` and fencing by the executed-GTID
+    set select exactly the same DML suffix, because a transaction's
+    events are contiguous in the log and its COMMIT is its last event.
+    The reference itself discards GTID payloads and fences on position
+    only (``GtidLogEvent.java:30-37``); this operator closes the
+    north-star's "GTID+log-position offsets" vocabulary. Events without
+    a gtid (DDL — auto-committing, no Xid) pass through.
+    """
+    uuid, _, rng = executed.rpartition(":")
+    if "-" in rng:
+        lo_s, hi_s = rng.split("-", 1)
+        lo, hi = int(lo_s), int(hi_s)
+    else:
+        lo, hi = 1, int(rng)
+    g_uuid = F.substring_index(F.col("gtid"), ":", 1)
+    g_txn = F.split(F.col("gtid"), ":").getItem(1).cast("long")
+    inside = (g_uuid == uuid) & (g_txn >= lo) & (g_txn <= hi)
+    return df.filter(F.col("gtid").isNull() | ~inside)
+
+
 def after_watermark(df: DataFrame, file: str | None, pos: int | None) -> DataFrame:
     """Fencing predicate: only events strictly beyond the committed
     watermark. (file, pos) compare is lexicographic on the struct —

@@ -33,6 +33,13 @@ CHANGE_EVENT_SCHEMA = T.StructType(
         T.StructField("server_id", T.LongType(), True),
         T.StructField("ts", T.TimestampType(), True),
         T.StructField("xid", T.LongType(), True),
+        # GTID "server_uuid:txn_no" of the event's transaction. The
+        # reference decodes GTID events but DISCARDS the payload
+        # (mysql/dbsync/event/GtidLogEvent.java:30-37) and fences on
+        # (file,pos) only; we carry it so a GTID-set fence is available
+        # and provably equivalent at txn boundaries (operators.parse.
+        # after_gtid_set + tests). DDL events carry no gtid (faithful).
+        T.StructField("gtid", T.StringType(), True),
         T.StructField("op", T.StringType(), True),
         T.StructField("schema_name", T.StringType(), True),
         T.StructField("table_name", T.StringType(), True),

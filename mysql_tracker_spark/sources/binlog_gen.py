@@ -40,6 +40,9 @@ import pandas as pd
 
 BASE_TS = np.datetime64("2025-01-01T00:00:00")
 MAGIC_LEN = 4  # binlog file magic, mirrors the 4-byte 0xfe62696e header
+# fixed source-server UUID for GTID rendering ("uuid:txn_no"); one
+# server per stream, like the reference's single dump connection
+SERVER_UUID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
 
 
 @dataclass
@@ -244,9 +247,14 @@ def gen_change_events(cfg: GenConfig | None = None) -> pd.DataFrame:
     ev["before"] = before
     ev["after"] = after
 
+    # GTID = server_uuid : txn number (DDL has no xid -> no gtid,
+    # matching the reference discarding GTID payloads)
+    ev["gtid"] = np.where(
+        ev["xid"].notna(), SERVER_UUID + ":" + ev["xid"].astype("Int64").astype(str), None
+    )
     out = ev[
         [
-            "file", "pos", "row_idx", "server_id", "ts", "xid", "op",
+            "file", "pos", "row_idx", "server_id", "ts", "xid", "gtid", "op",
             "schema_name", "table_name", "is_ddl", "ddl_sql", "before", "after",
             "event_len",
         ]
@@ -451,9 +459,12 @@ def gen_typed_metric_events(
     secs = np.cumsum(rng.exponential(0.5, size=m)).astype("int64")
     out["ts"] = pd.Series(BASE_TS + secs.astype("timedelta64[s]")).dt.floor("s")
     out["xid"] = out["xid"].astype("Int64")
+    out["gtid"] = np.where(
+        out["xid"].notna(), SERVER_UUID + ":" + out["xid"].astype(str), None
+    )
     return out[
         [
-            "file", "pos", "row_idx", "server_id", "ts", "xid", "op",
+            "file", "pos", "row_idx", "server_id", "ts", "xid", "gtid", "op",
             "schema_name", "table_name", "is_ddl", "ddl_sql", "before", "after",
         ]
     ].copy()
@@ -530,6 +541,7 @@ def write_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> lis
             ("server_id", pa.int64()),
             ("ts", pa.timestamp("us")),
             ("xid", pa.int64()),
+            ("gtid", pa.string()),
             ("op", pa.string()),
             ("schema_name", pa.string()),
             ("table_name", pa.string()),

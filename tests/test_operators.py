@@ -89,3 +89,56 @@ def test_avro_flat_records_rules(spark):
     assert set(out["DELETE"]["current"].keys()) == {"conv_id", "turn_idx"}
     assert out["DELETE"]["source"]["text"] == "b"
     assert all(r["dbName"] == "mysql" and r["tableName"] == "transcripts" for r in out.values())
+
+
+def test_gtid_fence_equals_position_fence_at_txn_boundary(spark, tmp_path):
+    """north_star offset vocabulary: replaying from a position watermark
+    that sits at a transaction boundary selects exactly the same DML
+    suffix as fencing by the executed-GTID set (gtids are per-txn, the
+    COMMIT is a txn's last event, so the two vocabularies agree at
+    boundaries — and ONLY there, which is why the engine commits only
+    at them)."""
+    from mysql_tracker_spark.operators.parse import (
+        after_gtid_set,
+        after_watermark,
+        txn_end_position,
+    )
+    from mysql_tracker_spark.schema import CHANGE_EVENT_SCHEMA
+    from mysql_tracker_spark.sources.binlog_gen import (
+        SERVER_UUID,
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=2000, n_conversations=80, seed=21))
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=1)
+    df = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(d)
+    assert df.filter(F.col("gtid").isNotNull()).count() > 0
+
+    # watermark = last txn end of the first ~half of the log
+    half = df.orderBy("file", "pos", "row_idx").limit(df.count() // 2)
+    wm = txn_end_position(half)
+    assert wm is not None
+    executed_hi = (
+        df.filter(
+            F.struct("file", "pos")
+            <= F.struct(F.lit(wm[0]), F.lit(wm[1]).cast("long"))
+        )
+        .agg(F.max("xid"))
+        .collect()[0][0]
+    )
+    key = ["file", "pos", "row_idx"]
+    dml = F.col("op").isin("INSERT", "UPDATE", "DELETE")
+    by_pos = {
+        tuple(r) for r in after_watermark(df, wm[0], wm[1]).filter(dml).select(*key).collect()
+    }
+    by_gtid = {
+        tuple(r)
+        for r in after_gtid_set(df, f"{SERVER_UUID}:1-{executed_hi}")
+        .filter(dml)
+        .select(*key)
+        .collect()
+    }
+    assert by_pos == by_gtid and len(by_pos) > 0
