@@ -11,11 +11,16 @@ the CDC engine needs, from scratch, with public APIs only:
   properties; commit = exclusive-create (``O_EXCL``) of the next
   version file, which is atomic on POSIX → optimistic concurrency,
   readers always see a complete snapshot.
-* **hash bucketing** — rows are bucketed by ``xxhash64(key) % B``.
-  A MERGE reads and rewrites *only the buckets containing changed
-  keys* (copy-on-write); untouched buckets carry forward by manifest
-  reference. At 100 TB this bounds MERGE cost by the working set,
-  not the table size, exactly like Iceberg's bucket-partitioned
+* **hash bucketing** — rows are bucketed by Spark's Murmur3
+  ``hash(key) % B`` (see ``_bucket_expr`` for why that exact
+  function). The hash function is STAMPED in the manifest
+  (``bucket_hash``) at create() and verified at load(): merging into
+  a table whose rows were placed by a different hash would silently
+  leave changed keys' old rows un-anti-joined (duplicate keys, undead
+  deletes). A MERGE reads and rewrites *only the buckets containing
+  changed keys* (copy-on-write); untouched buckets carry forward by
+  manifest reference. At 100 TB this bounds MERGE cost by the working
+  set, not the table size, exactly like Iceberg's bucket-partitioned
   copy-on-write MERGE INTO.
 * **schema evolution** — each snapshot records the full schema plus a
   ``schema_id`` per data file. Readers group files by schema_id, read
@@ -45,6 +50,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 _BUCKET_COL = "__bucket"
+# identifier of the bucket-placement hash; bump ONLY with a migration
+# path (rewriting every bucket) — see module docstring
+_BUCKET_HASH_ID = "murmur3_42"
 
 
 def _bucket_expr(key_col: str | F.Column, n_buckets: int):
@@ -89,6 +97,7 @@ class LakeTable:
             "schemas": {"0": json.loads(schema.json())},
             "key_cols": key_cols,
             "bucket_by": bucket_by,
+            "bucket_hash": _BUCKET_HASH_ID,
             "n_buckets": n_buckets,
             # bucket -> list of {"path","schema_id","rows"}
             "buckets": {},
@@ -103,6 +112,17 @@ class LakeTable:
         t = cls(path)
         if t.current_version() is None:
             raise FileNotFoundError(f"no lakestore table at {path}")
+        # refuse tables placed by a different (or unstamped) bucket
+        # hash: merging with mismatched placement silently corrupts
+        # (changed keys' old rows are never anti-joined away)
+        stamped = t.manifest().get("bucket_hash")
+        if stamped != _BUCKET_HASH_ID:
+            raise ValueError(
+                f"lakestore table at {path} was bucketed with "
+                f"{stamped!r}, this engine places rows with "
+                f"{_BUCKET_HASH_ID!r} — MERGE would silently duplicate "
+                "keys. Rewrite the table (read + overwrite) to migrate."
+            )
         return t
 
     @staticmethod

@@ -87,6 +87,8 @@ class CdcApplyJob:
         start_pos: int | None = None,
         reset_policy: str | None = None,
         on_destructive_ddl: str = "raise",  # raise | ignore
+        filter_regex: str | None = None,
+        allowlist: list[tuple[str, str]] | None = None,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -111,6 +113,27 @@ class CdcApplyJob:
         self.start_pos = start_pos
         self.reset_policy = reset_policy
         self.on_destructive_ddl = on_destructive_ddl
+        # F1/F2 stream filters (reference filterRegex + filterMap,
+        # TrackerConf.java:206-216). This job applies ONE target table,
+        # so a filter that excludes the target is a misconfiguration:
+        # every event would be dropped and the job would silently
+        # commit empty batches forever — fail fast instead.
+        self.filter_regex = filter_regex
+        self.allowlist = [tuple(a) for a in allowlist] if allowlist else None
+        target = f"{schema_name}.{table_name}"
+        if filter_regex is not None:
+            import re as _re
+
+            anchored = filter_regex if filter_regex.startswith("^") else f"^(?:{filter_regex})$"
+            if not _re.match(anchored, target):
+                raise ValueError(
+                    f"filter_regex {filter_regex!r} excludes the target table "
+                    f"{target} — the apply job would drop every event"
+                )
+        if self.allowlist is not None and (schema_name, table_name) not in self.allowlist:
+            raise ValueError(
+                f"allowlist {self.allowlist!r} excludes the target table {target}"
+            )
         self.table: LakeTable | None = None
 
     @classmethod
@@ -133,6 +156,8 @@ class CdcApplyJob:
             start_pos=cfg.start_pos,
             reset_policy=policy,
             on_destructive_ddl=cfg.on_destructive_ddl,
+            filter_regex=cfg.filter_regex,
+            allowlist=cfg.allowlist or None,
         )
 
     # ------------------------------------------------------------- lifecycle
@@ -289,6 +314,18 @@ class CdcApplyJob:
                     "behavior) or retarget the job."
                 )
         return trunc_fp
+
+    def _stream_filters(self, df: DataFrame) -> DataFrame:
+        """F1/F2 predicates from the job config (no-ops when unset;
+        redundant with the single-target ``dml_for_table`` gate but
+        wired so a configured filter is honored in-plan, not ignored)."""
+        from .operators.filters import allowlist_filter, regex_name_filter
+
+        if self.filter_regex is not None:
+            df = regex_name_filter(df, self.filter_regex)
+        if self.allowlist is not None:
+            df = allowlist_filter(df, self.allowlist)
+        return df
 
     def _lww(self, keyed: DataFrame, payload_cols: list[str]) -> DataFrame:
         if self.n_salts > 0:
@@ -519,7 +556,7 @@ class CdcApplyJob:
             F.expr("substring(payload, 5, 1) IN (X'1E', X'1F', X'20')")
         )
         dec = decode_frames_kv(raw_dml)
-        dml = dml_for_table(dec, self.schema_name, self.table_name)
+        dml = dml_for_table(self._stream_filters(dec), self.schema_name, self.table_name)
         # keys from the tiny key_kv map (isKey columns), NOT the full
         # row image — the full after map is built only for LWW winners
         key_map = kv_to_map("key_kv")
@@ -678,7 +715,7 @@ class CdcApplyJob:
         schema = self.table.schema()
 
         # --- DML: filter -> LWW dedup on raw maps -> typed projection ---
-        dml = dml_for_table(batch, self.schema_name, self.table_name)
+        dml = dml_for_table(self._stream_filters(batch), self.schema_name, self.table_name)
         keyed = dml.select(
             F.element_at("after", "conv_id").alias("conv_id"),
             F.element_at("after", "turn_idx").cast("int").alias("turn_idx"),

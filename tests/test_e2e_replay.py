@@ -276,3 +276,36 @@ def test_drop_table_raises_unless_ignored(spark, tmp_path):
     got = normalize(job2.table.read(spark).toPandas())
     exp = normalize(expected_final_state(ev2))
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
+def test_config_filters_wired_and_validated(spark, tmp_path):
+    """F1/F2 from JobConfig are honored: a filter excluding the target
+    table fails fast (the job would silently drop every event);
+    an including filter leaves the apply result unchanged."""
+    from mysql_tracker_spark.config import JobConfig
+
+    ev = gen_change_events(GenConfig(n_events=800, n_conversations=50, seed=19))
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=2)
+    base = dict(input_dir=d, table_path=str(tmp_path / "t"), n_buckets=4)
+
+    with pytest.raises(ValueError, match="excludes the target"):
+        CdcApplyJob.from_config(
+            spark, JobConfig(**base, filter_regex=r"otherdb\..*")
+        )
+    with pytest.raises(ValueError, match="excludes the target"):
+        CdcApplyJob.from_config(
+            spark, JobConfig(**base, allowlist=[["otherdb", "noise_tbl"]])
+        )
+    job = CdcApplyJob.from_config(
+        spark,
+        JobConfig(
+            **base,
+            filter_regex=r"chat\..*",
+            allowlist=[["chat", "transcripts"]],
+        ),
+    )
+    job.run()
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])

@@ -138,3 +138,31 @@ def test_expire_snapshots_bounds_history_and_gc(spark, tmp_table_dir):
             if fn.endswith(".parquet"):
                 on_disk.add(os.path.relpath(os.path.join(root, fn), t.path))
     assert on_disk <= live
+
+
+def test_bucket_hash_stamped_and_verified(spark, tmp_path):
+    """The bucket-placement hash is stamped at create() and verified at
+    load(): a table placed by a different/unknown hash must be refused
+    (merging into it would silently duplicate keys)."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    p = str(tmp_path / "t")
+    schema = T.StructType([T.StructField("k", T.StringType()), T.StructField("v", T.LongType())])
+    t = LakeTable.create(p, schema, key_cols=["k"], bucket_by="k", n_buckets=4)
+    assert t.manifest()["bucket_hash"] == "murmur3_42"
+    assert LakeTable.load(p).manifest()["bucket_hash"] == "murmur3_42"
+    # simulate a table written by an older engine (different hash)
+    m = t.manifest()
+    m["version"] += 1
+    m["parent"] = m["version"] - 1
+    m["bucket_hash"] = "xxhash64_42"
+    with open(os.path.join(p, "snapshots", f"v{m['version']:08d}.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="bucketed with"):
+        LakeTable.load(p)
