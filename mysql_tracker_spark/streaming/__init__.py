@@ -1,5 +1,5 @@
 """Structured Streaming front-end for the CDC apply pipeline."""
 
-from .stream_runner import CdcStreamJob
+from .stream_runner import CdcStreamJob, Heartbeat
 
-__all__ = ["CdcStreamJob"]
+__all__ = ["CdcStreamJob", "Heartbeat"]

@@ -95,3 +95,85 @@ class CdcStreamJob:
         q = self.start(available_now=True)
         q.awaitTermination()
         return self.stats
+
+
+class Heartbeat:
+    """M4 heartbeat/liveness probe (reference:
+    ``HandlerMagpieKafka.java:754-816`` — a timer thread pings the
+    MySQL/Kafka/ZK connections and sets a reload flag on failure;
+    ``reload = close + prepare``, :1163-1167).
+
+    Spark analogue: probe the three liveness surfaces a CDC service
+    has here —
+
+    * **source**: the input directory is listable (the dump-connection
+      ping);
+    * **sink/checkpoint**: the lakestore manifest is readable and the
+      snapshot dir writable (the ZK/Kafka ping — sink and checkpoint
+      are one store in this engine);
+    * **progress**: the streaming query (when one is attached) is
+      active, exception-free, and has applied a batch within
+      ``stall_after_s`` (the reference's per-minute monitor noticing a
+      dead fetcher).
+
+    ``probe()`` returns the check map with ``reload_needed``;
+    ``reload()`` performs the reference's recovery — stop the query and
+    restart it from the same checkpoint — which is safe here precisely
+    because the apply path is exactly-once (fenced, idempotent), unlike
+    the reference's at-least-once reload window.
+    """
+
+    def __init__(self, stream_job: CdcStreamJob, stall_after_s: float = 600.0):
+        self.stream_job = stream_job
+        self.stall_after_s = stall_after_s
+        self.query = None
+
+    def attach(self, query) -> None:
+        self.query = query
+
+    def probe(self) -> dict:
+        import os
+        import time
+
+        job = self.stream_job.job
+        checks: dict = {}
+        try:
+            os.listdir(self.stream_job.input_dir)
+            checks["source_ok"] = True
+        except OSError:
+            checks["source_ok"] = False
+        try:
+            table = job.table
+            checks["sink_ok"] = (
+                table is not None
+                and table.manifest() is not None
+                and os.access(table.snap_dir, os.W_OK)
+            )
+        except (OSError, KeyError, ValueError):
+            checks["sink_ok"] = False
+        if self.query is not None:
+            alive = self.query.isActive and self.query.exception() is None
+            checks["query_alive"] = alive
+            last = max((s.batch_id for s in self.stream_job.stats), default=None)
+            last_ts = getattr(self, "_last_seen_ts", None)
+            if last != getattr(self, "_last_seen_batch", None):
+                self._last_seen_batch = last
+                self._last_seen_ts = time.time()
+                checks["progress_ok"] = True
+            else:
+                checks["progress_ok"] = (
+                    last_ts is None or (time.time() - last_ts) < self.stall_after_s
+                )
+        checks["reload_needed"] = not all(
+            v for k, v in checks.items() if k != "reload_needed"
+        )
+        return checks
+
+    def reload(self, available_now: bool = True):
+        """The reference's reload: close + prepare + resume from the
+        committed checkpoint. Returns the new query (also attached)."""
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+        q = self.stream_job.start(available_now=available_now)
+        self.attach(q)
+        return q

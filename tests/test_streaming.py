@@ -89,3 +89,38 @@ def test_stream_wire_format_matches_oracle(spark, tmp_path):
     got = normalize(job.job.table.read(spark).toPandas())
     exp = normalize(expected_final_state(ev))
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
+def test_heartbeat_probe_and_reload(spark, tmp_path):
+    """M4 heartbeat: healthy probe after a drain; source failure flips
+    reload_needed; reload() resumes from the committed checkpoint and
+    converges (exactly-once makes the reference's close+prepare safe)."""
+    from mysql_tracker_spark.streaming.stream_runner import Heartbeat
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=60, seed=23))
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=3)
+    sj = CdcStreamJob(
+        spark, d, str(tmp_path / "t"), str(tmp_path / "ck"), n_buckets=4
+    )
+    hb = Heartbeat(sj, stall_after_s=600)
+    q = sj.start(available_now=True)
+    hb.attach(q)
+    q.awaitTermination()
+    checks = hb.probe()
+    assert checks["source_ok"] and checks["sink_ok"]
+    assert not checks["reload_needed"] or not checks.get("query_alive", True)
+
+    # source failure -> reload flag (the reference's mysql-ping failure)
+    sj.input_dir = str(tmp_path / "gone")
+    bad = hb.probe()
+    assert not bad["source_ok"] and bad["reload_needed"]
+    sj.input_dir = d
+
+    # reference recovery: close + prepare + resume; table converges
+    q2 = hb.reload(available_now=True)
+    q2.awaitTermination()
+    got = normalize(sj.job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    cmp_cols = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
+    pd.testing.assert_frame_equal(got[cmp_cols], exp[cmp_cols])
