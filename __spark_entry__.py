@@ -317,6 +317,19 @@ def q_doc_ngram_jaccard_near_dups(spark, sf_dir):
     return SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7).orderBy("id_a", "id_b")
 
 
+def q_doc_ngram_jaccard_guarded(spark, sf_dir):
+    """The SCALE-parameter exact-Jaccard variant: stop-gram guard
+    active (max_df=200 — grams in more docs are excluded from the gram
+    universe, bounding the posting self-join fanout that makes the
+    unguarded variant O(per-gram df^2)). The oracle applies the
+    identical df filter in SQL, so the restricted-universe Jaccard is
+    fully driver-verified."""
+    d = _t(spark, sf_dir, "documents")
+    return SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7, max_df=200).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the exact n-gram
     Jaccard pair graph (iterative min-label propagation) -> the
@@ -660,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_centroid_norms": q_emb_centroid_norms,
         "doc_ngram_jaccard_near_dups": q_doc_ngram_jaccard_near_dups,
+        "doc_ngram_jaccard_guarded": q_doc_ngram_jaccard_guarded,
         "emb_cosine_near_dups": q_emb_cosine_near_dups,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         # rows-only (no SQL twin): sketches, media synth + the real engine
@@ -825,6 +839,32 @@ def oracle_sql() -> dict[str, str]:
                             ELSE list_transform(generate_series(1, len(w) - 2), j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) END AS grams
                 FROM norm),
             g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g0),
+            sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM g a JOIN g b USING (gram)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.7
+            ORDER BY id_a, id_b
+        """,
+        "doc_ngram_jaccard_guarded": r"""
+            WITH norm AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+                FROM documents),
+            g0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_transform(generate_series(1, len(w) - 2), j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) END AS grams
+                FROM norm),
+            g_all AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g0),
+            keep AS (SELECT gram FROM g_all GROUP BY gram HAVING count(*) <= 200),
+            g AS (SELECT g_all.* FROM g_all JOIN keep USING (gram)),
             sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -254,34 +254,32 @@ def ngram_jaccard_near_dups(
     intersection counts -> |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
 
     ``max_df`` (stop-gram guard): with it set, grams occurring in more
-    than ``max_df`` docs are excluded from CANDIDATE GENERATION only,
-    and each surviving candidate pair is verified with the exact
-    full-text Jaccard (:func:`jaccard_ngram`) — so reported scores are
-    still exact, and any pair whose every shared gram is a stop-gram
-    (similarity necessarily ≈ df/|union|, far below real thresholds)
-    is the only loss. Without it (default) the join is fully exact —
-    the *verification-grade* oracle variant, O(sum of per-gram df^2):
-    fine for audits, a scale-killer on corpora with boilerplate. At
-    corpus scale use :func:`minhash_near_dups` (banded LSH) or this
-    with ``max_df`` set.
+    than ``max_df`` docs are excluded from the GRAM UNIVERSE — both
+    the posting-list join (which is what blows up: the join is
+    O(per-gram df^2), so one boilerplate shingle shared by 10^5 docs
+    costs 10^10 pairs) and the size/union terms, so the reported value
+    is the EXACT Jaccard over the restricted universe (the standard
+    stop-word-filtered similarity convention; stop-grams carry ~no
+    signal, and a pair sharing ONLY stop-grams has true similarity far
+    below any real threshold anyway). Deterministic and
+    SQL-expressible — the driver oracle applies the same df filter.
+    Without it (default) the join is fully exact over all grams — the
+    *verification-grade* oracle variant: fine for audits, a
+    scale-killer on corpora with boilerplate. At corpus scale use
+    :func:`minhash_near_dups` (banded LSH) or this with ``max_df``.
     """
-    if max_df is not None:
-        cands = posting_candidates(docs, n, id_col, text_col, max_df)
-        d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
-        return (
-            cands.join(d.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
-            .join(d.withColumnsRenamed({"id": "id_b", "txt": "txt_b"}), "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.round(jaccard_ngram(F.col("txt_a"), F.col("txt_b"), n), 6).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
     g = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingle_grams_udf(n)(F.col(text_col)))).alias("gram"),
     )
+    if max_df is not None:
+        keep = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("gram")
+        )
+        g = g.join(keep, "gram")
     sizes = g.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = g.select(F.col("id").alias("id_a"), "gram")
     b = g.select(F.col("id").alias("id_b"), "gram")
