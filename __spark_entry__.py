@@ -233,6 +233,95 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def q_tpch_q5(spark, sf_dir):
+    """Local-supplier volume (TPC-H Q5 on the trimmed schema): 6-way
+    join customer-orders-lineitem-supplier-nation-region with the
+    supplier/customer same-nation constraint. The three dimension
+    tables broadcast; the fact joins shuffle on their keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice", 28, 6)
+                * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount", 18, 6))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_tpch_q4_exists(spark, sf_dir):
+    """Order-priority checking (TPC-H Q4 flavor): EXISTS subquery as a
+    LEFT SEMI join — orders in the window with at least one line
+    shipped after the order date."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q12_conditional(spark, sf_dir):
+    """Shipping-priority classes (TPC-H Q12 flavor): fact join +
+    conditional aggregation — per return flag, line counts split by
+    order-priority class."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join coverage (TPC-H Q22 flavor): customers with no order
+    since 2000, counted per nation (broadcast dim + left anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q_join_order_customer_nation(spark, sf_dir):
     """Broadcast dimension joins (reference D7 table-meta lookup ≈
     broadcast hash join)."""
@@ -422,22 +511,37 @@ def q_doc_minhash_near_dups(spark, sf_dir):
     A broken signature/banding/verify stage flips a boolean and the
     driver's value-hash comparison fails."""
     d = _t(spark, sf_dir, "documents")
-    rep = SK.minhash_near_dups(d, threshold=0.7).select("id_a", "id_b")
-    ex = SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7).select("id_a", "id_b")
+    # pair sets are tiny (tens of rows) — collect ONCE per pipeline and
+    # derive every property driver-side; per-property .count() actions
+    # would re-run the LSH/posting joins once each (measured 2x+ wall)
+    rep = {
+        (r.id_a, r.id_b)
+        for r in SK.minhash_near_dups(d, threshold=0.7).select("id_a", "id_b").collect()
+    }
+    ex = {
+        (r.id_a, r.id_b)
+        for r in SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7)
+        .select("id_a", "id_b")
+        .collect()
+    }
     fp = d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
-    dup = (
-        fp.alias("a")
+    dup = {
+        (r.id_a, r.id_b)
+        for r in fp.alias("a")
         .join(fp.alias("b"), "fp")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
-    n_dup = dup.count()
-    dups_missed = dup.join(rep, ["id_a", "id_b"], "left_anti").count()
-    spurious = rep.join(ex, ["id_a", "id_b"], "left_anti").count()
-    missed = ex.join(rep, ["id_a", "id_b"], "left_anti").count()
-    n_ex = ex.count()
+        .collect()
+    }
     return spark.createDataFrame(
-        [(n_dup, dups_missed == 0, spurious == 0, missed <= 0.2 * n_ex)],
+        [
+            (
+                len(dup),
+                len(dup - rep) == 0,
+                len(rep - ex) == 0,
+                len(ex - rep) <= 0.2 * len(ex),
+            )
+        ],
         "n_exact_dup_pairs bigint, all_exact_dups_found boolean, "
         "precision_ok boolean, recall_ok boolean",
     )
@@ -476,23 +580,29 @@ def q_doc_simhash_near_dups(spark, sf_dir):
         ["doc_id", "text"],
     )
     corpus = d.unionByName(plant)
-    rep = SK.simhash_near_dups(corpus, max_hamming=3).select("id_a", "id_b")
+    # single collect of the tiny pair list; properties derived
+    # driver-side (see q_doc_minhash_near_dups rationale)
+    rep_rows = SK.simhash_near_dups(corpus, max_hamming=3).select("id_a", "id_b").collect()
+    rep = {(r.id_a, r.id_b) for r in rep_rows}
     fp = d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
-    dup = (
-        fp.alias("a")
+    dup = {
+        (r.id_a, r.id_b)
+        for r in fp.alias("a")
         .join(fp.alias("b"), "fp")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
-    n_dup = dup.count()
-    dups_missed = dup.join(rep, ["id_a", "id_b"], "left_anti").count()
-    planted_found = rep.filter(
-        (F.col("id_a") == 10_000_000) & (F.col("id_b") == 10_000_001)
-    ).count()
-    n_rep = rep.count()
-    n_canon = rep.filter(F.col("id_a") < F.col("id_b")).distinct().count()
+        .collect()
+    }
+    canonical = len(rep) == len(rep_rows) and all(a < b for a, b in rep)
     return spark.createDataFrame(
-        [(n_dup, dups_missed == 0, planted_found == 1, n_canon == n_rep)],
+        [
+            (
+                len(dup),
+                len(dup - rep) == 0,
+                (10_000_000, 10_000_001) in rep,
+                canonical,
+            )
+        ],
         "n_exact_dup_pairs bigint, covers_exact_dups boolean, "
         "covers_planted boolean, pairs_canonical boolean",
     )
@@ -665,6 +775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q6_revenue": q_tpch_q6,
+        "tpch_q5_local_supplier": q_tpch_q5,
+        "tpch_q4_exists": q_tpch_q4_exists,
+        "tpch_q12_conditional": q_tpch_q12_conditional,
+        "customers_without_orders": q_customers_without_orders,
         "join_order_customer_nation": q_join_order_customer_nation,
         "doc_token_count": q_doc_token_count,
         "doc_fingerprint_dedup": q_doc_fingerprint_dedup,
@@ -773,6 +887,46 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) *
+                            (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "tpch_q4_exists": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q12_conditional": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "customers_without_orders": """
+            SELECT n_name, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+            GROUP BY n_name ORDER BY n_name
         """,
         "join_order_customer_nation": """
             SELECT n_name, count(*) AS n_orders,

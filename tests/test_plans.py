@@ -61,6 +61,18 @@ def test_whole_stage_codegen_present(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_tpch_q5_broadcasts_dims_no_python(spark):
+    df = entrymod.q_tpch_q5(spark, SF)
+    assert has_broadcast_join(df)
+    assert python_stage_count(df) == 0
+
+
+def test_anti_and_semi_joins_pure_jvm(spark):
+    for name in ["tpch_q4_exists", "customers_without_orders", "tpch_q12_conditional"]:
+        df = entrymod.queries()[name](spark, SF)
+        assert python_stage_count(df) == 0, name
+
+
 def test_seq_numbering_has_no_global_single_task_sort(spark):
     """B3 two-phase sequencing: the main data path must be a parallel
     range-repartition + within-partition sort, never a row_number over
