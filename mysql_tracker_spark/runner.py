@@ -42,6 +42,24 @@ from .operators.parse import after_watermark, typed_from_map
 from .schema import CHANGE_EVENT_SCHEMA, LOG_ORDER, TRANSCRIPTS_BASE_SCHEMA
 
 
+def write_input_manifest(input_dir: str, files: list[str] | None = None) -> str:
+    """Commit an input manifest (``_batches.json``) naming the files —
+    in log order — that :meth:`CdcApplyJob.batch_files` may consume.
+    ``files=None`` snapshots the current ``*.parquet`` listing. The
+    write is atomic (temp + rename), so a producer can extend the
+    manifest while a replay job runs: files beyond the manifest stay
+    invisible until the next commit — the input-side commit point."""
+    if files is None:
+        files = sorted(f for f in os.listdir(input_dir) if f.endswith(".parquet"))
+    names = [os.path.basename(f) for f in files]
+    target = os.path.join(input_dir, CdcApplyJob.INPUT_MANIFEST)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": names}, f)
+    os.replace(tmp, target)
+    return target
+
+
 @dataclass
 class ApplyStats:
     batch_id: int
@@ -344,12 +362,33 @@ class CdcApplyJob:
         keyed = keyed.repartition(*[F.col(c) for c in self.key_cols])
         return lww_latest(keyed, self.key_cols, payload_cols)
 
+    INPUT_MANIFEST = "_batches.json"
+
     def batch_files(self) -> list[list[str]]:
-        files = sorted(
-            os.path.join(self.input_dir, f)
-            for f in os.listdir(self.input_dir)
-            if f.endswith(".parquet")
-        )
+        """Pending input files in log order, grouped into micro-batches.
+
+        If the input dir carries a ``_batches.json`` manifest (written
+        by the producer via :func:`write_input_manifest` or an upstream
+        committer), it is the AUTHORITY: membership and order come from
+        it, and files not (yet) referenced are invisible — the input-
+        side analogue of Iceberg manifests. At real scale this is the
+        right interface: object-store directory listings are slow,
+        unordered, and racy against still-arriving files, while a
+        manifest is one small read and a producer-controlled commit
+        point. Without a manifest, falls back to a sorted local
+        directory listing (file names are offset-ordered by
+        construction)."""
+        man = os.path.join(self.input_dir, self.INPUT_MANIFEST)
+        if os.path.exists(man):
+            with open(man) as f:
+                names = json.load(f)["files"]
+            files = [os.path.join(self.input_dir, p) for p in names]
+        else:
+            files = sorted(
+                os.path.join(self.input_dir, f)
+                for f in os.listdir(self.input_dir)
+                if f.endswith(".parquet")
+            )
         k = self.files_per_batch
         return [files[i : i + k] for i in range(0, len(files), k)]
 

@@ -309,3 +309,29 @@ def test_config_filters_wired_and_validated(spark, tmp_path):
     got = normalize(job.table.read(spark).toPandas())
     exp = normalize(expected_final_state(ev))
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
+def test_input_manifest_gates_consumption(spark, tmp_path):
+    """`_batches.json` is the input-side commit point: only files the
+    manifest names are consumed; extending it (atomic rename) releases
+    the rest, and the resumed job converges to the full final state."""
+    from mysql_tracker_spark.runner import write_input_manifest
+
+    ev = gen_change_events(GenConfig(n_events=1000, n_conversations=50, seed=29))
+    d = str(tmp_path / "in")
+    paths = write_batches(ev, d, n_batches=4)
+    write_input_manifest(d, paths[:2])
+    p = str(tmp_path / "t")
+    job = CdcApplyJob(spark, d, p, n_buckets=4)
+    stats = job.run()
+    assert len(stats) == 2  # manifest hides the other two files
+    partial_rows = len(job.table.read(spark).toPandas())
+
+    write_input_manifest(d)  # producer commits the remaining files
+    resumed = CdcApplyJob(spark, d, p, n_buckets=4)
+    stats2 = resumed.run()
+    assert [s.skipped for s in stats2[:2]] == [True, True]
+    got = normalize(resumed.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+    assert partial_rows <= len(got)
