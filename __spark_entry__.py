@@ -6,9 +6,15 @@ oracle twin. Aggregates over money/measure columns are computed in
 DECIMAL first (exact, order-independent) and cast to double at the
 end so Spark and DuckDB hash identically.
 
-Non-SQL-expressible entries (MinHash/SimHash LSH, hyperplane ANN, the
-full CDC replay engine) are rows-only checks here and have rigorous
-pytest oracles in tests/.
+Non-SQL-expressible computations (MinHash/SimHash LSH, hyperplane/IVF
+ANN) are driver-verified through PROPERTY oracles: the query emits
+values the oracle can independently derive in SQL (exact-duplicate
+pair counts, expected query ids) plus verification booleans computed
+against exact in-engine re-derivations (recall vs brute force, cosine
+recomputation, planted-pair coverage) — deterministic for the fixed
+seeds/corpus, so the driver's value-hash check is a real gate. The
+flagship CDC replay is fully oracled via a flat event dump + LWW SQL.
+Only media_features stays rows-only (the documented codec seam).
 """
 
 from __future__ import annotations
