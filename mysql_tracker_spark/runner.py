@@ -107,6 +107,7 @@ class CdcApplyJob:
         on_destructive_ddl: str = "raise",  # raise | ignore
         filter_regex: str | None = None,
         allowlist: list[tuple[str, str]] | None = None,
+        expire_keep_last: int | None = None,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -131,6 +132,13 @@ class CdcApplyJob:
         self.start_pos = start_pos
         self.reset_policy = reset_policy
         self.on_destructive_ddl = on_destructive_ddl
+        # snapshot retention: a long-running job commits >=1 snapshot
+        # per micro-batch — unbounded metadata + unreclaimed rewritten
+        # files without expiry. When set, expire down to the newest
+        # `expire_keep_last` snapshots after each applied batch
+        # (Iceberg's expire_snapshots maintenance, inlined; time travel
+        # stays available inside the retained window).
+        self.expire_keep_last = expire_keep_last
         # F1/F2 stream filters (reference filterRegex + filterMap,
         # TrackerConf.java:206-216). This job applies ONE target table,
         # so a filter that excludes the target is a misconfiguration:
@@ -661,6 +669,8 @@ class CdcApplyJob:
         stats.wall_ms = int((time.time() - t0) * 1000)
         if m["max_ts_s"] is not None:
             stats.lag_s = time.time() - float(m["max_ts_s"])
+        if self.expire_keep_last is not None:
+            self.table.expire_snapshots(keep_last=self.expire_keep_last)
         self._append_lineage(stats)
         return stats
 
@@ -795,6 +805,8 @@ class CdcApplyJob:
         stats.wall_ms = int((time.time() - t0) * 1000)
         if rng["max_ts"] is not None:
             stats.lag_s = time.time() - rng["max_ts"].timestamp()
+        if self.expire_keep_last is not None:
+            self.table.expire_snapshots(keep_last=self.expire_keep_last)
         self._append_lineage(stats)
         return stats
 

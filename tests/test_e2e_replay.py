@@ -335,3 +335,25 @@ def test_input_manifest_gates_consumption(spark, tmp_path):
     exp = normalize(expected_final_state(ev))
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
     assert partial_rows <= len(got)
+
+
+def test_auto_expire_bounds_snapshots_and_reclaims_files(spark, tmp_path):
+    """expire_keep_last: per-batch commits don't accumulate unbounded
+    metadata; rewritten buckets' old files are reclaimed; correctness
+    and replay fencing (watermark lives in the CURRENT snapshot) hold."""
+    import os
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=60, seed=37))
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=5)
+    p = str(tmp_path / "t")
+    job = CdcApplyJob(spark, d, p, n_buckets=4, expire_keep_last=2)
+    job.run()
+    snaps = [f for f in os.listdir(os.path.join(p, "snapshots")) if f.endswith(".json")]
+    assert len(snaps) <= 2
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+    # fencing survives expiry: full rerun is a no-op
+    again = CdcApplyJob(spark, d, p, n_buckets=4, expire_keep_last=2)
+    assert all(s.skipped for s in again.run())
