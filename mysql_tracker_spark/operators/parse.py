@@ -79,6 +79,17 @@ def avro_flat_records(
         .when(F.col("op").isin("INSERT", "UPDATE"), F.col("after"))
         .otherwise(empty)
     )
+    # per-column `updated` flag (reference Column.updated,
+    # LogEventConvert.isUpdate :584-611: set on after-image columns
+    # whose value differs from the before image, or on every column of
+    # an INSERT): emitted as the array of changed column names —
+    # map-of-bools carries no more information and scans worse
+    cur = F.coalesce(current, empty)
+    bef = F.coalesce(F.col("before"), empty)
+    changed = F.filter(
+        F.map_keys(cur),
+        lambda k: ~F.element_at(bef, k).eqNullSafe(F.element_at(cur, k)),
+    )
     return events.select(
         F.lit(dbname).alias("dbName"),
         F.col("schema_name").alias("schema"),
@@ -87,7 +98,10 @@ def avro_flat_records(
         F.unix_millis("ts").alias("dbOptTimestamp"),
         F.col("ddl_sql").alias("ddlSql"),
         F.coalesce(source, empty).alias("source"),
-        F.coalesce(current, empty).alias("current"),
+        cur.alias("current"),
+        F.when(F.col("op").isin("INSERT", "UPDATE"), F.array_sort(changed))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("updatedColumns"),
     )
 
 

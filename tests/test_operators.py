@@ -89,6 +89,12 @@ def test_avro_flat_records_rules(spark):
     assert set(out["DELETE"]["current"].keys()) == {"conv_id", "turn_idx"}
     assert out["DELETE"]["source"]["text"] == "b"
     assert all(r["dbName"] == "mysql" and r["tableName"] == "transcripts" for r in out.values())
+    # per-column updated flag (LogEventConvert.isUpdate :584-611):
+    # UPDATE marks only the changed column; INSERT marks every column;
+    # DELETE marks none
+    assert out["UPDATE"]["updatedColumns"] == ["text"]
+    assert out["INSERT"]["updatedColumns"] == ["conv_id", "text", "turn_idx"]
+    assert out["DELETE"]["updatedColumns"] == []
 
 
 def test_gtid_fence_equals_position_fence_at_txn_boundary(spark, tmp_path):
