@@ -39,6 +39,20 @@ def main() -> None:
     )
     ap.add_argument("--streaming", action="store_true", help="tail via Structured Streaming")
     ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    ap.add_argument(
+        "--config", default=None,
+        help="JobConfig JSON path (filters, position override, policies) — "
+        "other flags override its fields",
+    )
+    ap.add_argument(
+        "--expire-keep-last", type=int, default=None,
+        help="snapshot retention: expire down to the newest N snapshots "
+        "after each applied batch",
+    )
+    ap.add_argument(
+        "--on-destructive-ddl", default=None, choices=["raise", "ignore"],
+        help="policy for DROP/RENAME of the target table",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,14 +74,30 @@ def main() -> None:
     else:
         from mysql_tracker_spark.runner import CdcApplyJob
 
-        job2 = CdcApplyJob(
-            spark,
-            args.input,
-            args.table,
-            n_buckets=args.buckets,
-            files_per_batch=args.files_per_batch,
-            source_format=args.format,
-        )
+        if args.config:
+            from mysql_tracker_spark.config import JobConfig
+
+            cfg = JobConfig.load(args.config)
+            cfg.input_dir = args.input or cfg.input_dir
+            cfg.table_path = args.table or cfg.table_path
+            cfg.source_format = args.format or cfg.source_format
+            cfg.n_buckets = args.buckets or cfg.n_buckets
+            cfg.files_per_batch = args.files_per_batch or cfg.files_per_batch
+            if args.on_destructive_ddl:
+                cfg.on_destructive_ddl = args.on_destructive_ddl
+            job2 = CdcApplyJob.from_config(spark, cfg)
+        else:
+            job2 = CdcApplyJob(
+                spark,
+                args.input,
+                args.table,
+                n_buckets=args.buckets,
+                files_per_batch=args.files_per_batch,
+                source_format=args.format,
+                on_destructive_ddl=args.on_destructive_ddl or "raise",
+            )
+        if args.expire_keep_last is not None:
+            job2.expire_keep_last = args.expire_keep_last
         if args.reset_policy:
             probe = job2.validate_position(reset_policy=args.reset_policy)
             print(json.dumps({"position_probe": probe}), file=sys.stderr)
