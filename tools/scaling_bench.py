@@ -135,12 +135,12 @@ def main():
         return
 
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
-    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n_high = n_low * 4
     levels = [n_low, n_high]
-    extra = 32
-    if extra not in levels:
-        levels.append(extra)  # context datapoint (hardware-ceiling regime)
+    for extra in (8, 32):  # context datapoints (shared-DRAM regime)
+        if extra not in levels:
+            levels.append(extra)
 
     from mysql_tracker_spark.session import get_spark
     from mysql_tracker_spark.sources.wire import write_wire_distributed
