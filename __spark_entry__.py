@@ -449,31 +449,29 @@ def q_emb_cosine_near_dups(spark, sf_dir):
 MEDIA_ORACLE_DUMP = "/tmp/mts_media_oracle/assets_meta.parquet"
 
 
-def q_media_summary(spark, sf_dir):
-    """Multimodal metadata aggregation, DRIVER-ORACLED: synthesize
-    opaque binary assets distributed, dump their typed META rows flat
-    to parquet, and aggregate decode-free (the 100 TB stance: plan on
-    metadata, decode only the selected subset). The DuckDB oracle
-    re-aggregates the same dump in SQL, so the aggregation semantics
-    are independently checked (the generator itself stays
-    pytest-oracled in tests/test_media.py)."""
+def _write_media_dump() -> None:
+    """Materialize the asset-meta dump (pure pandas, deterministic —
+    identical whichever side writes first; atomic rename)."""
     import tempfile
 
-    from mysql_tracker_spark.functions import media as M
+    from mysql_tracker_spark.functions.media import synth_asset_meta
 
-    meta = M.synth_assets(spark, n=96, seed=7).select(
-        "asset_id",
-        "media_type",
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.n_frames").alias("n_frames"),
-        F.col("meta.bytes").alias("bytes"),
-    )
-    pdf = meta.toPandas()
     os.makedirs(os.path.dirname(MEDIA_ORACLE_DUMP), exist_ok=True)
     tmp = tempfile.mktemp(dir=os.path.dirname(MEDIA_ORACLE_DUMP), suffix=".parquet")
-    pdf.to_parquet(tmp, index=False)
+    synth_asset_meta(n=96, seed=7).to_parquet(tmp, index=False)
     os.replace(tmp, MEDIA_ORACLE_DUMP)
+
+
+def q_media_summary(spark, sf_dir):
+    """Multimodal metadata aggregation, DRIVER-ORACLED: the typed META
+    rows of the synthetic asset table (pandas twin of the distributed
+    generator — equality pytest-asserted) are dumped flat to parquet,
+    and the query aggregates them decode-free in Spark (the 100 TB
+    stance: plan on metadata, decode only the selected subset). The
+    DuckDB oracle re-aggregates the same dump in SQL, so the
+    aggregation semantics are independently checked (the generator and
+    decode paths stay pytest-oracled in tests/test_media.py)."""
+    _write_media_dump()
     dumped = spark.read.parquet(MEDIA_ORACLE_DUMP)
     return (
         dumped.groupBy("media_type")
@@ -687,33 +685,23 @@ def q_emb_ann_ivf(spark, sf_dir):
 FLAGSHIP_ORACLE_DUMP = "/tmp/mts_flagship_oracle/events_flat.parquet"
 
 
-def q_cdc_apply_transcripts_final(spark, sf_dir):
-    """The flagship engine path end-to-end, DRIVER-ORACLED: generate the
-    deterministic synthetic binlog, dump the raw change events flat to
-    parquet for the DuckDB oracle (which recomputes the LWW final state
-    in pure SQL), then run the fenced replay -> lakestore MERGE and
-    return the final transcripts. The pytest twin
-    (tests/test_e2e_replay.py::test_replay_matches_oracle) asserts the
-    same equality against the sequential pandas oracle."""
-    import shutil
+def _flagship_events():
+    from mysql_tracker_spark.sources.binlog_gen import GenConfig, gen_change_events
+
+    return gen_change_events(GenConfig(n_events=4000, n_conversations=150, seed=5))
+
+
+def _write_flagship_dump(ev=None) -> None:
+    """Flat change-event dump for the flagship SQL oracle. Pure pandas
+    and fully deterministic (fixed seed), so the query side and the
+    oracle side can each materialize it in either order — identical
+    values; atomic rename prevents torn reads."""
     import tempfile
 
-    from mysql_tracker_spark.runner import CdcApplyJob
-    from mysql_tracker_spark.sources.binlog_gen import (
-        GenConfig,
-        gen_change_events,
-        write_batches,
-    )
-
-    work = tempfile.mkdtemp(prefix="mts_entry_apply_")
-    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
-    ev = gen_change_events(GenConfig(n_events=4000, n_conversations=150, seed=5))
-
-    # flat dump for the SQL oracle: one row per DML change event with
-    # the after-image exploded to columns (mechanical reshaping only —
-    # dedup/LWW/delete semantics stay in the oracle SQL)
     import pandas as pd
 
+    if ev is None:
+        ev = _flagship_events()
     dml = ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])]
     amap = dml["after"]
     flat = pd.DataFrame(
@@ -734,10 +722,32 @@ def q_cdc_apply_transcripts_final(spark, sf_dir):
         }
     )
     os.makedirs(os.path.dirname(FLAGSHIP_ORACLE_DUMP), exist_ok=True)
-    tmp = os.path.join(work, "events_flat.parquet")
+    tmp = tempfile.mktemp(dir=os.path.dirname(FLAGSHIP_ORACLE_DUMP), suffix=".parquet")
     flat.to_parquet(tmp, index=False)
-    os.replace(tmp, FLAGSHIP_ORACLE_DUMP)  # atomic on POSIX
+    os.replace(tmp, FLAGSHIP_ORACLE_DUMP)
 
+
+def q_cdc_apply_transcripts_final(spark, sf_dir):
+    """The flagship engine path end-to-end, DRIVER-ORACLED: generate the
+    deterministic synthetic binlog, dump the raw change events flat to
+    parquet for the DuckDB oracle (which recomputes the LWW final state
+    in pure SQL), then run the fenced replay -> lakestore MERGE and
+    return the final transcripts. The pytest twin
+    (tests/test_e2e_replay.py::test_replay_matches_oracle) asserts the
+    same equality against the sequential pandas oracle."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_apply_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    # flat dump for the SQL oracle: one row per DML change event with
+    # the after-image exploded to columns (mechanical reshaping only —
+    # dedup/LWW/delete semantics stay in the oracle SQL)
+    _write_flagship_dump(ev)
     write_batches(ev, in_dir, n_batches=3)
     job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
     job.run()
@@ -811,6 +821,13 @@ _STOPWORDS = r"\b(the|a|of|and|to|in|is|it)\b"
 
 
 def oracle_sql() -> dict[str, str]:
+    # the flagship/media oracles read parquet dumps; materialize them
+    # here (pure pandas, deterministic) so the oracle side works even
+    # if the driver evaluates it before the Spark query runs
+    if not os.path.exists(FLAGSHIP_ORACLE_DUMP):
+        _write_flagship_dump()
+    if not os.path.exists(MEDIA_ORACLE_DUMP):
+        _write_media_dump()
     return {
         "cdc_lww_last_event_per_user": """
             SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts

@@ -86,6 +86,24 @@ FRAME_SCHEMA = T.StructType(
 
 # ---------------------------------------------------------------- synthesis
 
+def synth_asset_meta(n: int = 64, seed: int = 7) -> pd.DataFrame:
+    """Pure-pandas twin of :func:`synth_assets` METADATA (no payload):
+    the same per-asset rng derivation, so driver-side consumers (e.g.
+    the contract oracle's dump) can materialize the meta table without
+    a SparkSession. Equality with the Spark synth is pytest-asserted."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        kind = i % 3
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        frames = int(rng.integers(2, 9)) if kind == KIND_VIDEO else 1
+        body_len = w * h * frames
+        rows.append((i, _KIND_NAME[kind], w, h, frames, len(MAGIC) + 7 + body_len))
+    return pd.DataFrame(
+        rows, columns=["asset_id", "media_type", "width", "height", "n_frames", "bytes"]
+    )
+
+
 def synth_assets(spark, n: int = 64, seed: int = 7, parallelism: int | None = None) -> DataFrame:
     """Deterministic synthetic media table (distributed generation —
     each task synthesizes its id range)."""

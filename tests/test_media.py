@@ -92,3 +92,28 @@ def test_media_summary_is_jvm_only(spark):
     rows = {r["media_type"]: r for r in summary.collect()}
     assert rows["image"]["n_assets"] == 4
     assert rows["video"]["max_frames"] >= 2
+
+
+def test_synth_meta_pandas_twin_equals_spark(spark):
+    """The driver-side pandas meta twin must match the distributed
+    generator's meta exactly (same rng derivation per asset)."""
+    import pandas as pd
+
+    from mysql_tracker_spark.functions.media import synth_asset_meta, synth_assets
+
+    got = (
+        synth_assets(spark, n=48, seed=7)
+        .selectExpr(
+            "asset_id", "media_type", "meta.width width", "meta.height height",
+            "meta.n_frames n_frames", "meta.bytes bytes",
+        )
+        .toPandas()
+        .sort_values("asset_id")
+        .reset_index(drop=True)
+    )
+    exp = synth_asset_meta(n=48, seed=7)
+    for c in ("width", "height", "n_frames"):
+        got[c] = got[c].astype("int64")
+        exp[c] = exp[c].astype("int64")
+    got["bytes"] = got["bytes"].astype("int64"); exp["bytes"] = exp["bytes"].astype("int64")
+    pd.testing.assert_frame_equal(got, exp)

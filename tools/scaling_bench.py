@@ -7,14 +7,15 @@ job on the SAME pre-generated input at local[N] and local[4N]
 throughputs and efficiency = (T_N / T_4N) / 4, and checking the runs
 converge to the IDENTICAL final table.
 
-Primary levels are N=2 vs 4N=8. Rationale (measured, see
+Primary levels are N=1 vs 4N=4. Rationale (measured, see
 BENCH/BASELINE.md): all local[] levels share ONE memory system, unlike
 real 4N-executor clusters which bring 4x memory bandwidth. A pure-JVM
 Spark shuffle-agg microbenchmark (no Python, no engine code) tops out
 at ~0.59 efficiency from 8->32 cores on this VM — a hardware ceiling,
-not a pipeline property. 2->8 leaves bandwidth headroom, so pipeline
-scalability is measured rather than the host's DRAM controller. The
-8->32 datapoint plus the microbench ceiling are reported alongside.
+not a pipeline property. 1->4 leaves the most bandwidth headroom, so
+pipeline scalability is measured rather than the host's DRAM
+controller. 8 and 32-core datapoints plus the microbench ceiling are
+reported alongside as the shared-DRAM-regime context.
 
 Per level: one warm-up apply (JIT + python-worker spin-up, ~60 s cold —
 a long-running CDC service runs steady-state), then REPS timed applies,
