@@ -71,6 +71,73 @@ def lww_latest_salted(
     return glob.select(*key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
 
 
+_OP_CODE = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+
+
+def lww_latest_packed(
+    df: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    kv_col: str = "after_kv",
+) -> DataFrame:
+    """LWW dedup with MAP-SIDE PARTIAL AGGREGATION via the
+    packed-argmax trick: the order key and payload are packed into ONE
+    string whose lexicographic order equals the log order::
+
+        file ++ lpad(pos,12) ++ lpad(row_idx,6) ++ 0x01 ++ opcode ++ kv
+
+    and the winner is a plain ``max(string)``. Var-length agg buffers
+    still plan as SortAggregate (strings are not UnsafeRow-mutable),
+    BUT unlike ``max_by(struct_payload, struct_order)`` — whose
+    repartition workaround sorts and shuffles EVERY event — this
+    compiles to partial+final aggregation: each input partition emits
+    at most one packed row per key before the exchange, so the shuffle
+    carries the key set, not the event stream, and hot keys collapse
+    BEFORE the shuffle (no explicit salting needed on this path).
+
+    Measured (alternating A/B, 20.2M rows, local[32]): equal wall to
+    the repartition+max_by plan on the default workload (keys are
+    mostly unique per batch, so there is little to combine and the
+    pre-shuffle sort offsets the shuffle saving) — the pipeline-only
+    dedup segment alone runs ~1.5x faster. Chosen as the default for
+    the SKEW story: a flooded (conv_id, turn_idx) key collapses
+    map-side here, while the repartition plan funnels the whole flood
+    through one task.
+
+    Prefix-order invariants (both already engine-wide): binlog file
+    names within a stream are equal-length ASCII (rotation ordering is
+    lexicographic everywhere, see ``after_watermark``), and positions
+    fit 12 digits / row_idx 6 digits. The op rides as a single
+    character, so the payload after the 0x01 separator may contain any
+    bytes. Ties are impossible (the log order is total; exact
+    duplicate frames pack identically).
+
+    Returns ``key_cols + [op_col, kv_col]`` like :func:`lww_latest`.
+    """
+    ordk = F.concat(
+        F.col("file"),
+        F.lpad(F.col("pos").cast("string"), 12, "0"),
+        F.lpad(F.col("row_idx").cast("string"), 6, "0"),
+    )
+    op_code = (
+        F.when(F.col(op_col) == "INSERT", F.lit("I"))
+        .when(F.col(op_col) == "UPDATE", F.lit("U"))
+        .otherwise(F.lit("D"))
+    )
+    packed = F.concat(ordk, F.lit("\x01"), op_code, F.col(kv_col))
+    agg = df.groupBy(*key_cols).agg(F.max(packed).alias("__w"))
+    sep = F.locate("\x01", F.col("__w"))
+    op_back = F.substring(F.col("__w"), sep + 1, 1)
+    return agg.select(
+        *key_cols,
+        F.when(op_back == "I", F.lit("INSERT"))
+        .when(op_back == "U", F.lit("UPDATE"))
+        .otherwise(F.lit("DELETE"))
+        .alias(op_col),
+        F.col("__w").substr(sep + 2, F.length("__w")).alias(kv_col),
+    )
+
+
 def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """Exact duplicate elimination (replayed frames). Hash-based
     ``dropDuplicates`` — safe because replayed frames are bytewise

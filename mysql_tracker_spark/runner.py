@@ -614,7 +614,17 @@ class CdcApplyJob:
             "op",
             "after_kv",
         )
-        latest = self._lww(keyed, ["op", "after_kv"])
+        if self.n_salts > 0:
+            latest = self._lww(keyed, ["op", "after_kv"])
+        else:
+            # packed-argmax partial+final aggregation: hot keys
+            # collapse map-side instead of flooding one shuffle task
+            # (equal wall on uniform keys, strictly better under skew —
+            # see operators.dedup.lww_latest_packed). The explicit
+            # salted variant stays honored above.
+            from .operators.dedup import lww_latest_packed
+
+            latest = lww_latest_packed(keyed, self.key_cols)
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
             *self.key_cols,

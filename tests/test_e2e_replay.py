@@ -123,6 +123,18 @@ def test_salted_dedup_identical_under_extreme_skew(spark, tmp_path):
     pd.testing.assert_frame_equal(a[CMP], b[CMP])
     exp = normalize(expected_final_state(ev))
     pd.testing.assert_frame_equal(b[CMP], exp[CMP])
+    # wire path under the same skew: packed-argmax LWW (map-side
+    # collapse of the hot key) produces the identical table too
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    dw = str(tmp_path / "inw")
+    write_wire_batches(ev, dw, n_batches=3)
+    packed = CdcApplyJob(
+        spark, dw, str(tmp_path / "c"), n_buckets=8, source_format="wire"
+    )
+    packed.run()
+    c = normalize(packed.table.read(spark).toPandas())
+    pd.testing.assert_frame_equal(c[CMP], exp[CMP])
 
 
 def test_invalid_position_detect_and_reset(spark, stream, tmp_path):

@@ -148,3 +148,47 @@ def test_gtid_fence_equals_position_fence_at_txn_boundary(spark, tmp_path):
         .collect()
     }
     assert by_pos == by_gtid and len(by_pos) > 0
+
+
+def test_lww_packed_equals_max_by(spark, tmp_path):
+    """The packed-argmax hash-agg LWW must pick exactly the same
+    winners as the max_by(struct) formulation, including under replay
+    duplicates and payloads containing the 0x01 separator byte."""
+    from mysql_tracker_spark.operators.dedup import lww_latest, lww_latest_packed
+
+    rows = []
+    for i in range(400):
+        rows.append((
+            f"bin.{1 + i // 200:06d}", 100 + i, i % 3,
+            f"c{i % 17}", i % 5,
+            ["INSERT", "UPDATE", "DELETE"][i % 3],
+            f"k\x1dv{i}\x01with_sep",  # payload may contain \x01
+        ))
+    rows += rows[50:80]  # replay duplicates
+    df = spark.createDataFrame(
+        rows, "file string, pos long, row_idx int, conv_id string, "
+        "turn_idx int, op string, after_kv string",
+    )
+    keys = ["conv_id", "turn_idx"]
+    a = {tuple(r) for r in lww_latest(df, keys, ["op", "after_kv"]).collect()}
+    b = {tuple(r) for r in lww_latest_packed(df, keys).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_lww_packed_plan_has_map_side_partial_agg(spark):
+    """The scale property of the packed formulation: a PARTIAL
+    aggregate below the exchange (shuffle carries <=1 row per key per
+    partition, hot keys collapse pre-shuffle) — the repartition+max_by
+    plan shuffles every event with no partial agg."""
+    from mysql_tracker_spark.operators.dedup import lww_latest_packed
+    from mysql_tracker_spark.plans.checks import explain_str
+
+    df = spark.createDataFrame(
+        [("bin.000001", 4, 0, "c1", 1, "INSERT", "x")],
+        "file string, pos long, row_idx int, conv_id string, turn_idx int, "
+        "op string, after_kv string",
+    )
+    txt = explain_str(lww_latest_packed(df, ["conv_id", "turn_idx"]), "simple")
+    assert "partial_max" in txt, txt
+    # the exchange must sit ABOVE the partial aggregate
+    assert txt.index("Exchange") < txt.index("partial_max"), txt
