@@ -182,6 +182,56 @@ def q_cdc_rollup_type_hour(spark, sf_dir):
     )
 
 
+def q_cdc_sessionization(spark, sf_dir):
+    """lead/lag window coverage: per-user sessionization — a new
+    session starts when the gap to the previous event exceeds 30
+    minutes (classic event-stream segmentation; reference analogue:
+    the per-minute monitor windows, generalized)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC so the
+    # cast is value-preserving
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lagged = ev.select(
+        "user_id", "ts", "event_id", us.alias("__us"), F.lag(us).over(w).alias("__prev")
+    )
+    gap_us = F.col("__us") - F.col("__prev")
+    marked = lagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.select(
+        "user_id", F.sum("new_sess").over(w).alias("session_id"), "event_id"
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_doc_top_terms(spark, sf_dir):
+    """Explode + aggregation + deterministic top-k: the 20 most
+    frequent normalized tokens across the corpus (term-frequency
+    table, the seed of any tokenizer/quality pipeline)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(TX.normalize_text(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
 # =========================================================================
 # Relational coverage (joins/aggregations/sorts) — TPC-H-ish
 # =========================================================================
@@ -788,6 +838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_running_total_per_user": q_cdc_running_total_per_user,
         "cdc_click_purchase_same_hour": q_cdc_click_purchase_same_hour,
         "cdc_rollup_type_hour": q_cdc_rollup_type_hour,
+        "cdc_sessionization": q_cdc_sessionization,
+        "doc_top_terms": q_doc_top_terms,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q6_revenue": q_tpch_q6,
@@ -883,6 +935,31 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollup_type_hour": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
             FROM events GROUP BY ROLLUP (event_type, hour)
+        """,
+        "cdc_sessionization": """
+            SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                  OR epoch_us(ts) - epoch_us(
+                                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events))
+            GROUP BY user_id
+        """,
+        "doc_top_terms": r"""
+            SELECT tok, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(
+                    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+                    ' ')) AS tok
+                FROM documents)
+            WHERE tok <> ''
+            GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20
         """,
         "tpch_q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
