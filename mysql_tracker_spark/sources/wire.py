@@ -492,6 +492,7 @@ def write_wire_distributed(
     base_seed: int = 42,
     n_conversations: int | None = None,
     row_group_size: int = 16384,
+    gen_kwargs: dict | None = None,
 ) -> list[str]:
     """Generate + encode the synthetic binlog IN PARALLEL on the
     executors: one Spark task per chunk, each producing a deterministic,
@@ -525,6 +526,7 @@ def write_wire_distributed(
                     n_conversations=n_conv,
                     seed=base_seed + int(c),
                     file_base=int(c) * 1000,
+                    **(gen_kwargs or {}),
                 )
                 frames = gen_change_events(cfg)
                 enc = encode_frames(frames)

@@ -53,6 +53,11 @@ def main() -> None:
         "--on-destructive-ddl", default=None, choices=["raise", "ignore"],
         help="policy for DROP/RENAME of the target table",
     )
+    ap.add_argument(
+        "--salts", type=int, default=0,
+        help="explicit two-phase salted LWW for single-key floods "
+        "(see BENCH/BASELINE.md hot-key section); 0 = packed default",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -95,6 +100,7 @@ def main() -> None:
                 files_per_batch=args.files_per_batch,
                 source_format=args.format,
                 on_destructive_ddl=args.on_destructive_ddl or "raise",
+                n_salts=args.salts,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last
