@@ -36,6 +36,17 @@ driver-side DDL-frame decode).
 Event type codes follow the reference's constants
 (``mysql/dbsync/LogEvent.java:115-214``): QUERY=2, XID=16,
 WRITE_ROWS=30, UPDATE_ROWS=31, DELETE_ROWS=32.
+
+CHARSET INVARIANT: frame bodies are UTF-8 by format definition — the
+producer renders values to text before framing, so per-column charset
+handling (the reference's ``CharsetConversion``/``getFullString``
+machinery over raw column bytes) happens upstream of this wire format.
+Decoding captured MySQL row images with their real per-column
+collations is the job of :mod:`mysql_tracker_spark.sources.mysql_types`
+(``charset_decode`` + the byte-level type decoders); by the time bytes
+reach these frames they are canonical UTF-8 strings. Frames whose body
+is NOT valid UTF-8 are corrupt by definition and fall into the
+checksum/wellformed drop path (tested).
 """
 
 from __future__ import annotations
