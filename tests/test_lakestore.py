@@ -166,3 +166,53 @@ def test_bucket_hash_stamped_and_verified(spark, tmp_path):
         json.dump(m, f)
     with pytest.raises(ValueError, match="bucketed with"):
         LakeTable.load(p)
+
+
+def test_optimistic_commit_conflict_detected(spark, tmp_path):
+    """Two writers racing to the same next version: exclusive-create
+    makes exactly one commit win; the loser gets an explicit error and
+    must re-read + retry (optimistic concurrency, as documented)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.StringType())]),
+        key_cols=["k"], bucket_by="k", n_buckets=2,
+    )
+    a, b = LakeTable.load(t.path), LakeTable.load(t.path)
+    a.set_properties({"writer": "a"})  # wins version 2
+    with pytest.raises(FileExistsError):
+        m = b.manifest(version=1)
+        m["version"] = 2
+        m["parent"] = 1
+        b._commit(m)
+    # loser retries against the new current version and succeeds
+    b.set_properties({"writer": "b"})
+    assert b.properties()["writer"] == "b"
+
+
+def test_lakestore_read_pushes_filters_to_scan(spark, tmp_path):
+    """Predicate pushdown survives the schema-align projection in
+    read(): a key filter reaches the parquet scan as a PushedFilter
+    (100 TB reads depend on this, e.g. point lookups by conv_id)."""
+    from pyspark.sql import functions as F, types as T
+
+    from mysql_tracker_spark.lakestore import LakeTable
+    from mysql_tracker_spark.plans.checks import pushed_filters
+
+    schema = T.StructType(
+        [T.StructField("conv_id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "t"), schema, key_cols=["conv_id"],
+        bucket_by="conv_id", n_buckets=2,
+    )
+    df = spark.createDataFrame([(f"c{i}", i) for i in range(50)], schema)
+    t.overwrite(df)
+    q = t.read(spark).filter(F.col("conv_id") == "c7")
+    pf = pushed_filters(q)
+    assert pf and any("conv_id" in p for p in pf), pf
+    assert q.count() == 1
