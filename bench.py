@@ -113,7 +113,11 @@ def main() -> None:
     walls = []
     applied_events = 0
     for r in range(max(reps, 1)):
-        tbl_dir = os.environ.get("BENCH_TABLE_DIR") or os.path.join(work, f"tbl_{r}")
+        # fresh table each rep: a reused dir would replay against the
+        # committed watermark, skip every batch, and inflate min(walls)
+        base = os.environ.get("BENCH_TABLE_DIR")
+        tbl_dir = f"{base}_rep{r}" if base else os.path.join(work, f"tbl_{r}")
+        shutil.rmtree(tbl_dir, ignore_errors=True)
         sec, applied_events, _ = run_apply(spark, in_dir, tbl_dir)
         walls.append(sec)
         print(f"apply rep {r}: {sec:.1f}s", file=sys.stderr)

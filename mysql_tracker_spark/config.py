@@ -44,6 +44,9 @@ class JobConfig:
     # "raise" = operator decision (default), "ignore" = skip like the
     # reference (it only invalidates its meta cache)
     on_destructive_ddl: str = "raise"
+    # hot-key handling: 0 = packed-argmax LWW (map-side combine),
+    # N>0 = explicit two-phase salted LWW with N salts
+    n_salts: int = 0
 
     @classmethod
     def load(cls, path: str) -> "JobConfig":

@@ -70,7 +70,13 @@ _CREATE_RE = re.compile(rf"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+E
 _DROP_RE = re.compile(rf"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?{_QTBL}", re.IGNORECASE)
 _TRUNCATE_RE = re.compile(rf"^\s*TRUNCATE\s+(?:TABLE\s+)?{_QTBL}", re.IGNORECASE)
 _RENAME_RE = re.compile(rf"^\s*RENAME\s+TABLE\s+{_QTBL}\s+TO\s+{_QTBL}", re.IGNORECASE)
-_ALTER_RENAME_RE = re.compile(rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+RENAME\s+(?:TO\s+)?{_QTBL}", re.IGNORECASE)
+# negative lookahead: "RENAME COLUMN a TO b" / "RENAME INDEX|KEY i TO j"
+# are benign in-table renames, not a destructive table RENAME — they
+# must fall through to OTHER (the reference's meta-refresh path)
+_ALTER_RENAME_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+RENAME\s+(?:TO\s+)?(?!COLUMN\b|INDEX\b|KEY\b){_QTBL}",
+    re.IGNORECASE,
+)
 _CINDEX_RE = re.compile(rf"^\s*CREATE\s+(?:\w+\s+)*?INDEX\s+{_NAME}\s+ON\s+{_QTBL}", re.IGNORECASE)
 _DINDEX_RE = re.compile(rf"^\s*DROP\s+INDEX\s+{_NAME}\s+ON\s+{_QTBL}", re.IGNORECASE)
 _COMMENT_RE = re.compile(r"/\*.*?\*/", re.DOTALL)

@@ -124,17 +124,26 @@ def lww_latest_packed(
         .when(F.col(op_col) == "UPDATE", F.lit("U"))
         .otherwise(F.lit("D"))
     )
-    packed = F.concat(ordk, F.lit("\x01"), op_code, F.col(kv_col))
+    # NULL payloads must not poison the pack: F.concat of a NULL makes
+    # the whole packed string NULL and max() would skip the true latest
+    # event. Ride a one-char null flag after the opcode and decode back.
+    null_flag = F.when(F.col(kv_col).isNull(), F.lit("N")).otherwise(F.lit("V"))
+    packed = F.concat(
+        ordk, F.lit("\x01"), op_code, null_flag, F.coalesce(F.col(kv_col), F.lit(""))
+    )
     agg = df.groupBy(*key_cols).agg(F.max(packed).alias("__w"))
     sep = F.locate("\x01", F.col("__w"))
     op_back = F.substring(F.col("__w"), sep + 1, 1)
+    kv_null = F.substring(F.col("__w"), sep + 2, 1) == "N"
     return agg.select(
         *key_cols,
         F.when(op_back == "I", F.lit("INSERT"))
         .when(op_back == "U", F.lit("UPDATE"))
         .otherwise(F.lit("DELETE"))
         .alias(op_col),
-        F.col("__w").substr(sep + 2, F.length("__w")).alias(kv_col),
+        F.when(kv_null, F.lit(None).cast("string"))
+        .otherwise(F.col("__w").substr(sep + 3, F.length("__w")))
+        .alias(kv_col),
     )
 
 

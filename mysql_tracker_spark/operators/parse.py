@@ -215,15 +215,23 @@ def after_gtid_set(df: DataFrame, executed: str) -> DataFrame:
     north-star's "GTID+log-position offsets" vocabulary. Events without
     a gtid (DDL — auto-committing, no Xid) pass through.
     """
-    uuid, _, rng = executed.rpartition(":")
-    if "-" in rng:
-        lo_s, hi_s = rng.split("-", 1)
-        lo, hi = int(lo_s), int(hi_s)
-    else:
-        lo, hi = 1, int(rng)
+    parts = executed.split(":")
+    if len(parts) < 2 or not parts[0]:
+        raise ValueError(f"malformed GTID set: {executed!r}")
+    uuid, ranges = parts[0], parts[1:]
+    intervals: list[tuple[int, int]] = []
+    for rng in ranges:
+        if "-" in rng:
+            lo_s, hi_s = rng.split("-", 1)
+            intervals.append((int(lo_s), int(hi_s)))
+        else:
+            intervals.append((int(rng), int(rng)))
     g_uuid = F.substring_index(F.col("gtid"), ":", 1)
     g_txn = F.split(F.col("gtid"), ":").getItem(1).cast("long")
-    inside = (g_uuid == uuid) & (g_txn >= lo) & (g_txn <= hi)
+    in_any = F.lit(False)
+    for lo, hi in intervals:
+        in_any = in_any | ((g_txn >= lo) & (g_txn <= hi))
+    inside = (g_uuid == uuid) & in_any
     return df.filter(F.col("gtid").isNull() | ~inside)
 
 

@@ -184,6 +184,7 @@ class CdcApplyJob:
             on_destructive_ddl=cfg.on_destructive_ddl,
             filter_regex=cfg.filter_regex,
             allowlist=cfg.allowlist or None,
+            n_salts=getattr(cfg, "n_salts", 0),
         )
 
     # ------------------------------------------------------------- lifecycle

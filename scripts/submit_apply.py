@@ -28,9 +28,11 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="CDC binlog replay -> lakestore MERGE apply")
     ap.add_argument("--input", required=True, help="directory of micro-batch parquet files")
     ap.add_argument("--table", required=True, help="lakestore table path (created if absent)")
-    ap.add_argument("--format", default="typed", choices=["typed", "wire"])
-    ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--files-per-batch", type=int, default=1)
+    # default=None so a --config run can tell "flag passed" from "flag
+    # defaulted" — argparse defaults must not clobber JobConfig fields
+    ap.add_argument("--format", default=None, choices=["typed", "wire"])
+    ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--files-per-batch", type=int, default=None)
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument(
         "--reset-policy", default=None, choices=["fail", "earliest"],
@@ -85,20 +87,25 @@ def main() -> None:
             cfg = JobConfig.load(args.config)
             cfg.input_dir = args.input or cfg.input_dir
             cfg.table_path = args.table or cfg.table_path
-            cfg.source_format = args.format or cfg.source_format
-            cfg.n_buckets = args.buckets or cfg.n_buckets
-            cfg.files_per_batch = args.files_per_batch or cfg.files_per_batch
+            if args.format is not None:
+                cfg.source_format = args.format
+            if args.buckets is not None:
+                cfg.n_buckets = args.buckets
+            if args.files_per_batch is not None:
+                cfg.files_per_batch = args.files_per_batch
             if args.on_destructive_ddl:
                 cfg.on_destructive_ddl = args.on_destructive_ddl
+            if args.salts:
+                cfg.n_salts = args.salts
             job2 = CdcApplyJob.from_config(spark, cfg)
         else:
             job2 = CdcApplyJob(
                 spark,
                 args.input,
                 args.table,
-                n_buckets=args.buckets,
-                files_per_batch=args.files_per_batch,
-                source_format=args.format,
+                n_buckets=args.buckets if args.buckets is not None else 64,
+                files_per_batch=args.files_per_batch if args.files_per_batch is not None else 1,
+                source_format=args.format or "typed",
                 on_destructive_ddl=args.on_destructive_ddl or "raise",
                 n_salts=args.salts,
             )

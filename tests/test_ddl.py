@@ -53,6 +53,16 @@ def test_parse_full_event_class_vocabulary():
     assert r.rename_to == ("chat", "transcripts_old")
     r = parse_ddl("ALTER TABLE chat.transcripts RENAME TO chat.t2")
     assert r.kind == "RENAME" and r.rename_to == ("chat", "t2")
+    r = parse_ddl("ALTER TABLE chat.transcripts RENAME chat.t3")
+    assert r.kind == "RENAME" and r.rename_to == ("chat", "t3")
+    # benign in-table renames are NOT a destructive table RENAME — they
+    # must not halt the apply job under on_destructive_ddl='raise'
+    for sql in (
+        "ALTER TABLE chat.transcripts RENAME COLUMN a TO b",
+        "ALTER TABLE chat.transcripts RENAME INDEX i1 TO i2",
+        "ALTER TABLE chat.transcripts RENAME KEY k1 TO k2",
+    ):
+        assert parse_ddl(sql).kind == "OTHER", sql
     r = parse_ddl("CREATE UNIQUE INDEX idx ON chat.transcripts (conv_id)")
     assert r.kind == "CINDEX" and r.table_name == "transcripts"
     r = parse_ddl("DROP INDEX idx ON chat.transcripts")

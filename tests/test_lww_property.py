@@ -35,7 +35,13 @@ def event_lists(draw):
                 draw(st.sampled_from(["c1", "c2", "c3"])),
                 draw(st.integers(0, 2)),
                 draw(st.sampled_from(["INSERT", "UPDATE", "DELETE"])),
-                draw(st.text(alphabet=_PAYLOAD_ALPHABET, max_size=8)),
+                # NULL payloads included: the packed formulation must
+                # not let concat-null poison the argmax
+                draw(
+                    st.one_of(
+                        st.none(), st.text(alphabet=_PAYLOAD_ALPHABET, max_size=8)
+                    )
+                ),
             )
         )
     # exact replay duplicates + arbitrary arrival order

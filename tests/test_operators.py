@@ -175,6 +175,59 @@ def test_lww_packed_equals_max_by(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_gtid_fence_multi_interval(spark):
+    """A real executed-GTID set is interval-compressed with possibly
+    many intervals ('uuid:1-5:7-9'); each interval must fence, the gaps
+    must pass, and a lone number means THAT txn only (MySQL semantics,
+    not 1..N)."""
+    from mysql_tracker_spark.operators.parse import after_gtid_set
+
+    import pytest
+
+    uuid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    rows = [(f"bin.000001", 10 * t, 0, f"{uuid}:{t}") for t in range(1, 13)]
+    rows.append(("bin.000001", 500, 0, None))  # DDL: no gtid, passes
+    df = spark.createDataFrame(rows, "file string, pos long, row_idx int, gtid string")
+
+    out = {r.gtid for r in after_gtid_set(df, f"{uuid}:1-5:7-9").collect()}
+    assert out == {f"{uuid}:{t}" for t in (6, 10, 11, 12)} | {None}
+    # lone number = that single transaction
+    out2 = {r.gtid for r in after_gtid_set(df, f"{uuid}:3").collect()}
+    assert f"{uuid}:3" not in out2 and f"{uuid}:2" in out2 and len(out2) == 12
+    # mixed lone + range
+    out3 = {r.gtid for r in after_gtid_set(df, f"{uuid}:2:10-12").collect()}
+    assert out3 == {f"{uuid}:{t}" for t in (1, 3, 4, 5, 6, 7, 8, 9)} | {None}
+    with pytest.raises(ValueError):
+        after_gtid_set(df, "no-colon-anywhere")
+
+
+def test_lww_packed_null_payload(spark):
+    """A NULL payload must not poison the packed string: the true
+    latest event wins even when its kv is NULL, and NULL round-trips
+    (not decoded as '')."""
+    from mysql_tracker_spark.operators.dedup import lww_latest, lww_latest_packed
+
+    rows = [
+        ("bin.000001", 10, 0, "c1", 0, "INSERT", "old"),
+        ("bin.000001", 20, 0, "c1", 0, "DELETE", None),   # latest: NULL kv
+        ("bin.000001", 10, 0, "c2", 0, "INSERT", None),
+        ("bin.000001", 20, 0, "c2", 0, "UPDATE", "new"),  # latest: non-null
+        ("bin.000001", 10, 0, "c3", 0, "INSERT", ""),     # empty != NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "file string, pos long, row_idx int, conv_id string, "
+        "turn_idx int, op string, after_kv string",
+    )
+    keys = ["conv_id", "turn_idx"]
+    got = {tuple(r) for r in lww_latest_packed(df, keys).collect()}
+    want = {tuple(r) for r in lww_latest(df, keys, ["op", "after_kv"]).collect()}
+    assert got == want == {
+        ("c1", 0, "DELETE", None),
+        ("c2", 0, "UPDATE", "new"),
+        ("c3", 0, "INSERT", ""),
+    }
+
+
 def test_lww_packed_plan_has_map_side_partial_agg(spark):
     """The scale property of the packed formulation: a PARTIAL
     aggregate below the exchange (shuffle carries <=1 row per key per
