@@ -13,8 +13,10 @@ pair counts, expected query ids) plus verification booleans computed
 against exact in-engine re-derivations (recall vs brute force, cosine
 recomputation, planted-pair coverage) — deterministic for the fixed
 seeds/corpus, so the driver's value-hash check is a real gate. The
-flagship CDC replay is fully oracled via a flat event dump + LWW SQL.
-Only media_features stays rows-only (the documented codec seam).
+flagship CDC replay is fully oracled via a flat event dump + LWW SQL,
+and media_summary/media_features via deterministic pandas-twin dumps
+(the codec itself stays a documented stub seam). Every query has an
+oracle entry.
 """
 
 from __future__ import annotations
@@ -456,10 +458,19 @@ def q_emb_centroid_norms(spark, sf_dir):
 # =========================================================================
 
 def q_doc_ngram_jaccard_near_dups(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (verification-grade twin of
-    the MinHash LSH path) — fully JVM-side, SQL-oracle-checkable."""
+    """Exact n-gram Jaccard near-dup pairs. The Spark plan runs the
+    GUARDED formulation (max_df=200 stop-gram guard — no unguarded
+    O(per-gram df^2) posting self-join anywhere in the plan; the scale
+    stance), while the DuckDB oracle computes the fully UNGUARDED exact
+    Jaccard. The green hash therefore asserts two things at once: the
+    exact pair semantics, and that the guard loses nothing on this
+    corpus (max gram df is 7 at sf0.01 / 25 at sf0.1, far under the
+    guard — a gram over the guard would change the restricted-universe
+    Jaccard and fail the hash)."""
     d = _t(spark, sf_dir, "documents")
-    return SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7).orderBy("id_a", "id_b")
+    return SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7, max_df=200).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_doc_ngram_jaccard_guarded(spark, sf_dir):
@@ -476,12 +487,16 @@ def q_doc_ngram_jaccard_guarded(spark, sf_dir):
 
 
 def q_doc_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTERS: connected components over the exact n-gram
-    Jaccard pair graph (iterative min-label propagation) -> the
-    canonical-doc assignment a dedup pipeline keeps. Oracle: recursive
-    CTE transitive closure on the same pair set."""
+    """Near-dup CLUSTERS: connected components (pointer-jumping) over
+    the n-gram Jaccard pair graph -> the canonical-doc assignment a
+    dedup pipeline keeps. The pair graph comes from the GUARDED exact
+    variant (max_df=200), so the end-to-end plan is scale-safe — no
+    unguarded posting self-join feeds the CC loop. Oracle: recursive
+    CTE transitive closure over the UNGUARDED exact pair set (green iff
+    the guard loses no pair on this corpus — it cannot, max gram df is
+    25 at sf0.1)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7)
+    pairs = SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7, max_df=200)
     return SK.near_dup_clusters(pairs).orderBy("id")
 
 
@@ -494,22 +509,42 @@ def q_emb_cosine_near_dups(spark, sf_dir):
     return SIM.cosine_near_dups(emb, threshold=0.35).orderBy("id_a", "id_b")
 
 
-# fixed dump path for the media oracle (atomic-rename write, like the
+# fixed dump paths for the media oracles (atomic-rename write, like the
 # flagship's)
 MEDIA_ORACLE_DUMP = "/tmp/mts_media_oracle/assets_meta.parquet"
+MEDIA_FEATURES_DUMP = "/tmp/mts_media_oracle/assets_features.parquet"
+
+
+def _atomic_parquet_dump(pdf, dest: str) -> None:
+    """Write a pandas frame to parquet atomically (mkstemp + rename —
+    no mktemp race; identical whichever side writes first)."""
+    import tempfile
+
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), suffix=".parquet")
+    os.close(fd)
+    pdf.to_parquet(tmp, index=False)
+    os.replace(tmp, dest)
 
 
 def _write_media_dump() -> None:
-    """Materialize the asset-meta dump (pure pandas, deterministic —
-    identical whichever side writes first; atomic rename)."""
-    import tempfile
-
+    """Materialize the asset-meta dump (pure pandas, deterministic)."""
     from mysql_tracker_spark.functions.media import synth_asset_meta
 
-    os.makedirs(os.path.dirname(MEDIA_ORACLE_DUMP), exist_ok=True)
-    tmp = tempfile.mktemp(dir=os.path.dirname(MEDIA_ORACLE_DUMP), suffix=".parquet")
-    synth_asset_meta(n=96, seed=7).to_parquet(tmp, index=False)
-    os.replace(tmp, MEDIA_ORACLE_DUMP)
+    _atomic_parquet_dump(synth_asset_meta(n=96, seed=7), MEDIA_ORACLE_DUMP)
+
+
+def _write_media_features_dump() -> None:
+    """Materialize the expected per-asset features of the deterministic
+    stub codec (pandas twin of ``extract_features(synth_assets())`` —
+    same numpy float64 arithmetic, so values are bitwise identical and
+    the oracle needs no rounding tolerance)."""
+    from mysql_tracker_spark.functions.media import synth_asset_features
+
+    _atomic_parquet_dump(
+        synth_asset_features(n=96, seed=7).drop(columns=["histogram"]),
+        MEDIA_FEATURES_DUMP,
+    )
 
 
 def q_media_summary(spark, sf_dir):
@@ -537,14 +572,19 @@ def q_media_summary(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal decode -> feature extraction via Arrow-batched
-    mapInPandas (codec stubbed deterministically; plumbing real)."""
+    mapInPandas (codec stubbed deterministically; plumbing real),
+    DRIVER-ORACLED: the expected features of the deterministic stub
+    codec are dumped by a pure-pandas twin using the same float64
+    arithmetic (bitwise-equal values — no rounding needed), and the
+    DuckDB oracle reads the dump. A broken decode, batch shape, or
+    feature kernel diverges from the dump and fails the value hash."""
     from mysql_tracker_spark.functions import media as M
 
+    _write_media_features_dump()
     feats = M.extract_features(M.synth_assets(spark, n=96, seed=7))
     return feats.select(
         "asset_id", "media_type", "width", "height",
-        F.round("mean_intensity", 4).alias("mean_intensity"),
-        F.round("std_intensity", 4).alias("std_intensity"),
+        "mean_intensity", "std_intensity",
     ).orderBy("asset_id")
 
 
@@ -771,10 +811,7 @@ def _write_flagship_dump(ev=None) -> None:
             "score": amap.map(lambda m: m.get("score")).astype("Int64").to_numpy(),
         }
     )
-    os.makedirs(os.path.dirname(FLAGSHIP_ORACLE_DUMP), exist_ok=True)
-    tmp = tempfile.mktemp(dir=os.path.dirname(FLAGSHIP_ORACLE_DUMP), suffix=".parquet")
-    flat.to_parquet(tmp, index=False)
-    os.replace(tmp, FLAGSHIP_ORACLE_DUMP)
+    _atomic_parquet_dump(flat, FLAGSHIP_ORACLE_DUMP)
 
 
 def q_cdc_apply_transcripts_final(spark, sf_dir):
@@ -858,7 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_guarded": q_doc_ngram_jaccard_guarded,
         "emb_cosine_near_dups": q_emb_cosine_near_dups,
         "doc_dedup_clusters": q_doc_dedup_clusters,
-        # rows-only (no SQL twin): sketches, media synth + the real engine
+        # property-oracled (SQL cannot re-derive the sketch itself):
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "emb_ann_lsh": q_emb_ann_lsh,
@@ -880,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
         _write_flagship_dump()
     if not os.path.exists(MEDIA_ORACLE_DUMP):
         _write_media_dump()
+    if not os.path.exists(MEDIA_FEATURES_DUMP):
+        _write_media_features_dump()
     return {
         "cdc_lww_last_event_per_user": """
             SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
@@ -1225,6 +1264,12 @@ def oracle_sql() -> dict[str, str]:
                    max(n_frames) AS max_frames
             FROM read_parquet('{MEDIA_ORACLE_DUMP}')
             GROUP BY media_type ORDER BY media_type
+        """,
+        "media_features": f"""
+            SELECT asset_id, media_type, CAST(width AS INT) AS width,
+                   CAST(height AS INT) AS height, mean_intensity, std_intensity
+            FROM read_parquet('{MEDIA_FEATURES_DUMP}')
+            ORDER BY asset_id
         """,
         # Flagship engine oracle: recompute the LWW final transcripts
         # state in pure SQL from the flat change-event dump the Spark

@@ -104,6 +104,37 @@ def synth_asset_meta(n: int = 64, seed: int = 7) -> pd.DataFrame:
     )
 
 
+def synth_asset_features(n: int = 64, seed: int = 7, n_bins: int = 8) -> pd.DataFrame:
+    """Pure-pandas twin of ``extract_features(synth_assets(...))``: the
+    same rng derivation and the same float64 numpy arithmetic as the
+    distributed stages, so the values are BITWISE identical — the
+    contract oracle's dump needs no rounding tolerance. Equality with
+    the Spark path is pytest-asserted (tests/test_media.py)."""
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        kind = i % 3
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        frames = int(rng.integers(2, 9)) if kind == KIND_VIDEO else 1
+        body = rng.integers(0, 256, size=w * h * frames, dtype=np.uint8)
+        flat = body.astype(np.float64)
+        hist, _ = np.histogram(flat, bins=n_bins, range=(0, 256))
+        rows.append(
+            (
+                i, _KIND_NAME[kind], w, h,
+                float(flat.mean()), float(flat.std()),
+                (hist / max(len(flat), 1)).tolist(),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "asset_id", "media_type", "width", "height",
+            "mean_intensity", "std_intensity", "histogram",
+        ],
+    )
+
+
 def synth_assets(spark, n: int = 64, seed: int = 7, parallelism: int | None = None) -> DataFrame:
     """Deterministic synthetic media table (distributed generation —
     each task synthesizes its id range)."""

@@ -117,3 +117,34 @@ def test_synth_meta_pandas_twin_equals_spark(spark):
         exp[c] = exp[c].astype("int64")
     got["bytes"] = got["bytes"].astype("int64"); exp["bytes"] = exp["bytes"].astype("int64")
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_synth_features_pandas_twin_is_bitwise_equal(spark):
+    """The feature-dump twin must match the distributed decode->extract
+    path BITWISE (same float64 arithmetic) — this is what lets the
+    media_features contract oracle compare without rounding."""
+    import pandas as pd
+
+    from mysql_tracker_spark.functions.media import (
+        extract_features,
+        synth_asset_features,
+        synth_assets,
+    )
+
+    got = (
+        extract_features(synth_assets(spark, n=48, seed=7))
+        .toPandas()
+        .sort_values("asset_id")
+        .reset_index(drop=True)
+    )
+    exp = synth_asset_features(n=48, seed=7)
+    for c in ("width", "height"):
+        got[c] = got[c].astype("int64")
+        exp[c] = exp[c].astype("int64")
+    # check_exact: bitwise float equality, no tolerance
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["histogram"]), exp.drop(columns=["histogram"]), check_exact=True
+    )
+    assert all(
+        list(a) == list(b) for a, b in zip(got["histogram"], exp["histogram"])
+    )
