@@ -588,6 +588,118 @@ def q_media_features(spark, sf_dir):
     ).orderBy("asset_id")
 
 
+# fixture dump for the distributed byte-decode contract row
+ROW_IMAGE_DUMP = "/tmp/mts_rowimage_oracle/row_images.parquet"
+
+# the captured-row-image column layout the fixture exercises: every
+# non-trivial MySQL on-disk encoding the §1.2 decoders implement
+# (packed-BCD DECIMAL, TIMESTAMP2/DATETIME2/TIME2, ENUM/SET/BIT,
+# little-endian ints with unsigned re-basing, charset-aware VARSTRING)
+def _row_image_specs():
+    from mysql_tracker_spark.sources.row_image import ColumnSpec
+
+    return [
+        ColumnSpec("amount", "decimal", precision=12, scale=4),
+        ColumnSpec("ts_txt", "timestamp2"),
+        ColumnSpec("dt_txt", "datetime2"),
+        ColumnSpec("tm_txt", "time2"),
+        ColumnSpec("status", "enum", packlen=2),
+        ColumnSpec("flags", "set", nbytes=2),
+        ColumnSpec("mask", "bit", nbits=12),
+        ColumnSpec("cnt", "int", byte_len=4, unsigned=True),
+        ColumnSpec("title", "varstring", charset_id=45),
+        ColumnSpec("city", "varstring", charset_id=24),  # gb2312
+    ]
+
+
+def _write_row_image_fixture() -> None:
+    """Deterministic binary row images + their EXPECTED rendered forms.
+    The expected columns are computed from the SOURCE values via the
+    frozen §1.2 rules (values.py) — never via the decoders — so the
+    contract row is a genuine encode->decode inverse check through a
+    distributed Spark plan; the byte formats themselves are pinned by
+    tests/test_mysql_types.py's hand-packed reference vectors."""
+    import random
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from mysql_tracker_spark.sources.row_image import encode_row_image
+    from mysql_tracker_spark.values import (
+        render_decimal,
+        render_int,
+        render_time,
+        render_timestamp,
+    )
+
+    specs = _row_image_specs()
+    rng = random.Random(2024)
+    cities = ["北京", "上海", "广州", "成都", "西安"]
+    rows = []
+    for i in range(200):
+        v = {
+            "amount": Decimal(rng.randint(-(10**8) + 1, 10**8 - 1)).scaleb(-4),
+            "ts_txt": 0 if i % 17 == 0 else rng.randint(1, 2**31 - 1),
+            "dt_txt": (0, 0, 0, 0, 0, 0)
+            if i % 19 == 0
+            else (
+                rng.randint(1000, 9999), rng.randint(1, 12), rng.randint(1, 28),
+                rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59),
+            ),
+            "tm_txt": rng.randint(-3020399, 3020399),
+            "status": rng.randint(0, 65535),
+            "flags": rng.randint(0, 65535),
+            "mask": rng.randint(0, 4095),
+            "cnt": rng.randint(-(2**31), 2**31 - 1),
+            "title": "doc-" + "".join(rng.choices("abcdefghïjklmnöpqrstüvwxyz", k=12)),
+            "city": rng.choice(cities),
+        }
+        for name in ("amount", "tm_txt", "title", "city", "status"):
+            if rng.random() < 0.12:
+                v[name] = None
+        dt = v["dt_txt"]
+        exp = {
+            "amount": None if v["amount"] is None else render_decimal(v["amount"]),
+            "ts_txt": render_timestamp(v["ts_txt"]),
+            "dt_txt": "0000-00-00 00:00:00"
+            if dt == (0, 0, 0, 0, 0, 0)
+            else f"{dt[0]:04d}-{dt[1]:02d}-{dt[2]:02d} {dt[3]:02d}:{dt[4]:02d}:{dt[5]:02d}",
+            "tm_txt": None if v["tm_txt"] is None else render_time(v["tm_txt"]),
+            "status": v["status"],
+            "flags": v["flags"],
+            "mask": v["mask"],
+            "cnt": render_int(v["cnt"], 4, True),
+            "title": v["title"],
+            "city": v["city"],
+        }
+        rows.append(
+            {"row_id": i, "image": encode_row_image(v, specs)}
+            | {f"exp_{k}": x for k, x in exp.items()}
+        )
+    pdf = pd.DataFrame(rows)
+    for c in ("exp_status", "exp_flags", "exp_mask"):
+        pdf[c] = pdf[c].astype("Int64")
+    _atomic_parquet_dump(pdf, ROW_IMAGE_DUMP)
+
+
+def q_mysql_byte_decode(spark, sf_dir):
+    """D2's byte-level decode surface exercised DISTRIBUTED: binary
+    MySQL row images (packed-BCD DECIMAL, TIMESTAMP2/DATETIME2/TIME2,
+    ENUM/SET/BIT, unsigned re-basing, gb2312/utf8mb4 charset decode,
+    null bitmap) decoded through one Arrow-batched mapInPandas stage —
+    no shuffle, embarrassingly parallel on the scan partitioning. The
+    DuckDB oracle reads the fixture's expected renderings, which were
+    computed from the source values (encode->decode inverse check).
+    Reference surface: mysql/dbsync/event/RowsLogBuffer.java:243-926."""
+    from mysql_tracker_spark.sources.row_image import decode_row_images
+
+    _write_row_image_fixture()
+    df = spark.read.parquet(ROW_IMAGE_DUMP).select("row_id", "image").repartition(8)
+    return decode_row_images(df, _row_image_specs(), id_cols=["row_id"]).orderBy(
+        "row_id"
+    )
+
+
 def q_doc_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH near-dups, DRIVER-VERIFIED via properties the DuckDB
     oracle derives independently (SQL cannot simulate MinHash, so the
@@ -895,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_guarded": q_doc_ngram_jaccard_guarded,
         "emb_cosine_near_dups": q_emb_cosine_near_dups,
         "doc_dedup_clusters": q_doc_dedup_clusters,
+        "mysql_byte_decode": q_mysql_byte_decode,
         # property-oracled (SQL cannot re-derive the sketch itself):
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -919,6 +1032,8 @@ def oracle_sql() -> dict[str, str]:
         _write_media_dump()
     if not os.path.exists(MEDIA_FEATURES_DUMP):
         _write_media_features_dump()
+    if not os.path.exists(ROW_IMAGE_DUMP):
+        _write_row_image_fixture()
     return {
         "cdc_lww_last_event_per_user": """
             SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
@@ -1270,6 +1385,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(height AS INT) AS height, mean_intensity, std_intensity
             FROM read_parquet('{MEDIA_FEATURES_DUMP}')
             ORDER BY asset_id
+        """,
+        "mysql_byte_decode": f"""
+            SELECT row_id, exp_amount AS amount, exp_ts_txt AS ts_txt,
+                   exp_dt_txt AS dt_txt, exp_tm_txt AS tm_txt,
+                   exp_status AS status, exp_flags AS flags, exp_mask AS mask,
+                   exp_cnt AS cnt, exp_title AS title, exp_city AS city
+            FROM read_parquet('{ROW_IMAGE_DUMP}')
+            ORDER BY row_id
         """,
         # Flagship engine oracle: recompute the LWW final transcripts
         # state in pure SQL from the flat change-event dump the Spark

@@ -226,7 +226,7 @@ class CdcApplyJob:
             return self.start_file, int(self.start_pos or 0), seq
         return None, None, seq
 
-    def validate_position(self, reset_policy: str = "fail") -> dict:
+    def validate_position(self, reset_policy: str = "fail", deep: bool = False) -> dict:
         """C7 position-validity probe + C5 invalid-position recovery.
 
         The reference opens a second dump connection to test a stored
@@ -245,6 +245,15 @@ class CdcApplyJob:
           idempotent MERGE makes the replay safe, so unlike the
           reference this loses nothing that is still retained).
 
+        Probe cost: the retained (file,pos) range is derived from the
+        FIRST and LAST input files in manifest order (batch file names
+        are offset-ordered by construction — the same invariant
+        ``batch_files`` and binlog rotation rely on everywhere), so the
+        probe reads ≤2 files however long the retention window is — at
+        10^10-event retention a full listing scan on every startup
+        would be the wrong shape. ``deep=True`` keeps the exhaustive
+        all-files scan for audits of the ordering invariant itself.
+
         Returns {valid, wm, lo, hi, action}.
         """
         if self.table is None:
@@ -256,8 +265,9 @@ class CdcApplyJob:
         if not files:
             return {"valid": False, "wm": (wm_file, wm_pos), "action": "no-input"}
         cols = ["file", "pos"]
+        probe_files = files if deep else [files[0], files[-1]]
         rng = (
-            self.spark.read.parquet(*files)
+            self.spark.read.parquet(*probe_files)
             .select(*cols)
             .agg(
                 F.min(F.struct(*cols)).alias("lo"), F.max(F.struct(*cols)).alias("hi")
@@ -274,12 +284,15 @@ class CdcApplyJob:
         # watermark's file is still retained and the position is not
         # beyond the retained head.
         valid = wm_file >= lo[0] and wm <= hi
+        n_probe = len(probe_files)
         if valid:
-            return {"valid": True, "wm": wm, "lo": lo, "hi": hi, "action": "none"}
+            return {"valid": True, "wm": wm, "lo": lo, "hi": hi, "action": "none",
+                    "probe_files": n_probe}
         if reset_policy == "earliest":
             self.table.set_properties({"offset_file": "", "offset_pos": ""})
             # empty strings read back as no watermark
-            return {"valid": False, "wm": wm, "lo": lo, "hi": hi, "action": "reset"}
+            return {"valid": False, "wm": wm, "lo": lo, "hi": hi, "action": "reset",
+                    "probe_files": n_probe}
         raise ValueError(
             f"committed watermark {wm} outside retained input range [{lo}, {hi}] "
             "(reference errno-1236 analogue); pass reset_policy='earliest' to "

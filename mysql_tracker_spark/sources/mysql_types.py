@@ -178,23 +178,57 @@ def decode_bit(buf: bytes, nbits: int) -> int:
 
 # --- charset decode (CharsetConversion.java; LogBuffer.java:1280-1310) ------
 
-# collation id -> python codec, for the ids the reference's table
-# carries most often; unlisted ids fall back to the configured default
-# (the reference warns and uses the connection charset,
-# LogEventConvert uses UTF-8 by default, TrackerConf.java:75)
+# collation id -> python codec (CharsetConversion.java:70-260 table,
+# the common tiers). Where the reference's Java-charset column is an
+# evident typo against its own mysql-charset column, we decode per the
+# MYSQL charset (same stance as utf8mb4 ids 45/46, which the reference
+# maps to "MacCentralEurope"): latin5 (30/78) is MySQL's Turkish
+# ISO-8859-9 (reference says ISO8859_5 = Cyrillic), latin7 (20/41/42/
+# 79) is Baltic ISO-8859-13 (reference says ISO8859_7 = Greek).
+# Unlisted ids fall back to the configured default WITH a once-per-id
+# warning — the reference logs a warning on unknown ids too
+# (CharsetConversion.getJavaCharset); LogEventConvert uses UTF-8 as the
+# default connection charset (TrackerConf.java:75).
 _CHARSET_CODECS: dict[int, str] = {
-    1: "big5",
+    1: "big5", 84: "big5",
     2: "iso8859-2", 9: "iso8859-2", 21: "iso8859-2", 27: "iso8859-2",
+    77: "iso8859-2",
+    4: "cp850", 80: "cp850",
+    40: "cp852", 81: "cp852",
     5: "latin-1", 8: "latin-1", 15: "latin-1", 31: "latin-1",
-    47: "latin-1", 48: "latin-1",
-    11: "ascii",
-    12: "euc_jp", 13: "shift_jis",
-    14: "cp1251", 23: "cp1251", 51: "cp1251",
-    28: "gbk",
-    33: "utf-8", 83: "utf-8",  # utf8 / utf8_bin
+    47: "latin-1", 48: "latin-1", 94: "latin-1",
+    7: "koi8-r", 74: "koi8-r",
+    22: "koi8-u", 75: "koi8-u",
+    10: "latin-1", 82: "latin-1",  # swe7 (reference maps to ISO8859_1)
+    11: "ascii", 65: "ascii",
+    12: "euc_jp", 91: "euc_jp",  # ujis
+    13: "shift_jis", 88: "shift_jis",  # sjis
+    16: "iso8859-8", 71: "iso8859-8",  # hebrew
+    18: "tis-620", 89: "tis-620",  # tis620
+    20: "iso8859-13", 41: "iso8859-13", 42: "iso8859-13",
+    79: "iso8859-13",  # latin7 (Baltic; reference table typo)
+    24: "gb2312", 86: "gb2312",
+    25: "iso8859-7", 70: "iso8859-7",  # greek
+    30: "iso8859-9", 78: "iso8859-9",  # latin5 (Turkish; ref typo)
+    14: "cp1251", 23: "cp1251", 50: "cp1251", 51: "cp1251", 52: "cp1251",
+    26: "cp1250", 34: "cp1250", 44: "cp1250", 66: "cp1250", 99: "cp1250",
+    29: "cp1257", 58: "cp1257", 59: "cp1257",
+    35: "utf-16", 90: "utf-16", 159: "utf-16",  # ucs2 -> UTF-16BE family
+    38: "mac-cyrillic", 43: "mac-cyrillic",  # maccyr... python: mac_cyrillic
+    39: "mac-roman", 53: "mac-roman",
+    28: "gbk", 87: "gbk",
+    36: "cp866", 68: "cp866",
+    33: "utf-8", 83: "utf-8", 192: "utf-8",  # utf8 / utf8_bin / utf8_unicode_ci
     45: "utf-8", 46: "utf-8", 224: "utf-8", 255: "utf-8",  # utf8mb4
+    54: "utf-16", 55: "utf-16",  # utf16
+    56: "utf-32", 60: "utf-32", 61: "utf-32",  # utf32
+    57: "cp1256",  # cp1256_general_ci (Arabic)
     63: None,  # binary: NO decode — bytes pass through
+    95: "cp932", 96: "cp932",
+    97: "euc_jis_2004", 98: "euc_jis_2004",  # eucjpms
 }
+
+_WARNED_CHARSET_IDS: set[int] = set()
 
 
 def charset_decode(buf: bytes, charset_id: int, default: str = "utf-8"):
@@ -202,8 +236,23 @@ def charset_decode(buf: bytes, charset_id: int, default: str = "utf-8"):
     id. ``binary`` (63) returns the raw bytes unchanged — the
     reference keeps true blobs as ISO-8859-1-preserved strings
     (``LogEventConvert.java:519-526``); returning ``bytes`` is the
-    Python-native equivalent of that byte-preserving intent."""
-    codec = _CHARSET_CODECS.get(charset_id, default)
+    Python-native equivalent of that byte-preserving intent. An
+    unknown id warns ONCE (per process) and falls back to ``default``
+    — never a silent wrong decode."""
+    try:
+        codec = _CHARSET_CODECS[charset_id]
+    except KeyError:
+        if charset_id not in _WARNED_CHARSET_IDS:
+            _WARNED_CHARSET_IDS.add(charset_id)
+            import warnings
+
+            warnings.warn(
+                f"unknown MySQL collation id {charset_id}; falling back to "
+                f"{default!r} (reference CharsetConversion logs the same "
+                "warning for unmapped ids)",
+                stacklevel=2,
+            )
+        codec = default
     if codec is None:
         return bytes(buf)
     return bytes(buf).decode(codec)

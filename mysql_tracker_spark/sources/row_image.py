@@ -1,0 +1,281 @@
+"""Distributed decode of captured MySQL binary ROW IMAGES.
+
+:mod:`mysql_tracker_spark.sources.mysql_types` implements the
+byte-level value decoders (SURVEY.md §1.2, operator D2) as scalar
+functions pinned by hand-packed pytest vectors. This module is the
+DISTRIBUTED surface over them: a user replacing the reference who has
+captured raw binlog row images (one contiguous buffer per row, as laid
+out by ``mysql/dbsync/event/RowsLogBuffer.java:243-360``) decodes them
+to rendered columns with one Arrow-batched ``mapInPandas`` stage — no
+driver loop, no per-row Python UDF calls through the serializer; each
+task cursors through its partition's blobs.
+
+Row-image layout handled here (faithful to RowsLogBuffer):
+
+* leading null bitmap, ``ceil(n_cols/8)`` bytes, LSB-first within each
+  byte (``RowsLogBuffer.nextOneRow`` :279-300 reads the columns'
+  null bits in this order) — a set bit means the column is NULL and
+  contributes NO bytes to the image;
+* then each non-null column's bytes back-to-back in declared order,
+  sized by its type spec exactly as the decoders expect
+  (``decimal_bin_size``, 4/5/3 byte time kernels + fractional bytes,
+  ENUM packlen, SET bytes, BIT ``ceil(nbits/8)``, integer byte length);
+* VARCHAR/VARSTRING carries a 2-byte little-endian length prefix (the
+  MySQL layout when the declared max length exceeds 255,
+  ``RowsLogBuffer.java:700-718``; we always use the 2-byte form).
+
+The module also provides the matching ENCODERS. They exist for fixture
+generation and round-trip testing (encode from known source values ->
+decode distributed -> must equal the source's rendered form, where the
+rendered form comes from the frozen §1.2 rules in
+:mod:`mysql_tracker_spark.values`, NOT from the decoders — so the
+contract check is a genuine inverse test, and the byte formats
+themselves stay pinned by the hand-packed vectors in
+``tests/test_mysql_types.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+from ..values import (
+    render_decimal,
+    render_int,
+    render_time,
+    render_timestamp,
+)
+from . import mysql_types as MT
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One column of a row image. ``kind`` picks the decoder; only the
+    parameters that kind uses are read."""
+
+    name: str
+    kind: str  # decimal|timestamp2|datetime2|time2|enum|set|bit|int|varstring
+    precision: int = 10  # decimal
+    scale: int = 0  # decimal
+    meta: int = 0  # fractional-seconds meta for timestamp2/datetime2/time2
+    packlen: int = 1  # enum: 1 or 2
+    nbytes: int = 1  # set bitmask width
+    nbits: int = 1  # bit
+    byte_len: int = 4  # int: 1/2/3/4/8
+    unsigned: bool = False  # int
+    charset_id: int = 45  # varstring
+
+
+# --------------------------------------------------------------- encoders
+
+def encode_decimal(value: Decimal, precision: int, scale: int) -> bytes:
+    """Inverse of :func:`mysql_types.decode_decimal` (the
+    ``decimal2bin`` side of mysql ``strings/decimal.c``): big-endian
+    base-10^9 groups with shortened edge groups, sign bit on the first
+    byte, negative values complemented."""
+    txt = format(abs(value), f".{scale}f")
+    int_part, _, frac_part = txt.partition(".")
+    intg = precision - scale
+    if len(int_part) > intg:
+        raise ValueError(f"{value} does not fit DECIMAL({precision},{scale})")
+    int_part = int_part.rjust(intg, "0")
+    frac_part = frac_part.ljust(scale, "0")
+    intg0, frac0 = intg // MT.DIG_PER_INT32, scale // MT.DIG_PER_INT32
+    intg0x = intg - intg0 * MT.DIG_PER_INT32
+    frac0x = scale - frac0 * MT.DIG_PER_INT32
+
+    out = bytearray()
+    pos = 0
+    if intg0x:
+        out += int(int_part[:intg0x]).to_bytes(MT.DIG2BYTES[intg0x], "big")
+        pos = intg0x
+    for _ in range(intg0):
+        out += int(int_part[pos : pos + 9]).to_bytes(4, "big")
+        pos += 9
+    pos = 0
+    for _ in range(frac0):
+        out += int(frac_part[pos : pos + 9]).to_bytes(4, "big")
+        pos += 9
+    if frac0x:
+        out += int(frac_part[pos : pos + frac0x]).to_bytes(MT.DIG2BYTES[frac0x], "big")
+    out[0] ^= 0x80
+    if value < 0:
+        out = bytearray((~b) & 0xFF for b in out)
+    return bytes(out)
+
+
+def encode_timestamp2(epoch_seconds: int) -> bytes:
+    return int(epoch_seconds).to_bytes(4, "big")
+
+
+def encode_datetime2(y: int, mo: int, d: int, h: int, mi: int, s: int) -> bytes:
+    ym = y * 13 + mo
+    intpart = (((ym << 5) | d) << 17) | (h << 12) | (mi << 6) | s
+    return (intpart + MT.DATETIMEF_INT_OFS).to_bytes(5, "big")
+
+
+def encode_time2(total_seconds: int) -> bytes:
+    """Second-precision TIME2 (meta=0): sign carried by the packed
+    intpart offset, hours up to 838."""
+    mag = abs(total_seconds)
+    h, rem = divmod(mag, 3600)
+    mi, s = divmod(rem, 60)
+    intpart = (h << 12) | (mi << 6) | s
+    if total_seconds < 0:
+        intpart = -intpart
+    return (intpart + MT.TIMEF_INT_OFS).to_bytes(3, "big")
+
+
+def encode_int(value: int, byte_len: int) -> bytes:
+    """Signed little-endian storage (the raw row-image form; unsigned
+    re-basing happens at RENDER time per §1.2)."""
+    return int(value).to_bytes(byte_len, "little", signed=True)
+
+
+def encode_varstring(text: str, charset_id: int) -> bytes:
+    codec = MT._CHARSET_CODECS.get(charset_id, "utf-8")
+    raw = text.encode(codec) if codec else text.encode("latin-1")
+    if len(raw) > 0xFFFF:
+        raise ValueError("varstring longer than 2-byte length prefix")
+    return len(raw).to_bytes(2, "little") + raw
+
+
+def _encode_value(v, spec: ColumnSpec) -> bytes:
+    k = spec.kind
+    if k == "decimal":
+        return encode_decimal(Decimal(v), spec.precision, spec.scale)
+    if k == "timestamp2":
+        return encode_timestamp2(v)
+    if k == "datetime2":
+        return encode_datetime2(*v)  # (y, mo, d, h, mi, s)
+    if k == "time2":
+        return encode_time2(v)
+    if k == "enum":
+        return int(v).to_bytes(spec.packlen, "little")
+    if k == "set":
+        return int(v).to_bytes(spec.nbytes, "little")
+    if k == "bit":
+        return int(v).to_bytes((spec.nbits + 7) // 8, "big")
+    if k == "int":
+        return encode_int(v, spec.byte_len)
+    if k == "varstring":
+        return encode_varstring(v, spec.charset_id)
+    raise ValueError(f"unknown column kind {k!r}")
+
+
+def encode_row_image(values: dict, specs: list[ColumnSpec]) -> bytes:
+    """Pack one row: null bitmap (LSB-first, set = NULL) then the
+    non-null columns' bytes in spec order."""
+    nbitmap = (len(specs) + 7) // 8
+    bitmap = bytearray(nbitmap)
+    body = bytearray()
+    for i, spec in enumerate(specs):
+        v = values.get(spec.name)
+        if v is None:
+            bitmap[i // 8] |= 1 << (i % 8)
+            continue
+        body += _encode_value(v, spec)
+    return bytes(bitmap) + bytes(body)
+
+
+# --------------------------------------------------------------- decoding
+
+def _decode_one(image: bytes, specs: list[ColumnSpec]) -> list:
+    nbitmap = (len(specs) + 7) // 8
+    bitmap = image[:nbitmap]
+    pos = nbitmap
+    out: list = []
+    for i, spec in enumerate(specs):
+        if bitmap[i // 8] & (1 << (i % 8)):
+            out.append(None)
+            continue
+        k = spec.kind
+        if k == "decimal":
+            size = MT.decimal_bin_size(spec.precision, spec.scale)
+            out.append(
+                render_decimal(
+                    MT.decode_decimal(image[pos : pos + size], spec.precision, spec.scale)
+                )
+            )
+            pos += size
+        elif k == "timestamp2":
+            out.append(MT.decode_timestamp2(image[pos : pos + 4], spec.meta))
+            pos += 4 + (spec.meta + 1) // 2
+        elif k == "datetime2":
+            size = 5 + (spec.meta + 1) // 2
+            out.append(MT.decode_datetime2(image[pos : pos + size], spec.meta))
+            pos += size
+        elif k == "time2":
+            size = 3 + (spec.meta + 1) // 2
+            out.append(MT.decode_time2(image[pos : pos + size], spec.meta))
+            pos += size
+        elif k == "enum":
+            out.append(MT.decode_enum(image[pos : pos + spec.packlen], spec.packlen))
+            pos += spec.packlen
+        elif k == "set":
+            out.append(MT.decode_set(image[pos : pos + spec.nbytes]))
+            pos += spec.nbytes
+        elif k == "bit":
+            nbytes = (spec.nbits + 7) // 8
+            out.append(MT.decode_bit(image[pos : pos + nbytes], spec.nbits))
+            pos += nbytes
+        elif k == "int":
+            raw = int.from_bytes(
+                image[pos : pos + spec.byte_len], "little", signed=True
+            )
+            out.append(render_int(raw, spec.byte_len, spec.unsigned))
+            pos += spec.byte_len
+        elif k == "varstring":
+            ln = int.from_bytes(image[pos : pos + 2], "little")
+            pos += 2
+            decoded = MT.charset_decode(image[pos : pos + ln], spec.charset_id)
+            out.append(
+                decoded if isinstance(decoded, str) else decoded.decode("latin-1")
+            )
+            pos += ln
+        else:
+            raise ValueError(f"unknown column kind {k!r}")
+    return out
+
+
+def _output_field(spec: ColumnSpec) -> T.StructField:
+    if spec.kind in ("enum", "set", "bit"):
+        return T.StructField(spec.name, T.LongType(), True)
+    return T.StructField(spec.name, T.StringType(), True)
+
+
+def decode_row_images(
+    df: DataFrame,
+    specs: list[ColumnSpec],
+    image_col: str = "image",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Decode a table of binary row images distributed: one
+    ``mapInPandas`` stage, embarrassingly parallel on the input's
+    partitioning (no shuffle). Output = ``id_cols`` passed through +
+    one rendered column per spec (text forms per the frozen §1.2
+    rules; ENUM/SET/BIT as integers)."""
+    id_cols = id_cols or []
+    in_schema = dict(df.dtypes)
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name in id_cols]
+        + [_output_field(s) for s in specs]
+    )
+    names = id_cols + [s.name for s in specs]
+    for c in (image_col, *id_cols):
+        if c not in in_schema:
+            raise ValueError(f"missing column {c!r} in input")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for idx in range(len(pdf)):
+                ids = [pdf[c].iloc[idx] for c in id_cols]
+                rows.append(ids + _decode_one(bytes(pdf[image_col].iloc[idx]), specs))
+            yield pd.DataFrame(rows, columns=names)
+
+    return df.select(*id_cols, image_col).mapInPandas(run, schema=out_schema)

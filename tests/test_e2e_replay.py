@@ -147,7 +147,15 @@ def test_invalid_position_detect_and_reset(spark, stream, tmp_path):
     p = str(tmp_path / "t")
     job = CdcApplyJob(spark, d, p, n_buckets=8)
     job.run()
-    assert job.validate_position()["valid"]
+    probe = job.validate_position()
+    assert probe["valid"]
+    # boundary-file probe: reads only the first+last manifest entries,
+    # never a full retention scan (names are offset-ordered); deep=True
+    # audits the same range over every file
+    assert probe["probe_files"] <= 2
+    deep = job.validate_position(deep=True)
+    assert deep["probe_files"] > 2
+    assert (deep["lo"], deep["hi"]) == (probe["lo"], probe["hi"])
     # simulate retention: first two batch files expire after commit
     d2 = str(tmp_path / "retained")
     os.makedirs(d2)

@@ -1,0 +1,169 @@
+"""Distributed byte-decode path (VERDICT r02 #4): encode known source
+values into binary row images, decode them through the mapInPandas
+stage, and compare against the §1.2 rendered forms computed from the
+SOURCE values (never from the decoders) — a genuine inverse test; the
+byte formats themselves stay pinned by tests/test_mysql_types.py's
+hand-packed vectors."""
+
+from decimal import Decimal
+
+import pytest
+
+from mysql_tracker_spark.sources import mysql_types as MT
+from mysql_tracker_spark.sources import row_image as RI
+from mysql_tracker_spark.values import render_int, render_time, render_timestamp
+
+SPECS = [
+    RI.ColumnSpec("amount", "decimal", precision=12, scale=4),
+    RI.ColumnSpec("big", "decimal", precision=20, scale=0),
+    RI.ColumnSpec("ts", "timestamp2"),
+    RI.ColumnSpec("dt", "datetime2"),
+    RI.ColumnSpec("tm", "time2"),
+    RI.ColumnSpec("status", "enum", packlen=2),
+    RI.ColumnSpec("flags", "set", nbytes=2),
+    RI.ColumnSpec("mask", "bit", nbits=12),
+    RI.ColumnSpec("cnt", "int", byte_len=4, unsigned=True),
+    RI.ColumnSpec("title", "varstring", charset_id=45),
+    RI.ColumnSpec("city", "varstring", charset_id=24),  # gb2312
+]
+
+
+def _mk_values():
+    return {
+        "amount": Decimal("-12345.6789"),
+        "big": Decimal("18446744073709551616"),  # > 2^64, 20 digits
+        "ts": 1735689600,  # 2025-01-01 00:00:00
+        "dt": (2025, 6, 9, 12, 34, 56),
+        "tm": -(10 * 3600 + 20 * 60 + 30),
+        "status": 257,
+        "flags": 0x0105,
+        "mask": 0x0FAB,
+        "cnt": -2,  # unsigned re-base -> 4294967294
+        "title": "héllo wörld",
+        "city": "北京",
+    }
+
+
+def _expected(v):
+    return [
+        "-12345.6789",
+        "18446744073709551616",
+        render_timestamp(v["ts"]),
+        "2025-06-09 12:34:56",
+        render_time(v["tm"]),
+        257,
+        0x0105,
+        0x0FAB,
+        render_int(v["cnt"], 4, True),
+        "héllo wörld",
+        "北京",
+    ]
+
+
+def test_row_image_roundtrip_scalar():
+    v = _mk_values()
+    img = RI.encode_row_image(v, SPECS)
+    assert RI._decode_one(img, SPECS) == _expected(v)
+    assert _expected(v)[8] == "4294967294"  # the re-base actually fired
+
+
+def test_row_image_null_bitmap():
+    v = _mk_values()
+    v["amount"] = None
+    v["city"] = None
+    img = RI.encode_row_image(v, SPECS)
+    out = RI._decode_one(img, SPECS)
+    assert out[0] is None and out[10] is None
+    assert out[1:10] == _expected(_mk_values())[1:10]
+    # a fully-null row is just the bitmap
+    img_null = RI.encode_row_image({}, SPECS)
+    assert len(img_null) == (len(SPECS) + 7) // 8
+    assert RI._decode_one(img_null, SPECS) == [None] * len(SPECS)
+
+
+def test_row_image_zero_sentinels_and_negatives():
+    specs = [
+        RI.ColumnSpec("ts", "timestamp2"),
+        RI.ColumnSpec("dt", "datetime2"),
+        RI.ColumnSpec("tm", "time2"),
+        RI.ColumnSpec("d", "decimal", precision=6, scale=2),
+    ]
+    img = RI.encode_row_image(
+        {"ts": 0, "dt": (0, 0, 0, 0, 0, 0), "tm": 0, "d": Decimal("-0.01")}, specs
+    )
+    assert RI._decode_one(img, specs) == [
+        "0000-00-00 00:00:00",
+        "0000-00-00 00:00:00",
+        "00:00:00",
+        "-0.01",
+    ]
+
+
+def test_decimal_encoder_inverts_reference_vector():
+    # encode must reproduce the LogBuffer.java worked example bytes
+    assert RI.encode_decimal(Decimal("5.4567"), 19, 10).hex() == "800000051b38b06000"
+    neg = RI.encode_decimal(Decimal("-5.4567"), 19, 10)
+    assert neg == bytes(b ^ 0xFF for b in bytes.fromhex("800000051b38b06000"))
+    with pytest.raises(ValueError):
+        RI.encode_decimal(Decimal("123456789"), 8, 2)  # doesn't fit
+
+
+def test_decode_row_images_distributed(spark):
+    """The mapInPandas stage: distributed decode equals the per-row
+    scalar decode, schema is the declared one, id column passes
+    through."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(257):  # crosses batch boundaries
+        v = _mk_values()
+        v["cnt"] = rng.randint(-(2**31), 2**31 - 1)
+        v["tm"] = rng.randint(-3020399, 3020399)
+        if i % 7 == 0:
+            v["title"] = None
+        if i % 11 == 0:
+            v["amount"] = None
+        rows.append((i, RI.encode_row_image(v, SPECS), v))
+    df = spark.createDataFrame(
+        [(i, img) for i, img, _ in rows], "row_id long, image binary"
+    ).repartition(8)
+    out = RI.decode_row_images(df, SPECS, id_cols=["row_id"])
+    got = {r["row_id"]: r for r in out.collect()}
+    assert len(got) == 257
+    for i, img, v in rows:
+        exp = RI._decode_one(img, SPECS)
+        r = got[i]
+        assert [r[s.name] for s in SPECS] == exp, i
+        assert r["cnt"] == render_int(v["cnt"], 4, True)
+        assert r["tm"] == render_time(v["tm"])
+    # typed output: enum/set/bit are longs
+    sch = dict(out.dtypes)
+    assert sch["status"] == "bigint" and sch["amount"] == "string"
+
+
+def test_charset_new_tier_decodes():
+    cases = [
+        (24, "汉字", "gb2312"),   # gb2312
+        (18, "ไทย", "tis-620"),   # tis620
+        (25, "αβγ", "iso8859-7"),  # greek
+        (16, "שלום", "iso8859-8"),  # hebrew
+        (30, "ğüş", "iso8859-9"),  # latin5 Turkish (reference-table typo fixed)
+        (41, "āžē", "iso8859-13"),  # latin7 Baltic
+        (7, "привет", "koi8-r"),
+        (40, "čšž", "cp852"),
+    ]
+    for cid, text, codec in cases:
+        assert MT.charset_decode(text.encode(codec), cid) == text, cid
+
+
+def test_charset_unknown_id_warns_once():
+    MT._WARNED_CHARSET_IDS.discard(9999)
+    with pytest.warns(UserWarning, match="unknown MySQL collation id 9999"):
+        assert MT.charset_decode(b"abc", 9999) == "abc"
+    # second call: silent (once per id)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert MT.charset_decode(b"abc", 9999) == "abc"
