@@ -201,9 +201,12 @@ def offset_range(batch: DataFrame) -> dict:
 
 def after_gtid_set(df: DataFrame, executed: str) -> DataFrame:
     """GTID-set fencing: drop events whose transaction is inside the
-    executed set ``"server_uuid:lo-hi"`` (MySQL's interval-compressed
-    GTID-set form — a constant predicate, so this scales regardless of
-    how many transactions the set covers).
+    executed set ``"server_uuid:lo-hi[:lo2-hi2...]"`` (MySQL's
+    interval-compressed GTID-set form, multi-interval supported; a lone
+    number means that single transaction, per MySQL semantics). The
+    fence compiles to a constant predicate, so it scales regardless of
+    how many transactions the set covers; malformed sets raise rather
+    than silently fencing nothing.
 
     Equivalence contract (tested): when the position watermark sits at
     a TRANSACTION BOUNDARY (B4/C4 — the only place the engine commits

@@ -60,6 +60,20 @@ def write_input_manifest(input_dir: str, files: list[str] | None = None) -> str:
     return target
 
 
+def _parquet_dir_rows(d: str) -> int:
+    """Total row count of every parquet file under ``d`` read from the
+    FILE FOOTERS only (pyarrow metadata; no Spark job, no data read).
+    Cost: one footer read per file — bounded by n_buckets."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 @dataclass
 class ApplyStats:
     batch_id: int
@@ -77,6 +91,11 @@ class ApplyStats:
     snapshot_version: int | None = None
     lag_s: float | None = None
     phase_ms: dict = field(default_factory=dict)
+    # LWW observability: winners = distinct keys in the delta;
+    # collapse = rows_applied / winners (how hot the keys were);
+    # lww_variant = which dedup formulation this batch ran
+    rows_winners: int | None = None
+    lww_variant: str | None = None
 
 
 class CdcApplyJob:
@@ -87,6 +106,18 @@ class CdcApplyJob:
     # QUERY frames beyond this raise loudly instead of OOMing the
     # driver (DDL is rare by nature; 1024/batch is already pathological).
     MAX_DDL_FRAMES_PER_BATCH = 1024
+
+    # Auto skew escalation (n_salts=0 only): when a batch's collapse
+    # ratio (applied rows / LWW winners) crosses AUTO_SALT_RATIO, the
+    # NEXT batch switches to the explicit two-phase salted LWW with
+    # AUTO_SALTS salts (measured ~1.5x faster under a single-key
+    # flood); it drops back when the ratio does. The ratio costs
+    # nothing: rows_applied comes from the manifest pass, winners from
+    # the delta files' parquet footers (driver-side metadata reads, no
+    # job). Normal workloads sit at ratio ~1-5, floods at 10^2-10^3+,
+    # so the regimes are far apart and no hysteresis is needed.
+    AUTO_SALT_RATIO = 32.0
+    AUTO_SALTS = 16
 
     def __init__(
         self,
@@ -126,6 +157,8 @@ class CdcApplyJob:
         self.files_per_batch = files_per_batch
         self.source_format = source_format
         self.n_salts = n_salts
+        # auto skew escalation state (wire path; see AUTO_SALT_RATIO)
+        self._escalated = False
         # C2 bootstrap fallback (reference order: checkpoint first, then
         # config-supplied position — HandlerMagpieKafka.java:363-406)
         self.start_file = start_file
@@ -630,6 +663,22 @@ class CdcApplyJob:
         )
         if self.n_salts > 0:
             latest = self._lww(keyed, ["op", "after_kv"])
+            stats.lww_variant = f"salted{self.n_salts}"
+        elif self._escalated:
+            # AUTO skew escalation: the previous batch's collapse ratio
+            # (applied rows / LWW winners, free from the manifest pass +
+            # delta footers) crossed AUTO_SALT_RATIO — a single-key
+            # flood regime where the explicit two-phase salted LWW
+            # measures ~1.5x faster than the packed path (BENCH/
+            # BASELINE.md hot-key section). Semantics identical
+            # (property-tested); de-escalates as soon as a batch's
+            # ratio drops back under the threshold.
+            from .operators.dedup import lww_latest_salted
+
+            latest = lww_latest_salted(
+                keyed, self.key_cols, ["op", "after_kv"], self.AUTO_SALTS
+            )
+            stats.lww_variant = f"auto_salted{self.AUTO_SALTS}"
         else:
             # packed-argmax partial+final aggregation: hot keys
             # collapse map-side instead of flooding one shuffle task
@@ -639,6 +688,7 @@ class CdcApplyJob:
             from .operators.dedup import lww_latest_packed
 
             latest = lww_latest_packed(keyed, self.key_cols)
+            stats.lww_variant = "packed"
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
             *self.key_cols,
@@ -660,6 +710,14 @@ class CdcApplyJob:
         ).parquet(delta_dir)
         stats.phase_ms["delta"] = int((time.time() - t1) * 1000)
         t1 = time.time()
+
+        # LWW winners from the delta files' parquet FOOTERS (driver
+        # metadata reads, no Spark job) -> collapse ratio -> auto skew
+        # escalation decision for the NEXT batch (see AUTO_SALT_RATIO)
+        stats.rows_winners = _parquet_dir_rows(delta_dir)
+        if self.n_salts == 0 and stats.rows_winners:
+            ratio = int(m["n_dml"] or 0) / stats.rows_winners
+            self._escalated = ratio >= self.AUTO_SALT_RATIO
 
         # --- 3. merge the materialized delta --------------------------
         props = {

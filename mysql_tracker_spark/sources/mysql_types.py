@@ -145,9 +145,12 @@ def decode_time2(buf: bytes, meta: int = 0) -> str:
         frac -= 0x100 ** fb
     if intpart == 0 and frac == 0:
         return "00:00:00"
-    ltime = (intpart << 24)  # frac rendered at second precision
-    negative = ltime < 0 or (intpart == 0 and frac < 0)
-    packed = abs(ltime) >> 24
+    # frac is decoded (it carries the sign correction above) but the
+    # rendered output is SECOND precision, matching the reference's
+    # fsp=0 text; a sub-second-only negative value truncates toward
+    # zero and the sign of -0 drops
+    negative = intpart < 0 or (intpart == 0 and frac < 0)
+    packed = abs(intpart)
     hours = (packed >> 12) % (1 << 10)
     minutes = (packed >> 6) % (1 << 6)
     seconds = packed % (1 << 6)

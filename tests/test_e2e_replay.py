@@ -137,6 +137,51 @@ def test_salted_dedup_identical_under_extreme_skew(spark, tmp_path):
     pd.testing.assert_frame_equal(c[CMP], exp[CMP])
 
 
+def test_auto_skew_escalation_on_flood(spark, tmp_path):
+    """Auto skew handling (north_star 'explicit skew splitting for hot
+    conversations', no operator flag): a single-key flood drives the
+    collapse ratio (applied rows / LWW winners) over AUTO_SALT_RATIO,
+    so the NEXT batch switches to the two-phase salted LWW; a uniform
+    workload never escalates; both converge to the sequential oracle
+    (the variants are semantically identical)."""
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    # flood: 9000 events over <=18 (conv_id, turn_idx) keys, zipf(3.0)
+    # — hundreds of updates per key in every batch
+    ev = gen_change_events(
+        GenConfig(n_events=9000, n_conversations=6, max_turns=3, zipf_a=3.0, seed=13)
+    )
+    d = str(tmp_path / "flood")
+    write_wire_batches(ev, d, n_batches=3)
+    job = CdcApplyJob(
+        spark, d, str(tmp_path / "t"), n_buckets=8, source_format="wire"
+    )
+    stats = [s for s in job.run() if not s.skipped]
+    assert stats[0].lww_variant == "packed"  # no prior ratio yet
+    assert all(
+        s.lww_variant == f"auto_salted{CdcApplyJob.AUTO_SALTS}" for s in stats[1:]
+    ), [s.lww_variant for s in stats]
+    assert all(
+        s.rows_applied / s.rows_winners >= CdcApplyJob.AUTO_SALT_RATIO for s in stats
+    )
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+    # uniform control: ratio stays low, packed throughout
+    ev_u = gen_change_events(GenConfig(n_events=3000, n_conversations=400, seed=14))
+    du = str(tmp_path / "uni")
+    write_wire_batches(ev_u, du, n_batches=3)
+    job_u = CdcApplyJob(
+        spark, du, str(tmp_path / "tu"), n_buckets=8, source_format="wire"
+    )
+    stats_u = [s for s in job_u.run() if not s.skipped]
+    assert all(s.lww_variant == "packed" for s in stats_u)
+    got_u = normalize(job_u.table.read(spark).toPandas())
+    exp_u = normalize(expected_final_state(ev_u))
+    pd.testing.assert_frame_equal(got_u[CMP], exp_u[CMP])
+
+
 def test_invalid_position_detect_and_reset(spark, stream, tmp_path):
     """C7 position probe + C5 recovery: a watermark pointing before the
     retained input (retention gap) is detected; reset_policy='earliest'

@@ -197,15 +197,19 @@ def test_near_dup_clusters_connected_components(spark):
 
 
 def test_near_dup_clusters_long_chain_converges(spark):
-    """A 40-node path graph (diameter 39) must converge — pointer
-    jumping makes that O(log d) rounds — with the per-round
-    localCheckpoint keeping the plan bounded (no lineage blowup)."""
+    """A 1001-node path graph (diameter 1,000) must converge within
+    ~log2(d) rounds — the pointer-jumping guarantee; naive min-label
+    propagation would need 1,000 rounds and max_iter=12 would raise.
+    The per-round localCheckpoint keeps the plan bounded (no lineage
+    blowup), so this runs in seconds."""
+    import pytest
+
     from mysql_tracker_spark.functions.sketches import near_dup_clusters
 
-    n = 40
+    n = 1001
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], ["id_a", "id_b"]
-    )
+    ).coalesce(4)
     labels = near_dup_clusters(pairs, max_iter=12)
     got = {r["id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: 1 for i in range(1, n + 1)}
@@ -213,6 +217,10 @@ def test_near_dup_clusters_long_chain_converges(spark):
     # checkpoint scan + join head, not 12 rounds of nested joins
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 3, plan[:2000]
+    # converge-or-raise contract: too few rounds must raise, never
+    # silently return non-component-min labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, max_iter=3)
 
 
 def test_ngram_max_df_bounds_stopgram_fanout(spark):

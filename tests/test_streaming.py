@@ -91,6 +91,82 @@ def test_stream_wire_format_matches_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
 
 
+def test_stream_live_tail_with_midstream_reload(spark, tmp_path):
+    """LIVE tailing (the one streaming mode availableNow drains don't
+    cover): a processing-time-trigger query runs while the producer
+    keeps writing new batch files into the directory, a heartbeat
+    reload (close + prepare + resume from the same checkpoint) happens
+    MID-STREAM, and the table still converges to the sequential oracle
+    — the fenced idempotent sink makes the restart window safe."""
+    import os
+    import time
+
+    from mysql_tracker_spark.streaming.stream_runner import Heartbeat
+
+    ev = gen_change_events(GenConfig(n_events=3000, n_conversations=100, seed=29))
+    staging = str(tmp_path / "staging")
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    all_paths = sorted(write_batches(ev, staging, n_batches=6))
+
+    def publish(n):  # atomic same-fs rename = file "arrives"
+        for p in all_paths[:n]:
+            dst = os.path.join(in_dir, os.path.basename(p))
+            if not os.path.exists(dst):
+                os.replace(p, dst)
+
+    # expected final watermark = greatest (file, pos) in the stream
+    wm_target = max(zip(ev["file"], ev["pos"]))
+
+    publish(2)
+    sj = CdcStreamJob(
+        spark, in_dir, str(tmp_path / "tbl"), checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4, max_files_per_trigger=1,
+    )
+    hb = Heartbeat(sj, stall_after_s=600)
+    q = sj.start(available_now=False)  # live processing-time trigger
+    hb.attach(q)
+
+    def wait_watermark(target, timeout=90.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            f, p, _ = sj.job.watermark()
+            if f is not None and (f, p) >= target:
+                return True
+            time.sleep(0.5)
+        return False
+
+    # wait until the first two published files are applied
+    applied = lambda: sum(  # noqa: E731
+        s.rows_in for s in sj.stats if not getattr(s, "skipped", False)
+    )
+    t0 = time.time()
+    while applied() == 0 and time.time() - t0 < 60:
+        time.sleep(0.5)
+    assert applied() > 0, "live query never applied the initial files"
+
+    publish(4)  # two more arrive while the query is running
+    t0 = time.time()
+    while len([s for s in sj.stats if not s.skipped]) < 4 and time.time() - t0 < 60:
+        time.sleep(0.5)
+
+    # mid-stream heartbeat reload (reference close+prepare+resume)
+    assert not hb.probe()["reload_needed"]
+    q2 = hb.reload(available_now=False)
+    assert q2.isActive
+
+    publish(6)  # the rest arrives after the reload
+    assert wait_watermark(wm_target), (
+        f"watermark never reached {wm_target}; stats={[s.__dict__ for s in sj.stats]}"
+    )
+    q2.stop()
+
+    got = normalize(sj.job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+    assert sum(s.rows_in for s in sj.stats if not s.skipped) == len(ev)
+
+
 def test_heartbeat_probe_and_reload(spark, tmp_path):
     """M4 heartbeat: healthy probe after a drain; source failure flips
     reload_needed; reload() resumes from the committed checkpoint and
