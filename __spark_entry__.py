@@ -360,6 +360,89 @@ def q_tpch_q12_conditional(spark, sf_dir):
     )
 
 
+def q_tpch_q14_promo_share(spark, sf_dir):
+    """Promotion-revenue share (TPC-H Q14 flavor): fact×dim join with a
+    conditional-sum RATIO — both sums exact DECIMAL (order-independent)
+    and the single division done in double at the end, so Spark and
+    DuckDB hash identically."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice", 28, 6) * (
+        F.lit(1).cast("decimal(18,6)") - _dec("l_discount", 18, 6)
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(
+                    F.lit(0).cast("decimal(28,6)")
+                )
+            ).cast("double")
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """Large-volume orders (TPC-H Q18 flavor): aggregation + HAVING on
+    the aggregate + join back to orders/customer + top-k — the
+    agg-filter-join-back shape Q18 exercises."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__sumq"))
+        .filter(F.col("__sumq") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _dec("o_totalprice").cast("double").alias("total_price"),
+            F.col("__sumq").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_cdc_cube_type_hour(spark, sf_dir):
+    """CUBE coverage (all four grouping sets — rollup's column-order
+    subtotals plus the (NULL, hour) slice): monitor counters at every
+    granularity. NULL group markers distinguish the sets (the data has
+    no NULL type/hour)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .cube("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cdc_moving_sum_per_user(spark, sf_dir):
+    """Bounded window-FRAME coverage (rows between): per-user moving
+    sum of the last 4 events in log order — exact DECIMAL inside the
+    frame, double at the end."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("moving_value"),
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     """Anti-join coverage (TPC-H Q22 flavor): customers with no order
     since 2000, counted per nation (broadcast dim + left anti join)."""
@@ -995,6 +1078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_local_supplier": q_tpch_q5,
         "tpch_q4_exists": q_tpch_q4_exists,
         "tpch_q12_conditional": q_tpch_q12_conditional,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "cdc_cube_type_hour": q_cdc_cube_type_hour,
+        "cdc_moving_sum_per_user": q_cdc_moving_sum_per_user,
         "customers_without_orders": q_customers_without_orders,
         "join_order_customer_nation": q_join_order_customer_nation,
         "doc_token_count": q_doc_token_count,
@@ -1173,6 +1260,41 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "tpch_q14_promo_share": """
+            SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice AS DECIMAL(28,6)) *
+                            (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) *
+                            (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'
+        """,
+        "tpch_q18_large_orders": """
+            WITH big AS (
+                SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sumq
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+            )
+            SELECT c_name, o_orderkey, o_orderdate,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+                   CAST(sumq AS DOUBLE) AS sum_qty
+            FROM big JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_price DESC, o_orderkey ASC LIMIT 10
+        """,
+        "cdc_cube_type_hour": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+            FROM events GROUP BY CUBE (event_type, hour)
+        """,
+        "cdc_moving_sum_per_user": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_value
+            FROM events
         """,
         "customers_without_orders": """
             SELECT n_name, count(*) AS n_customers,
