@@ -73,6 +73,19 @@ def test_anti_and_semi_joins_pure_jvm(spark):
         assert python_stage_count(df) == 0, name
 
 
+def test_new_relational_queries_plan_shape(spark):
+    """Q14/Q18 broadcast their dims; cube/moving-sum stay pure JVM with
+    pushdown reaching the scan."""
+    df14 = entrymod.q_tpch_q14_promo_share(spark, SF)
+    assert has_broadcast_join(df14) and python_stage_count(df14) == 0
+    assert any("l_shipdate" in p for p in pushed_filters(df14))
+    df18 = entrymod.q_tpch_q18_large_orders(spark, SF)
+    assert has_broadcast_join(df18) and python_stage_count(df18) == 0
+    for name in ("cdc_cube_type_hour", "cdc_moving_sum_per_user"):
+        df = entrymod.queries()[name](spark, SF)
+        assert python_stage_count(df) == 0, name
+
+
 def test_seq_numbering_has_no_global_single_task_sort(spark):
     """B3 two-phase sequencing: the main data path must be a parallel
     range-repartition + within-partition sort, never a row_number over
