@@ -109,6 +109,39 @@ def test_truncated_frame_dropped_not_task_failure(spark, dirs):
     assert 0 < kept < total
 
 
+def test_adversarial_payload_fuzz_never_crashes(spark, dirs):
+    """S4 robustness under garbage: 400 seeded-random byte payloads
+    (arbitrary lengths, incl. empty / header-sized / long) plus
+    structured mutations of valid frames (appended junk, flipped type
+    byte, injected separator bytes) are unioned with valid frames.
+    The decode must not fail any task, must drop every junk frame, and
+    must keep exactly the untouched valid set."""
+    import random
+
+    wire, _ = dirs
+    raw = spark.read.schema(RAW_FRAME_SCHEMA).parquet(wire)
+    valid_keys = {(r["file"], r["pos"]) for r in raw.select("file", "pos").collect()}
+
+    rng = random.Random(77)
+    junk_rows = []
+    for i in range(400):
+        ln = rng.choice([0, 1, HEADER_LEN - 1, HEADER_LEN, HEADER_LEN + 4,
+                         rng.randint(24, 200), rng.randint(200, 2000)])
+        junk_rows.append(("zz.999999", 10_000_000 + i, bytes(rng.randbytes(ln))))
+    # structured mutations of one real frame
+    sample = raw.limit(3).collect()
+    for j, r in enumerate(sample):
+        p = bytes(r["payload"])
+        junk_rows.append(("zz.999999", 20_000_000 + j * 3, p + b"\xff\x00junk"))
+        junk_rows.append(("zz.999999", 20_000_001 + j * 3, bytes([p[0], p[1], p[2], p[3], 0x7F]) + p[5:]))
+        junk_rows.append(("zz.999999", 20_000_002 + j * 3, p[:HEADER_LEN] + b"\x1c\x1d\x1e" * 10 + p[-4:]))
+    junk = spark.createDataFrame(junk_rows, RAW_FRAME_SCHEMA)
+
+    out = decode_frames(raw.unionByName(junk), drop_bad_crc=True)
+    got_keys = {(r["file"], r["pos"]) for r in out.select("file", "pos").distinct().collect()}
+    assert got_keys == valid_keys  # nothing junk survived, nothing valid lost
+
+
 def test_ddl_flood_bounded_collect_raises(spark, tmp_path):
     """10k unknown-op QUERY frames must not become an unbounded driver
     collect: the wire manifest pass caps candidate-DDL frames and
