@@ -807,9 +807,13 @@ def q_doc_minhash_near_dups(spark, sf_dir):
         (r.id_a, r.id_b)
         for r in SK.minhash_near_dups(d, threshold=0.7).select("id_a", "id_b").collect()
     }
+    # exact set via the GUARDED formulation (max_df=200 — lossless on
+    # this corpus, itself proven by doc_ngram_jaccard_near_dups's green
+    # unguarded-oracle row), so no contract plan anywhere runs an
+    # unguarded posting self-join
     ex = {
         (r.id_a, r.id_b)
-        for r in SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7)
+        for r in SK.ngram_jaccard_near_dups(d, n=3, threshold=0.7, max_df=200)
         .select("id_a", "id_b")
         .collect()
     }
