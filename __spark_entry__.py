@@ -443,6 +443,23 @@ def q_cdc_moving_sum_per_user(spark, sf_dir):
     )
 
 
+def q_cdc_json_props_sum(spark, sf_dir):
+    """Semi-structured coverage: JSON path extraction from the events'
+    props payload (transcript pipelines carry tool-call metadata the
+    same way) — JVM-side get_json_object, exact BIGINT aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+            F.count(F.when(F.get_json_object("props", "$.k").isNotNull(), 1)).alias(
+                "n_with_k"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_customers_without_orders(spark, sf_dir):
     """Anti-join coverage (TPC-H Q22 flavor): customers with no order
     since 2000, counted per nation (broadcast dim + left anti join)."""
@@ -1086,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "cdc_cube_type_hour": q_cdc_cube_type_hour,
         "cdc_moving_sum_per_user": q_cdc_moving_sum_per_user,
+        "cdc_json_props_sum": q_cdc_json_props_sum,
         "customers_without_orders": q_customers_without_orders,
         "join_order_customer_nation": q_join_order_customer_nation,
         "doc_token_count": q_doc_token_count,
@@ -1299,6 +1317,12 @@ def oracle_sql() -> dict[str, str]:
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_value
             FROM events
+        """,
+        "cdc_json_props_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+                   count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "customers_without_orders": """
             SELECT n_name, count(*) AS n_customers,
