@@ -443,6 +443,56 @@ def q_cdc_moving_sum_per_user(spark, sf_dir):
     )
 
 
+def q_stream_sessionization_stateful(spark, sf_dir):
+    """CUSTOM STATEFUL STREAMING operator, DuckDB-oracled: the events
+    table is replayed as a 3-micro-batch file stream through
+    ``applyInPandasWithState`` sessionization (open sessions ride the
+    state store across batches; closed sessions are emitted as they
+    close). The oracle recomputes the same closed-session set in pure
+    SQL over the whole table (all sessions minus each user's final,
+    still-open one) — so cross-batch state handoff, not just the
+    per-batch math, is what the hash verifies. Batch twin:
+    ``cdc_sessionization`` (lead/lag windows)."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.streaming.stateful import run_sessionize_files
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .orderBy("ts", "event_id")
+    )
+    pdf = ev.toPandas()
+    work = tempfile.mkdtemp(prefix="mts_sess_stream_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    for i, part in enumerate(np.array_split(pdf, 3)):
+        pq.write_table(
+            pa.Table.from_pandas(part.reset_index(drop=True)),
+            os.path.join(in_dir, f"b{i:03d}.parquet"),
+        )
+    try:
+        got = run_sessionize_files(
+            spark,
+            in_dir,
+            ev.schema,
+            checkpoint_dir=os.path.join(work, "ck"),
+            out_dir=os.path.join(work, "out"),
+            gap_s=1800.0,
+        )
+        result = got.orderBy("user_id", "start_us")
+        rows = result.collect()  # materialize before the work dir vanishes
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_json_props_sum(spark, sf_dir):
     """Semi-structured coverage: JSON path extraction from the events'
     props payload (transcript pipelines carry tool-call metadata the
@@ -1104,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cube_type_hour": q_cdc_cube_type_hour,
         "cdc_moving_sum_per_user": q_cdc_moving_sum_per_user,
         "cdc_json_props_sum": q_cdc_json_props_sum,
+        "stream_sessionization_stateful": q_stream_sessionization_stateful,
         "customers_without_orders": q_customers_without_orders,
         "join_order_customer_nation": q_join_order_customer_nation,
         "doc_token_count": q_doc_token_count,
@@ -1323,6 +1374,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "stream_sessionization_stateful": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM o),
+            g AS (
+                SELECT user_id, sid, min(epoch_us(ts)) AS start_us,
+                       max(epoch_us(ts)) AS end_us, CAST(count(*) AS BIGINT) AS n_events
+                FROM s GROUP BY user_id, sid),
+            mx AS (SELECT user_id, max(sid) AS m FROM g GROUP BY user_id)
+            SELECT g.user_id AS user_id, start_us, end_us, n_events
+            FROM g JOIN mx ON g.user_id = mx.user_id AND g.sid < mx.m
+            ORDER BY g.user_id, start_us
         """,
         "customers_without_orders": """
             SELECT n_name, count(*) AS n_customers,

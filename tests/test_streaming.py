@@ -167,6 +167,106 @@ def test_stream_live_tail_with_midstream_reload(spark, tmp_path):
     assert sum(s.rows_in for s in sj.stats if not s.skipped) == len(ev)
 
 
+def test_stateful_sessionize_stream_across_batches(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    sessions spanning micro-batch boundaries close correctly because
+    the open session rides in the per-key state store; emitted closed
+    sessions equal the batch (pandas) oracle; a later drain with
+    far-future sentinels flushes the remaining open sessions."""
+    import os
+
+    import numpy as np
+
+    from mysql_tracker_spark.streaming.stateful import run_sessionize_files
+
+    GAP_S = 600  # 10 min
+    rng = np.random.default_rng(31)
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000  # epoch us
+    for uid in range(12):
+        t = base + int(rng.integers(0, 3_000_000_000))
+        for _ in range(int(rng.integers(8, 40))):
+            # mix of intra-session gaps (<10min) and session breaks
+            t += int(rng.integers(1, 1200)) * 1_000_000
+            rows.append((eid, uid, t))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "us"]).sort_values(
+        ["us", "event_id"]
+    )
+
+    # pandas oracle: full session list per user
+    def oracle_sessions(frame):
+        out = []
+        for uid, g in frame.sort_values(["user_id", "us", "event_id"]).groupby("user_id"):
+            start = last = None
+            n = 0
+            for us in g["us"]:
+                if start is None:
+                    start, last, n = us, us, 1
+                elif us - last > GAP_S * 1_000_000:
+                    out.append((uid, start, last, n))
+                    start, last, n = us, us, 1
+                else:
+                    last, n = us, n + 1
+            out.append((uid, start, last, n))  # final (open) session
+        return out
+
+    full = oracle_sessions(pdf)
+    open_per_user = {u: (u, s, e, n) for (u, s, e, n) in full}  # last wins
+    closed_expected = {t for t in full if t != open_per_user[t[0]]}
+
+    # three time-ordered files (per-key monotone across batches)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    thirds = np.array_split(pdf, 3)
+    for i, part in enumerate(thirds):
+        out = pd.DataFrame(
+            {
+                "event_id": part["event_id"].to_numpy(),
+                "user_id": part["user_id"].to_numpy(),
+                # micro (not nano) precision: Spark reads TIMESTAMP(MICROS)
+                "ts": pd.to_datetime(part["us"].to_numpy(), unit="us").astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(out), os.path.join(in_dir, f"b{i:03d}.parquet"))
+
+    schema = "event_id long, user_id long, ts timestamp"
+    from pyspark.sql.types import _parse_datatype_string
+
+    got = run_sessionize_files(
+        spark, in_dir, _parse_datatype_string(schema),
+        checkpoint_dir=str(tmp_path / "ck"), out_dir=str(tmp_path / "out"), gap_s=GAP_S,
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    assert got_set == closed_expected and len(got_set) > 10
+
+    # flush: one far-future sentinel per user closes every open session
+    sent = pd.DataFrame(
+        {
+            "event_id": [10_000 + u for u in open_per_user],
+            "user_id": list(open_per_user),
+            "ts": pd.to_datetime(
+                [base + 100_000_000_000_000] * len(open_per_user), unit="us"
+            ).astype("datetime64[us]"),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(sent), os.path.join(in_dir, "b999.parquet"))
+    # same checkpoint + sink: the restarted drain resumes source
+    # offsets AND the per-key operator state, then flushes
+    got2 = run_sessionize_files(
+        spark, in_dir, _parse_datatype_string(schema),
+        checkpoint_dir=str(tmp_path / "ck"), out_dir=str(tmp_path / "out"), gap_s=GAP_S,
+    )
+    got2_set = {tuple(r) for r in got2.collect()}  # cumulative sink
+    assert got2_set == set(full)  # every real session accounted for
+
+
 def test_heartbeat_probe_and_reload(spark, tmp_path):
     """M4 heartbeat: healthy probe after a drain; source failure flips
     reload_needed; reload() resumes from the committed checkpoint and
