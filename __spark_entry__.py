@@ -1080,6 +1080,71 @@ def _write_flagship_dump(ev=None) -> None:
     _atomic_parquet_dump(flat, FLAGSHIP_ORACLE_DUMP)
 
 
+CHANGELOG_CUT_DUMP = "/tmp/mts_flagship_oracle/changelog_cut.parquet"
+
+
+def _write_changelog_cut(ev=None) -> None:
+    """The (file,pos) watermark the engine commits after batch 1 of 3 —
+    derived by replicating write_batches' deterministic frame split, so
+    the SQL oracle can cut the event stream at exactly the same point."""
+    import numpy as np
+    import pandas as pd
+
+    if ev is None:
+        ev = _flagship_events()
+    fp = ev["file"].astype(str) + ":" + ev["pos"].astype(str)
+    new_frame = (fp != fp.shift(1)).to_numpy()
+    frame_no = np.cumsum(new_frame) - 1
+    cuts = np.linspace(0, frame_no[-1] + 1, 4).astype(int)  # n_batches=3
+    chunk0 = ev[(frame_no >= cuts[0]) & (frame_no < cuts[1])]
+    last = chunk0.iloc[-1]
+    _atomic_parquet_dump(
+        pd.DataFrame({"bf": [last["file"]], "bp": [int(last["pos"])]}),
+        CHANGELOG_CUT_DUMP,
+    )
+
+
+def q_cdc_changelog_snapshot_diff(spark, sf_dir):
+    """Incremental CHANGELOG scan of the lakestore table (Iceberg
+    changelog analogue; the reference's S6 Kafka verification consumer
+    made real): apply batch 1, remember that snapshot, apply the rest,
+    then read the row-level insert/update/delete set between the two
+    snapshots — only CHANGED buckets are opened (COW carries untouched
+    buckets by reference). The DuckDB oracle recomputes both LWW states
+    from the flat event dump (cut at the batch-1 watermark, replicated
+    deterministically) and diffs them in pure SQL."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    _write_changelog_cut(ev)
+    work = tempfile.mkdtemp(prefix="mts_entry_changelog_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    write_batches(ev, in_dir, n_batches=3)
+    job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+    job.run(max_batches=1)
+    v1 = job.table.current_version()
+    job.run()  # remaining batches (applied ones fence out)
+    changes = job.table.read_changes(spark, v1)
+    result = changes.select(
+        "op",
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+        "score",
+    ).orderBy("conv_id", "turn_idx")
+    rows = result.collect()  # materialize before the work dir vanishes
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_apply_transcripts_final(spark, sf_dir):
     """The flagship engine path end-to-end, DRIVER-ORACLED: generate the
     deterministic synthetic binlog, dump the raw change events flat to
@@ -1176,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_summary": q_media_summary,
         "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
+        "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
     }
 
 
@@ -1194,6 +1260,8 @@ def oracle_sql() -> dict[str, str]:
         _write_media_features_dump()
     if not os.path.exists(ROW_IMAGE_DUMP):
         _write_row_image_fixture()
+    if not os.path.exists(CHANGELOG_CUT_DUMP):
+        _write_changelog_cut()
     return {
         "cdc_lww_last_event_per_user": """
             SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
@@ -1640,6 +1708,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
                    ts_text, CAST(score AS BIGINT) AS score
             FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """,
+        # Changelog oracle: LWW state at the batch-1 watermark vs the
+        # final LWW state, diffed in SQL — insert (final only), delete
+        # (pre-image, earlier state only), update (post-image, any
+        # column differs null-safely).
+        "cdc_changelog_snapshot_diff": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), cut AS (SELECT bf, bp FROM read_parquet('{CHANGELOG_CUT_DUMP}')),
+            s1 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                    WHERE file < (SELECT bf FROM cut)
+                       OR (file = (SELECT bf FROM cut) AND pos <= (SELECT bp FROM cut))
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            ), sf AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            )
+            SELECT CASE WHEN s1.conv_id IS NULL THEN 'insert'
+                        WHEN sf.conv_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS op,
+                   COALESCE(sf.conv_id, s1.conv_id) AS conv_id,
+                   CAST(COALESCE(sf.turn_idx, s1.turn_idx) AS INT) AS turn_idx,
+                   CASE WHEN sf.conv_id IS NULL THEN s1.role ELSE sf.role END AS role,
+                   CASE WHEN sf.conv_id IS NULL THEN s1.text ELSE sf.text END AS text,
+                   CASE WHEN sf.conv_id IS NULL THEN s1.tool ELSE sf.tool END AS tool,
+                   CASE WHEN sf.conv_id IS NULL THEN s1.ts_text ELSE sf.ts_text END AS ts_text,
+                   CAST(CASE WHEN sf.conv_id IS NULL THEN s1.score ELSE sf.score END AS BIGINT) AS score
+            FROM s1 FULL OUTER JOIN sf
+              ON s1.conv_id = sf.conv_id AND s1.turn_idx = sf.turn_idx
+            WHERE s1.conv_id IS NULL OR sf.conv_id IS NULL
+               OR s1.role IS DISTINCT FROM sf.role
+               OR s1.text IS DISTINCT FROM sf.text
+               OR s1.tool IS DISTINCT FROM sf.tool
+               OR s1.ts_text IS DISTINCT FROM sf.ts_text
+               OR s1.score IS DISTINCT FROM sf.score
             ORDER BY conv_id, turn_idx
         """,
     }

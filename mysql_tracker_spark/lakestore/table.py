@@ -167,26 +167,29 @@ class LakeTable:
 
     # ------------------------------------------------------------------ read
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """Current (or time-travel) snapshot as a DataFrame with the
-        snapshot's schema. Files are read grouped by their schema_id and
-        cast to the snapshot schema (schema evolution without rewrite)."""
-        m = self.manifest(version)
-        cur = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+    def _read_aligned(
+        self,
+        spark: SparkSession,
+        entries: list[dict],
+        schemas: dict,
+        target: T.StructType,
+    ) -> DataFrame:
+        """Read a list of file entries (each ``{"path","schema_id",...}``)
+        grouped by schema_id and align every group to ``target``: missing
+        columns become null, widened columns cast (schema evolution
+        without rewrite)."""
         groups: dict[int, list[str]] = {}
-        for files in m["buckets"].values():
-            for fe in files:
-                groups.setdefault(fe["schema_id"], []).append(os.path.join(self.path, fe["path"]))
+        for fe in entries:
+            groups.setdefault(fe["schema_id"], []).append(os.path.join(self.path, fe["path"]))
         if not groups:
-            return spark.createDataFrame([], cur)
+            return spark.createDataFrame([], target)
         parts = []
         for sid, paths in sorted(groups.items()):
-            old = T.StructType.fromJson(m["schemas"][str(sid)])
+            old = T.StructType.fromJson(schemas[str(sid)])
             df = spark.read.schema(old).parquet(*paths)
-            # align to current schema: add missing columns as null, cast widened
             cols = []
             old_names = {f.name for f in old.fields}
-            for fld in cur.fields:
+            for fld in target.fields:
                 if fld.name in old_names:
                     cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
                 else:
@@ -196,6 +199,94 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) snapshot as a DataFrame with the
+        snapshot's schema. Files are read grouped by their schema_id and
+        cast to the snapshot schema (schema evolution without rewrite)."""
+        m = self.manifest(version)
+        cur = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        entries = [fe for files in m["buckets"].values() for fe in files]
+        return self._read_aligned(spark, entries, m["schemas"], cur)
+
+    def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
+        """Buckets whose file lists differ between the two snapshots.
+        COW invariant: an untouched bucket carries the SAME file entries
+        forward by reference, so list equality == data equality — the
+        changelog scan below never opens an unchanged bucket."""
+        mf = self.manifest(from_version)
+        mt = self.manifest(to_version if to_version is not None else self.current_version())
+        out = []
+        for b in sorted(set(mf["buckets"]) | set(mt["buckets"]), key=int):
+            if mf["buckets"].get(b, []) != mt["buckets"].get(b, []):
+                out.append(int(b))
+        return out
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level CHANGELOG between two committed snapshots (the
+        Iceberg incremental/changelog-scan analogue — and the engine's
+        answer to the reference's Kafka verification consumer, S6: a
+        downstream consumer reads exactly what changed, with offsets
+        riding in the snapshots' properties). Returns
+        ``op ∈ {insert, update, delete}`` + the key columns + the row
+        image (post-image for insert/update, pre-image for delete),
+        aligned to the ``to`` snapshot's schema.
+
+        Scale shape: only CHANGED buckets are read on either side
+        (:meth:`changed_buckets` — COW carries untouched buckets
+        forward by reference), the diff is one key-equi full-outer
+        join co-partitioned by the bucket key, and carried-forward
+        identical rows inside rewritten buckets are dropped by a
+        null-safe payload comparison — cost tracks the working set,
+        not table size."""
+        to_v = to_version if to_version is not None else self.current_version()
+        mf, mt = self.manifest(from_version), self.manifest(to_v)
+        target = T.StructType.fromJson(mt["schemas"][str(mt["schema_id"])])
+        schemas = {**mf["schemas"], **mt["schemas"]}
+        key = mt["key_cols"]
+        old_entries: list[dict] = []
+        new_entries: list[dict] = []
+        for b in self.changed_buckets(from_version, to_v):
+            old_entries += mf["buckets"].get(str(b), [])
+            new_entries += mt["buckets"].get(str(b), [])
+        old = self._read_aligned(spark, old_entries, schemas, target).withColumn(
+            "__o", F.lit(True)
+        )
+        new = self._read_aligned(spark, new_entries, schemas, target).withColumn(
+            "__n", F.lit(True)
+        )
+        non_key = [f.name for f in target.fields if f.name not in key]
+        o, n = old.alias("o"), new.alias("n")
+        cond = None
+        for k in key:
+            c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+            cond = c if cond is None else (cond & c)
+        j = o.join(n, cond, "full_outer")
+        has_o, has_n = F.col("o.__o").isNotNull(), F.col("n.__n").isNotNull()
+        op = (
+            F.when(~has_o, F.lit("insert"))
+            .when(~has_n, F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        same_payload = F.struct(*[F.col(f"o.{c}") for c in non_key]).eqNullSafe(
+            F.struct(*[F.col(f"n.{c}") for c in non_key])
+        )
+        return (
+            j.filter(~(has_o & has_n & same_payload))
+            .select(
+                op.alias("op"),
+                *[F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key],
+                *[
+                    F.when(has_n, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+                    for c in non_key
+                ],
+            )
+        )
 
     # ----------------------------------------------------------------- write
 

@@ -44,6 +44,61 @@ def test_merge_only_rewrites_affected_buckets(spark, tmp_table_dir):
     assert unchanged  # others carried forward by reference
 
 
+def test_read_changes_changelog_between_snapshots(spark, tmp_table_dir):
+    """Incremental changelog scan (Iceberg changelog analogue / the
+    reference's S6 verification consumer made real): row-level
+    insert/update/delete between two snapshots, reading only CHANGED
+    buckets; carried-forward identical rows in rewritten buckets are
+    not emitted."""
+    t = _mk(spark, tmp_table_dir)
+    v1 = t.current_version()
+    ch = spark.createDataFrame(
+        [("c1", 1, "B", False), ("c2", 0, None, True), ("c3", 9, "n", False)], CH_SCHEMA
+    )
+    t.merge(spark, ch)
+    v2 = t.current_version()
+    got = {
+        (r.op, r.conv_id, r.turn_idx, r.text)
+        for r in t.read_changes(spark, v1, v2).collect()
+    }
+    assert got == {
+        ("update", "c1", 1, "B"),  # post-image
+        ("delete", "c2", 0, "c"),  # pre-image
+        ("insert", "c3", 9, "n"),
+    }
+    # ("c1", 0, "a") shares c1's rewritten bucket but did not change: not emitted
+    # changed-bucket bounding: only the touched buckets are scanned
+    cb = t.changed_buckets(v1, v2)
+    assert 0 < len(cb) < t.manifest()["n_buckets"]
+    # no-op range: empty changelog
+    assert t.read_changes(spark, v2, v2).count() == 0
+    # multi-step range composes: v1 -> HEAD after another merge
+    t.merge(spark, spark.createDataFrame([("c3", 9, "N2", False)], CH_SCHEMA))
+    got2 = {
+        (r.op, r.conv_id, r.turn_idx, r.text)
+        for r in t.read_changes(spark, v1).collect()
+    }
+    assert ("insert", "c3", 9, "N2") in got2 and ("insert", "c3", 9, "n") not in got2
+
+
+def test_read_changes_across_schema_evolution(spark, tmp_table_dir):
+    """The changelog aligns both sides to the TO snapshot's schema:
+    rows written before an ADD COLUMN diff cleanly against rows after
+    it (old side null-padded)."""
+    t = _mk(spark, tmp_table_dir)
+    v1 = t.current_version()
+    new_schema = T.StructType(SCHEMA.fields + [T.StructField("score", T.LongType())])
+    t.update_schema(new_schema)
+    ch_schema = T.StructType(new_schema.fields + [T.StructField("__delete", T.BooleanType())])
+    t.merge(spark, spark.createDataFrame([("c1", 1, "b", 7, False)], ch_schema))
+    got = {
+        (r.op, r.conv_id, r.turn_idx, r.text, r.score)
+        for r in t.read_changes(spark, v1).collect()
+    }
+    # text unchanged but score went null -> 7: emitted as update
+    assert got == {("update", "c1", 1, "b", 7)}
+
+
 def test_commit_collision(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir)
     m = t.manifest()
