@@ -850,6 +850,35 @@ def q_mysql_byte_decode(spark, sf_dir):
     )
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Sliding-window token chunking (sequence-packing prep): 64-token
+    windows, 16-token overlap, pure Catalyst (split/sequence/explode/
+    slice — zero Python, no shuffle; one document never leaves its
+    partition)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, max_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_doc_mix_topk_per_lang(spark, sf_dir):
+    """Stratified data mixing: top-25 documents PER predicted language
+    by quality score (window rank with a total tiebreak) — the
+    deterministic core of a per-source/per-language sampling mix."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("lang_pred").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 25)
+        .orderBy("lang_pred", "rank")
+    )
+
+
 def q_doc_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH near-dups, DRIVER-VERIFIED via properties the DuckDB
     oracle derives independently (SQL cannot simulate MinHash, so the
@@ -1233,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_near_dups": q_emb_cosine_near_dups,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "mysql_byte_decode": q_mysql_byte_decode,
+        "doc_chunking": q_doc_chunking,
+        "doc_mix_topk_per_lang": q_doc_mix_topk_per_lang,
         # property-oracled (SQL cannot re-derive the sketch itself):
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -1511,6 +1542,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_id": f"""
             SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents
+        """,
+        "doc_chunking": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0),
+            s AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS start
+                FROM t)
+            SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx,
+                   CAST(least(len(toks) - start, 64) AS INT) AS n_tokens,
+                   array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+            FROM s ORDER BY doc_id, chunk_idx
+        """,
+        "doc_mix_topk_per_lang": rf"""
+            WITH q AS (
+                SELECT doc_id,
+                       {lang_id_sql('text')} AS lang_pred,
+                       round((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.5 ELSE 0.0 END)
+                           + (CASE WHEN round(n_sw / greatest(n_tok, 1), 6) >= 0.01 THEN 0.3 ELSE 0.0 END)
+                           + (CASE WHEN round(n_punct / greatest(n_chars, 1), 6) <= 0.1 THEN 0.2 ELSE 0.0 END), 6) AS quality
+                FROM (
+                    SELECT doc_id, text,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                           length(text) AS n_chars,
+                           len(regexp_extract_all(lower(text), '{_STOPWORDS}')) AS n_sw
+                    FROM documents))
+            SELECT lang_pred, doc_id, quality, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang_pred ORDER BY quality DESC, doc_id ASC) AS rank
+                FROM q)
+            WHERE rank <= 25 ORDER BY lang_pred, rank
         """,
         "emb_knn_bruteforce": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

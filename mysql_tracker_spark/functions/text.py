@@ -76,6 +76,52 @@ def quality_score(col: Column) -> Column:
     return F.round(len_ok + sw + punct_ok, 6)
 
 
+def chunk_documents(
+    df,
+    max_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window token chunking (training-data prep: long
+    documents -> fixed-budget windows with overlap for sequence
+    packing). Pure Catalyst — split, sequence, transform, explode —
+    zero Python, so it whole-stage-codegens and scales scan-locally
+    (one document never leaves its partition; no shuffle).
+
+    Windows start every ``max_tokens - overlap`` tokens until the
+    start passes the end of the document; the final window may be
+    short (standard stride semantics). Empty documents yield no
+    chunks. Returns ``id_col, chunk_idx, n_tokens, chunk_text``.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    out = (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            n.alias("__n"),
+            F.explode(starts).alias("__start"),
+        )
+        .filter((F.col("__n") > 0) & (F.length(F.concat_ws("", "__toks")) > 0))
+        .select(
+            id_col,
+            (F.col("__start") / step).cast("int").alias("chunk_idx"),
+            F.least(F.col("__n") - F.col("__start"), F.lit(max_tokens)).alias(
+                "n_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+    return out
+
+
 def lang_id(col: Column) -> Column:
     """Marker-word language ID: the language with the highest marker
     count, ties broken by fixed language order (en,de,fr,es), 'und'

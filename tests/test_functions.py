@@ -185,6 +185,38 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert full == exact
 
 
+def test_chunk_documents_windows_and_edges(spark):
+    """Sliding-window chunking: stride = max-overlap, overlapping
+    windows share exactly `overlap` tokens, short tail kept, empty and
+    whitespace-only docs yield no chunks."""
+    from mysql_tracker_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),  # shorter than one window
+            (3, ""),  # empty
+            (4, "   "),  # whitespace only
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=2)
+    rows = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text) for r in out.collect()}
+    assert {k[0] for k in rows} == {1, 2}
+    # doc 1: starts 0,2,4,6,8 -> windows of 4 (tail short)
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t2 t3 t4 t5")
+    assert rows[(1, 4)] == (2, "t8 t9")
+    assert rows[(2, 0)] == (3, "a b c")
+    # overlap property: consecutive windows share exactly 2 tokens
+    w0, w1 = rows[(1, 0)][1].split(), rows[(1, 1)][1].split()
+    assert w0[-2:] == w1[:2]
+    # pure Catalyst: no Python stage in the plan
+    from mysql_tracker_spark.plans.checks import python_stage_count
+
+    assert python_stage_count(out) == 0
+
+
 def test_near_dup_clusters_connected_components(spark):
     from mysql_tracker_spark.functions.sketches import near_dup_clusters
 
