@@ -58,7 +58,14 @@ def main() -> None:
     ap.add_argument(
         "--salts", type=int, default=0,
         help="explicit two-phase salted LWW for single-key floods "
-        "(see BENCH/BASELINE.md hot-key section); 0 = packed default",
+        "(see BENCH/BASELINE.md hot-key section); 0 = packed default "
+        "with AUTO skew escalation",
+    )
+    ap.add_argument(
+        "--changes-from", type=int, default=None, metavar="VERSION",
+        help="after the apply, print the row-level changelog "
+        "(insert/update/delete) from this snapshot version to HEAD "
+        "as JSON lines (downstream verification consumer)",
     )
     args = ap.parse_args()
 
@@ -121,6 +128,13 @@ def main() -> None:
         print(json.dumps(s.__dict__, default=str))
         total += s.rows_in
     print(json.dumps({"batches": len(stats), "events": total}), file=sys.stderr)
+
+    if args.changes_from is not None and not args.streaming:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        t = LakeTable.load(args.table)
+        for r in t.read_changes(spark, args.changes_from).toJSON().toLocalIterator():
+            print(r)
     spark.stop()
 
 
