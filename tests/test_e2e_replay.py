@@ -181,6 +181,30 @@ def test_auto_skew_escalation_on_flood(spark, tmp_path):
     exp_u = normalize(expected_final_state(ev_u))
     pd.testing.assert_frame_equal(got_u[CMP], exp_u[CMP])
 
+    # DE-escalation: the flood table keeps applying, now with a
+    # uniform continuation — one lagging salted batch (decided by the
+    # last flood ratio), then back to packed
+    import os
+
+    ev2 = gen_change_events(
+        GenConfig(n_events=3000, n_conversations=400, seed=15, file_base=5000)
+    )
+    d2 = str(tmp_path / "flood_then_uniform")
+    os.makedirs(d2)
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(d, f), os.path.join(d2, f))
+    write_wire_batches(ev2, os.path.join(d2, "cont"), n_batches=2)
+    for f in sorted(os.listdir(os.path.join(d2, "cont"))):
+        os.rename(os.path.join(d2, "cont", f), os.path.join(d2, f"zz_{f}"))
+    job2 = CdcApplyJob(
+        spark, d2, str(tmp_path / "t2"), n_buckets=8, source_format="wire"
+    )
+    variants = [s.lww_variant for s in job2.run() if not s.skipped]
+    auto = f"auto_salted{CdcApplyJob.AUTO_SALTS}"
+    # 3 flood batches + 2 uniform: [packed, auto, auto, auto(lag), packed]
+    assert variants == ["packed", auto, auto, auto, "packed"], variants
+
 
 def test_invalid_position_detect_and_reset(spark, stream, tmp_path):
     """C7 position probe + C5 recovery: a watermark pointing before the

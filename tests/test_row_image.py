@@ -142,6 +142,65 @@ def test_decode_row_images_distributed(spark):
     assert sch["status"] == "bigint" and sch["amount"] == "string"
 
 
+def test_row_image_roundtrip_property():
+    """Property-based encode->decode round-trip (hypothesis): random
+    values over every column kind — including NULLs, negatives, zero
+    sentinels, payload boundary magnitudes — must decode back to the
+    §1.2 rendered forms computed from the source values."""
+    from hypothesis import given, settings, strategies as st
+
+    from mysql_tracker_spark.values import render_decimal
+
+    specs = [
+        RI.ColumnSpec("d1", "decimal", precision=10, scale=3),
+        RI.ColumnSpec("d2", "decimal", precision=18, scale=0),
+        RI.ColumnSpec("ts", "timestamp2"),
+        RI.ColumnSpec("tm", "time2"),
+        RI.ColumnSpec("e", "enum", packlen=1),
+        RI.ColumnSpec("b", "bit", nbits=20),
+        RI.ColumnSpec("i8", "int", byte_len=1, unsigned=True),
+        RI.ColumnSpec("i64", "int", byte_len=8, unsigned=True),
+        RI.ColumnSpec("s", "varstring", charset_id=45),
+    ]
+
+    dec = st.integers(-(10**7 * 1000 - 1), 10**7 * 1000 - 1).map(
+        lambda n: Decimal(n).scaleb(-3)
+    )
+    values = st.fixed_dictionaries(
+        {
+            "d1": st.none() | dec,
+            "d2": st.none() | st.integers(-(10**18) + 1, 10**18 - 1).map(Decimal),
+            "ts": st.none() | st.integers(0, 2**31 - 1),
+            "tm": st.none() | st.integers(-3020399, 3020399),
+            "e": st.none() | st.integers(0, 255),
+            "b": st.none() | st.integers(0, 2**20 - 1),
+            "i8": st.none() | st.integers(-128, 127),
+            "i64": st.none() | st.integers(-(2**63), 2**63 - 1),
+            "s": st.none() | st.text(max_size=40),
+        }
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(values)
+    def check(v):
+        img = RI.encode_row_image(v, specs)
+        got = RI._decode_one(img, specs)
+        exp = [
+            None if v["d1"] is None else render_decimal(v["d1"].quantize(Decimal("0.001"))),
+            None if v["d2"] is None else render_decimal(v["d2"]),
+            None if v["ts"] is None else render_timestamp(v["ts"]),
+            None if v["tm"] is None else render_time(v["tm"]),
+            v["e"],
+            v["b"],
+            None if v["i8"] is None else render_int(v["i8"], 1, True),
+            None if v["i64"] is None else render_int(v["i64"], 8, True),
+            v["s"],
+        ]
+        assert got == exp, (v, got, exp)
+
+    check()
+
+
 def test_charset_new_tier_decodes():
     cases = [
         (24, "汉字", "gb2312"),   # gb2312
