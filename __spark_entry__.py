@@ -759,6 +759,10 @@ def _row_image_specs():
         ColumnSpec("cnt", "int", byte_len=4, unsigned=True),
         ColumnSpec("title", "varstring", charset_id=45),
         ColumnSpec("city", "varstring", charset_id=24),  # gb2312
+        ColumnSpec("d_date", "date"),
+        ColumnSpec("yr", "year"),
+        ColumnSpec("dbl", "double"),
+        ColumnSpec("payload", "blob"),
     ]
 
 
@@ -776,7 +780,9 @@ def _write_row_image_fixture() -> None:
 
     from mysql_tracker_spark.sources.row_image import encode_row_image
     from mysql_tracker_spark.values import (
+        render_date_ymd,
         render_decimal,
+        render_double,
         render_int,
         render_time,
         render_timestamp,
@@ -803,8 +809,14 @@ def _write_row_image_fixture() -> None:
             "cnt": rng.randint(-(2**31), 2**31 - 1),
             "title": "doc-" + "".join(rng.choices("abcdefghïjklmnöpqrstüvwxyz", k=12)),
             "city": rng.choice(cities),
+            "d_date": (0, 0, 0)
+            if i % 23 == 0
+            else (rng.randint(1000, 9999), rng.randint(1, 12), rng.randint(1, 28)),
+            "yr": 0 if i % 29 == 0 else rng.randint(1901, 2155),
+            "dbl": rng.uniform(-1e6, 1e6),
+            "payload": bytes(rng.randbytes(rng.randint(0, 40))),
         }
-        for name in ("amount", "tm_txt", "title", "city", "status"):
+        for name in ("amount", "tm_txt", "title", "city", "status", "dbl", "payload"):
             if rng.random() < 0.12:
                 v[name] = None
         dt = v["dt_txt"]
@@ -821,6 +833,13 @@ def _write_row_image_fixture() -> None:
             "cnt": render_int(v["cnt"], 4, True),
             "title": v["title"],
             "city": v["city"],
+            "d_date": render_date_ymd(*v["d_date"]),
+            "yr": "0000" if v["yr"] == 0 else str(v["yr"]),
+            "dbl": None if v["dbl"] is None else render_double(v["dbl"]),
+            # hex text: binary columns are unhashable in the driver's
+            # pandas value-hash compare, so the contract row carries the
+            # blob hex-encoded (the library surface stays BinaryType)
+            "payload": None if v["payload"] is None else v["payload"].hex().upper(),
         }
         rows.append(
             {"row_id": i, "image": encode_row_image(v, specs)}
@@ -845,9 +864,13 @@ def q_mysql_byte_decode(spark, sf_dir):
 
     _write_row_image_fixture()
     df = spark.read.parquet(ROW_IMAGE_DUMP).select("row_id", "image").repartition(8)
-    return decode_row_images(df, _row_image_specs(), id_cols=["row_id"]).orderBy(
-        "row_id"
-    )
+    decoded = decode_row_images(df, _row_image_specs(), id_cols=["row_id"])
+    # blob -> hex text for the value-hash compare (binary is unhashable
+    # in the driver's pandas factorize); empty blob stays '' not NULL
+    return decoded.withColumn(
+        "payload",
+        F.when(F.col("payload").isNotNull(), F.hex("payload")),
+    ).orderBy("row_id")
 
 
 def q_doc_chunking(spark, sf_dir):
@@ -1745,7 +1768,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_id, exp_amount AS amount, exp_ts_txt AS ts_txt,
                    exp_dt_txt AS dt_txt, exp_tm_txt AS tm_txt,
                    exp_status AS status, exp_flags AS flags, exp_mask AS mask,
-                   exp_cnt AS cnt, exp_title AS title, exp_city AS city
+                   exp_cnt AS cnt, exp_title AS title, exp_city AS city,
+                   exp_d_date AS d_date, exp_yr AS yr, exp_dbl AS dbl,
+                   exp_payload AS payload
             FROM read_parquet('{ROW_IMAGE_DUMP}')
             ORDER BY row_id
         """,

@@ -44,10 +44,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
 from ..values import (
+    render_date,
     render_decimal,
+    render_double,
     render_int,
     render_time,
     render_timestamp,
+    render_year,
 )
 from . import mysql_types as MT
 
@@ -58,7 +61,9 @@ class ColumnSpec:
     parameters that kind uses are read."""
 
     name: str
-    kind: str  # decimal|timestamp2|datetime2|time2|enum|set|bit|int|varstring
+    # decimal|timestamp2|datetime2|time2|date|year|double|enum|set|
+    # bit|int|varstring|blob
+    kind: str
     precision: int = 10  # decimal
     scale: int = 0  # decimal
     meta: int = 0  # fractional-seconds meta for timestamp2/datetime2/time2
@@ -136,6 +141,29 @@ def encode_int(value: int, byte_len: int) -> bytes:
     return int(value).to_bytes(byte_len, "little", signed=True)
 
 
+def encode_date(year: int, month: int, day: int) -> bytes:
+    """3-byte little-endian packed day|month<<5|year<<9
+    (RowsLogBuffer.java:668-686 reads it as a 3-byte LE int)."""
+    return (day | (month << 5) | (year << 9)).to_bytes(3, "little")
+
+
+def encode_year(year: int) -> bytes:
+    """1 byte, offset 1900; raw 0 = the zero year."""
+    return bytes([0 if year == 0 else year - 1900])
+
+
+def encode_double(value: float) -> bytes:
+    import struct as _struct
+
+    return _struct.pack("<d", value)
+
+
+def encode_blob(raw: bytes) -> bytes:
+    """BLOB: 4-byte LE length prefix + raw bytes (the meta=4 layout,
+    RowsLogBuffer.java:756-829; bytes pass through undecoded)."""
+    return len(raw).to_bytes(4, "little") + raw
+
+
 def encode_varstring(text: str, charset_id: int) -> bytes:
     codec = MT._CHARSET_CODECS.get(charset_id, "utf-8")
     raw = text.encode(codec) if codec else text.encode("latin-1")
@@ -164,6 +192,14 @@ def _encode_value(v, spec: ColumnSpec) -> bytes:
         return encode_int(v, spec.byte_len)
     if k == "varstring":
         return encode_varstring(v, spec.charset_id)
+    if k == "date":
+        return encode_date(*v)  # (y, mo, d)
+    if k == "year":
+        return encode_year(v)
+    if k == "double":
+        return encode_double(v)
+    if k == "blob":
+        return encode_blob(v)
     raise ValueError(f"unknown column kind {k!r}")
 
 
@@ -237,6 +273,22 @@ def _decode_one(image: bytes, specs: list[ColumnSpec]) -> list:
                 decoded if isinstance(decoded, str) else decoded.decode("latin-1")
             )
             pos += ln
+        elif k == "date":
+            out.append(render_date(int.from_bytes(image[pos : pos + 3], "little")))
+            pos += 3
+        elif k == "year":
+            out.append(render_year(image[pos]))
+            pos += 1
+        elif k == "double":
+            import struct as _struct
+
+            out.append(render_double(_struct.unpack("<d", image[pos : pos + 8])[0]))
+            pos += 8
+        elif k == "blob":
+            ln = int.from_bytes(image[pos : pos + 4], "little")
+            pos += 4
+            out.append(bytes(image[pos : pos + ln]))
+            pos += ln
         else:
             raise ValueError(f"unknown column kind {k!r}")
     return out
@@ -245,6 +297,8 @@ def _decode_one(image: bytes, specs: list[ColumnSpec]) -> list:
 def _output_field(spec: ColumnSpec) -> T.StructField:
     if spec.kind in ("enum", "set", "bit"):
         return T.StructField(spec.name, T.LongType(), True)
+    if spec.kind == "blob":
+        return T.StructField(spec.name, T.BinaryType(), True)
     return T.StructField(spec.name, T.StringType(), True)
 
 

@@ -99,6 +99,25 @@ def test_row_image_zero_sentinels_and_negatives():
     ]
 
 
+def test_row_image_date_year_double_blob():
+    from mysql_tracker_spark.values import render_double
+
+    specs = [
+        RI.ColumnSpec("d", "date"),
+        RI.ColumnSpec("y", "year"),
+        RI.ColumnSpec("f", "double"),
+        RI.ColumnSpec("b", "blob"),
+    ]
+    v = {"d": (2025, 6, 9), "y": 2026, "f": -12345.6789, "b": b"\x00\xffraw\x01"}
+    got = RI._decode_one(RI.encode_row_image(v, specs), specs)
+    assert got == ["2025-06-09", "2026", render_double(-12345.6789), b"\x00\xffraw\x01"]
+    # zero sentinels and empty blob
+    v0 = {"d": (0, 0, 0), "y": 0, "f": 0.0, "b": b""}
+    assert RI._decode_one(RI.encode_row_image(v0, specs), specs) == [
+        "0000-00-00", "0000", "0.0", b"",
+    ]
+
+
 def test_decimal_encoder_inverts_reference_vector():
     # encode must reproduce the LogBuffer.java worked example bytes
     assert RI.encode_decimal(Decimal("5.4567"), 19, 10).hex() == "800000051b38b06000"
