@@ -167,6 +167,81 @@ def test_stream_live_tail_with_midstream_reload(spark, tmp_path):
     assert sum(s.rows_in for s in sj.stats if not s.skipped) == len(ev)
 
 
+def test_watermarked_windowed_agg_drops_late_events(spark, tmp_path):
+    """Event-time windows + watermark (bounded lateness): a window is
+    emitted once the watermark passes its end; an event arriving later
+    than the allowed delay is DROPPED (it must not mutate an already
+    finalized window); windows still open at drain end stay unemitted
+    in state."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_tracker_spark.streaming.windows import run_windowed_counts_files
+
+    H = 3_600_000_000  # one hour in micros
+    base = 1_699_999_200_000_000  # hour-aligned (472222 * 3600 s)
+
+    def write(path, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "value", "us"])
+        pdf["ts"] = pd.to_datetime(pdf["us"], unit="us").astype("datetime64[us]")
+        pq.write_table(
+            pa.Table.from_pandas(pdf.drop(columns=["us"])), path
+        )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # file mtimes force the micro-batch order (the file source lists
+    # by modification time); the watermark in effect during batch N is
+    # derived from batches < N, so the late row arrives only after its
+    # window has provably been evicted+emitted
+    write_mtime = [1000]
+
+    def writem(name, rows):
+        p = os.path.join(in_dir, name)
+        write(p, rows)
+        os.utime(p, (write_mtime[0], write_mtime[0]))
+        write_mtime[0] += 1000
+
+    # batch 0: hours 0 and 1
+    writem("b000.parquet", [
+        (1, "click", 1.0, base + 0),
+        (2, "click", 2.0, base + H // 2),
+        (3, "view", 5.0, base + H + 1),
+    ])
+    writem("b001.parquet", [(4, "click", 7.0, base + 3 * H)])  # wm -> 2h
+    writem("b002.parquet", [(6, "view", 9.0, base + 5 * H)])   # wm -> 4h
+    # batch 3: a WAY-late hour-0 event (0.25h << wm 4h; its window was
+    # already finalized and emitted -> dropped, no duplicate emission)
+    # + hour 6 keeping the stream moving
+    writem("b003.parquet", [
+        (5, "click", 100.0, base + H // 4),  # late, dropped
+        (7, "view", 1.0, base + 6 * H),
+    ])
+
+    schema = "event_id long, event_type string, value double, ts timestamp"
+    from pyspark.sql.types import _parse_datatype_string
+
+    got = run_windowed_counts_files(
+        spark, in_dir, _parse_datatype_string(schema),
+        checkpoint_dir=str(tmp_path / "ck"), out_dir=str(tmp_path / "out"),
+    )
+    rows = {
+        (int(r.win_start.timestamp() * 1_000_000 - base) // H, r.event_type): (r.n, r.total)
+        for r in got.collect()
+    }
+    # hour-0 click window: counts events 1+2 ONLY (late event 5
+    # dropped; exactly ONE emission — no duplicate/mutated window)
+    assert rows[(0, "click")] == (2, 3.0), rows
+    assert got.count() == len(rows)  # append emitted each window once
+    assert rows[(1, "view")] == (1, 5.0)
+    # hour-3 window finalized by the watermark advance
+    assert rows[(3, "click")] == (1, 7.0)
+    # hour-5/6 windows still open at drain end: NOT emitted
+    assert set(rows) == {(0, "click"), (1, "view"), (3, "click")}
+
+
 def test_stateful_sessionize_stream_across_batches(spark, tmp_path):
     """Custom stateful streaming operator (applyInPandasWithState):
     sessions spanning micro-batch boundaries close correctly because
