@@ -434,6 +434,7 @@ class CdcApplyJob:
         directory listing (file names are offset-ordered by
         construction)."""
         man = os.path.join(self.input_dir, self.INPUT_MANIFEST)
+        ext = ".jsonl" if self.source_format == "jsonl" else ".parquet"
         if os.path.exists(man):
             with open(man) as f:
                 names = json.load(f)["files"]
@@ -442,7 +443,7 @@ class CdcApplyJob:
             files = sorted(
                 os.path.join(self.input_dir, f)
                 for f in os.listdir(self.input_dir)
-                if f.endswith(".parquet")
+                if f.endswith(ext)
             )
         k = self.files_per_batch
         return [files[i : i + k] for i in range(0, len(files), k)]
@@ -466,7 +467,13 @@ class CdcApplyJob:
     def apply_batch(self, batch_id: int, paths: list[str]) -> ApplyStats:
         if self.source_format == "wire":
             return self._apply_wire(batch_id, paths)
-        batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
+        if self.source_format == "jsonl":
+            # JSON-lines typed change events (the reference's flattened
+            # Avro/JSON record shape as an ingest format): schema-first
+            # read — no sampling pass, absent fields decode as null
+            batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).json(*paths)
+        else:
+            batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
         return self.apply_df(batch_id, batch)
 
     # ------------------------------------------------------ wire fast path

@@ -516,6 +516,45 @@ def expected_final_state(
 # parquet batch writer (micro-batch input layout)
 # ---------------------------------------------------------------------------
 
+def write_jsonl_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> list[str]:
+    """Write the stream as offset-contiguous JSON-LINES micro-batches
+    (``batch_00000.jsonl``…) — the reference's flattened Avro/JSON
+    record shape as an ingest format (``EventEntry.avro``; its Kafka
+    consumers see exactly this). Same frame-boundary split rule as
+    :func:`write_batches`; timestamps as ISO-8601 seconds (Spark's
+    schema-first JSON reader parses them into TimestampType), NaN/None
+    fields omitted (decode as null)."""
+    import json as _json
+    import math
+
+    os.makedirs(out_dir, exist_ok=True)
+    ev = events.drop(columns=["event_len"], errors="ignore")
+    fp = ev["file"].astype(str) + ":" + ev["pos"].astype(str)
+    new_frame = (fp != fp.shift(1)).to_numpy()
+    frame_no = np.cumsum(new_frame) - 1
+    cuts = np.linspace(0, frame_no[-1] + 1, n_batches + 1).astype(int)
+    paths = []
+    for b in range(n_batches):
+        sel = (frame_no >= cuts[b]) & (frame_no < cuts[b + 1])
+        chunk = ev[sel]
+        if chunk.empty:
+            continue
+        path = os.path.join(out_dir, f"batch_{b:05d}.jsonl")
+        with open(path, "w") as f:
+            for rec in chunk.to_dict("records"):
+                rec["ts"] = rec["ts"].strftime("%Y-%m-%dT%H:%M:%S")
+                out = {
+                    k: (int(v) if k == "xid" else v)
+                    for k, v in rec.items()
+                    if v is not None
+                    and not (isinstance(v, float) and math.isnan(v))
+                    and v is not pd.NA
+                }
+                f.write(_json.dumps(out, ensure_ascii=False) + "\n")
+        paths.append(path)
+    return paths
+
+
 def write_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> list[str]:
     """Write the stream as offset-contiguous parquet micro-batches
     ``batch_00000.parquet``… — the engine's replay input. Splits never

@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument("--table", required=True, help="lakestore table path (created if absent)")
     # default=None so a --config run can tell "flag passed" from "flag
     # defaulted" — argparse defaults must not clobber JobConfig fields
-    ap.add_argument("--format", default=None, choices=["typed", "wire"])
+    ap.add_argument("--format", default=None, choices=["typed", "wire", "jsonl"])
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--files-per-batch", type=int, default=None)
     ap.add_argument("--max-batches", type=int, default=None)
@@ -81,8 +81,8 @@ def main() -> None:
             args.input,
             args.table,
             checkpoint_dir=args.checkpoint or args.table + "_ckpt",
-            source_format=args.format,
-            n_buckets=args.buckets,
+            source_format=args.format or "typed",
+            n_buckets=args.buckets if args.buckets is not None else 64,
         )
         stats = job.run_available()
     else:

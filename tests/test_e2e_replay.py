@@ -137,6 +137,24 @@ def test_salted_dedup_identical_under_extreme_skew(spark, tmp_path):
     pd.testing.assert_frame_equal(c[CMP], exp[CMP])
 
 
+def test_jsonl_source_format_matches_oracle(spark, tmp_path):
+    """JSON-lines ingest (the reference's flattened Avro/JSON record
+    shape): schema-first read, absent fields null, same final table as
+    the parquet path and the sequential oracle."""
+    from mysql_tracker_spark.sources.binlog_gen import write_jsonl_batches
+
+    ev = gen_change_events(GenConfig(n_events=2500, n_conversations=90, seed=19))
+    d = str(tmp_path / "in")
+    write_jsonl_batches(ev, d, n_batches=3)
+    job = CdcApplyJob(spark, d, str(tmp_path / "t"), n_buckets=8, source_format="jsonl")
+    stats = job.run()
+    assert sum(s.rows_in for s in stats) == len(ev)
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+    assert got["ts"].tolist() == exp["ts"].tolist()
+
+
 def test_auto_skew_escalation_on_flood(spark, tmp_path):
     """Auto skew handling (north_star 'explicit skew splitting for hot
     conversations', no operator flag): a single-key flood drives the
