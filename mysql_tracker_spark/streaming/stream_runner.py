@@ -76,10 +76,13 @@ class CdcStreamJob:
         keeps tailing with the default processing-time trigger."""
         self.job.prepare()
         schema = RAW_FRAME_SCHEMA if self.source_format == "wire" else CHANGE_EVENT_SCHEMA
+        base = self.spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", str(self.max_files_per_trigger)
+        )
         reader = (
-            self.spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
-            .parquet(self.input_dir)
+            base.json(self.input_dir)
+            if self.source_format == "jsonl"
+            else base.parquet(self.input_dir)
         )
         writer = (
             reader.writeStream.foreachBatch(self._apply)

@@ -68,6 +68,25 @@ def test_stream_restart_resumes_and_converges(spark, tmp_path):
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
 
 
+def test_stream_jsonl_format_matches_oracle(spark, tmp_path):
+    """Streaming tail over JSON-lines micro-batches converges to the
+    same final table."""
+    from mysql_tracker_spark.sources.binlog_gen import write_jsonl_batches
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=60, seed=27))
+    in_dir = str(tmp_path / "in")
+    write_jsonl_batches(ev, in_dir, n_batches=3)
+    job = CdcStreamJob(
+        spark, in_dir, str(tmp_path / "tbl"), checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="jsonl", n_buckets=4,
+    )
+    stats = job.run_available()
+    assert sum(s.rows_in for s in stats) == len(ev)
+    got = normalize(job.job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
 def test_stream_wire_format_matches_oracle(spark, tmp_path):
     """Streaming over raw BINARY wire frames: decode in foreachBatch,
     same final table as the oracle."""
