@@ -1137,17 +1137,16 @@ CHANGELOG_CUT_DUMP = "/tmp/mts_flagship_oracle/changelog_cut.parquet"
 
 def _write_changelog_cut(ev=None) -> None:
     """The (file,pos) watermark the engine commits after batch 1 of 3 —
-    derived by replicating write_batches' deterministic frame split, so
-    the SQL oracle can cut the event stream at exactly the same point."""
-    import numpy as np
+    derived from the SAME frame-split authority write_batches uses
+    (``binlog_gen.frame_cuts``), so the SQL oracle cuts the event
+    stream at exactly the engine's batch boundary by construction."""
     import pandas as pd
+
+    from mysql_tracker_spark.sources.binlog_gen import frame_cuts
 
     if ev is None:
         ev = _flagship_events()
-    fp = ev["file"].astype(str) + ":" + ev["pos"].astype(str)
-    new_frame = (fp != fp.shift(1)).to_numpy()
-    frame_no = np.cumsum(new_frame) - 1
-    cuts = np.linspace(0, frame_no[-1] + 1, 4).astype(int)  # n_batches=3
+    frame_no, cuts = frame_cuts(ev, 3)  # n_batches=3
     chunk0 = ev[(frame_no >= cuts[0]) & (frame_no < cuts[1])]
     last = chunk0.iloc[-1]
     _atomic_parquet_dump(
@@ -1176,24 +1175,26 @@ def q_cdc_changelog_snapshot_diff(spark, sf_dir):
     _write_changelog_cut(ev)
     work = tempfile.mkdtemp(prefix="mts_entry_changelog_")
     in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
-    write_batches(ev, in_dir, n_batches=3)
-    job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
-    job.run(max_batches=1)
-    v1 = job.table.current_version()
-    job.run()  # remaining batches (applied ones fence out)
-    changes = job.table.read_changes(spark, v1)
-    result = changes.select(
-        "op",
-        "conv_id",
-        "turn_idx",
-        "role",
-        "text",
-        "tool",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
-        "score",
-    ).orderBy("conv_id", "turn_idx")
-    rows = result.collect()  # materialize before the work dir vanishes
-    shutil.rmtree(work, ignore_errors=True)
+    try:
+        write_batches(ev, in_dir, n_batches=3)
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run(max_batches=1)
+        v1 = job.table.current_version()
+        job.run()  # remaining batches (applied ones fence out)
+        changes = job.table.read_changes(spark, v1)
+        result = changes.select(
+            "op",
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            "score",
+        ).orderBy("conv_id", "turn_idx")
+        rows = result.collect()  # materialize before the work dir vanishes
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
 
 

@@ -516,6 +516,20 @@ def expected_final_state(
 # parquet batch writer (micro-batch input layout)
 # ---------------------------------------------------------------------------
 
+def frame_cuts(events: pd.DataFrame, n_batches: int):
+    """THE frame-boundary split rule (shared): rows sharing (file,pos)
+    form one frame; frames are cut into ``n_batches`` contiguous
+    groups. Returns ``(frame_no, cuts)``. write_batches,
+    write_jsonl_batches AND the changelog contract oracle's replicated
+    batch-1 watermark all derive from this one function — the oracle's
+    correctness depends on the split rule having exactly one home."""
+    fp = events["file"].astype(str) + ":" + events["pos"].astype(str)
+    new_frame = (fp != fp.shift(1)).to_numpy()
+    frame_no = np.cumsum(new_frame) - 1
+    cuts = np.linspace(0, frame_no[-1] + 1, n_batches + 1).astype(int)
+    return frame_no, cuts
+
+
 def write_jsonl_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> list[str]:
     """Write the stream as offset-contiguous JSON-LINES micro-batches
     (``batch_00000.jsonl``…) — the reference's flattened Avro/JSON
@@ -529,10 +543,7 @@ def write_jsonl_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) 
 
     os.makedirs(out_dir, exist_ok=True)
     ev = events.drop(columns=["event_len"], errors="ignore")
-    fp = ev["file"].astype(str) + ":" + ev["pos"].astype(str)
-    new_frame = (fp != fp.shift(1)).to_numpy()
-    frame_no = np.cumsum(new_frame) - 1
-    cuts = np.linspace(0, frame_no[-1] + 1, n_batches + 1).astype(int)
+    frame_no, cuts = frame_cuts(ev, n_batches)
     paths = []
     for b in range(n_batches):
         sel = (frame_no >= cuts[b]) & (frame_no < cuts[b + 1])
@@ -564,12 +575,7 @@ def write_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> lis
 
     os.makedirs(out_dir, exist_ok=True)
     ev = events.drop(columns=["event_len"], errors="ignore")
-    # frame boundaries: change of (file,pos)
-    fp = ev["file"].astype(str) + ":" + ev["pos"].astype(str)
-    new_frame = (fp != fp.shift(1)).to_numpy()
-    frame_no = np.cumsum(new_frame) - 1
-    n_frames = frame_no[-1] + 1
-    cuts = np.linspace(0, n_frames, n_batches + 1).astype(int)
+    frame_no, cuts = frame_cuts(ev, n_batches)
     paths = []
     map_ty = pa.map_(pa.string(), pa.string())
     schema = pa.schema(

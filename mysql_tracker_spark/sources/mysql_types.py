@@ -216,15 +216,19 @@ _CHARSET_CODECS: dict[int, str] = {
     14: "cp1251", 23: "cp1251", 50: "cp1251", 51: "cp1251", 52: "cp1251",
     26: "cp1250", 34: "cp1250", 44: "cp1250", 66: "cp1250", 99: "cp1250",
     29: "cp1257", 58: "cp1257", 59: "cp1257",
-    35: "utf-16", 90: "utf-16", 159: "utf-16",  # ucs2 -> UTF-16BE family
-    38: "mac-cyrillic", 43: "mac-cyrillic",  # maccyr... python: mac_cyrillic
+    # MySQL ucs2/utf16/utf32 store BIG-endian (no BOM); Python's bare
+    # "utf-16"/"utf-32" codecs default to LITTLE-endian without a BOM,
+    # so the -be variants are required (utf16le is the explicit LE one)
+    35: "utf-16-be", 90: "utf-16-be", 159: "utf-16-be",  # ucs2
+    38: "mac-latin2", 43: "mac-latin2",  # macce (Mac Central European)
     39: "mac-roman", 53: "mac-roman",
     28: "gbk", 87: "gbk",
     36: "cp866", 68: "cp866",
     33: "utf-8", 83: "utf-8", 192: "utf-8",  # utf8 / utf8_bin / utf8_unicode_ci
     45: "utf-8", 46: "utf-8", 224: "utf-8", 255: "utf-8",  # utf8mb4
-    54: "utf-16", 55: "utf-16",  # utf16
-    56: "utf-32", 60: "utf-32", 61: "utf-32",  # utf32
+    54: "utf-16-be", 55: "utf-16-be",  # utf16
+    56: "utf-16-le", 62: "utf-16-le",  # utf16le
+    60: "utf-32-be", 61: "utf-32-be",  # utf32
     57: "cp1256",  # cp1256_general_ci (Arabic)
     63: None,  # binary: NO decode — bytes pass through
     95: "cp932", 96: "cp932",

@@ -16,7 +16,19 @@ hash-partial like any groupBy — no per-event state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _out_schema(group_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("win_start", T.TimestampType()),
+            T.StructField("win_end", T.TimestampType()),
+            T.StructField(group_col, T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
 
 
 def windowed_counts_stream(
@@ -57,6 +69,7 @@ def run_windowed_counts_files(
     out_dir: str,
     window: str = "1 hour",
     delay: str = "1 hour",
+    group_col: str = "event_type",
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Drain a directory of time-ordered event files through the
@@ -71,7 +84,7 @@ def run_windowed_counts_files(
         .parquet(in_dir)
     )
     q = (
-        windowed_counts_stream(src, window=window, delay=delay)
+        windowed_counts_stream(src, window=window, delay=delay, group_col=group_col)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .outputMode("append")
@@ -80,4 +93,6 @@ def run_windowed_counts_files(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # explicit schema: a drain that finalized no window leaves a
+    # data-less sink dir, where schema inference would raise
+    return spark.read.schema(_out_schema(group_col)).parquet(out_dir)

@@ -56,10 +56,11 @@ def main() -> None:
         help="policy for DROP/RENAME of the target table",
     )
     ap.add_argument(
-        "--salts", type=int, default=0,
+        "--salts", type=int, default=None,
         help="explicit two-phase salted LWW for single-key floods "
         "(see BENCH/BASELINE.md hot-key section); 0 = packed default "
-        "with AUTO skew escalation",
+        "with AUTO skew escalation; None-default so --salts 0 can "
+        "override a config file's n_salts",
     )
     ap.add_argument(
         "--changes-from", type=int, default=None, metavar="VERSION",
@@ -102,7 +103,7 @@ def main() -> None:
                 cfg.files_per_batch = args.files_per_batch
             if args.on_destructive_ddl:
                 cfg.on_destructive_ddl = args.on_destructive_ddl
-            if args.salts:
+            if args.salts is not None:
                 cfg.n_salts = args.salts
             job2 = CdcApplyJob.from_config(spark, cfg)
         else:
@@ -114,7 +115,7 @@ def main() -> None:
                 files_per_batch=args.files_per_batch if args.files_per_batch is not None else 1,
                 source_format=args.format or "typed",
                 on_destructive_ddl=args.on_destructive_ddl or "raise",
-                n_salts=args.salts,
+                n_salts=args.salts if args.salts is not None else 0,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last

@@ -230,9 +230,20 @@ def test_charset_new_tier_decodes():
         (41, "āžē", "iso8859-13"),  # latin7 Baltic
         (7, "привет", "koi8-r"),
         (40, "čšž", "cp852"),
+        # MySQL ucs2/utf16/utf32 are BIG-endian on disk (reference
+        # UnicodeBig/UTF-16/UTF-32); utf16le (56/62) is the LE one;
+        # macce (38/43) is Mac CENTRAL EUROPEAN, not Cyrillic
+        (35, "Ab☃", "utf-16-be"),   # ucs2
+        (54, "Ab☃", "utf-16-be"),   # utf16
+        (56, "Ab☃", "utf-16-le"),   # utf16le
+        (60, "Ab☃", "utf-32-be"),   # utf32
+        (38, "čšž", "mac-latin2"),  # macce
     ]
     for cid, text, codec in cases:
         assert MT.charset_decode(text.encode(codec), cid) == text, cid
+    # the endianness trap the review caught: 'A' in utf16 is b'\\x00A';
+    # a bare "utf-16" codec would decode it as U+4100
+    assert MT.charset_decode(b"\x00A", 54) == "A"
 
 
 def test_charset_unknown_id_warns_once():
