@@ -81,6 +81,52 @@ def test_read_changes_changelog_between_snapshots(spark, tmp_table_dir):
     assert ("insert", "c3", 9, "N2") in got2 and ("insert", "c3", 9, "n") not in got2
 
 
+def test_read_changes_equals_snapshot_diff_random_sequence(spark, tmp_table_dir):
+    """Changelog invariant over a seeded random merge sequence: for
+    every version pair (i, j), read_changes(i, j) must equal the plain
+    diff of read(i) vs read(j) computed independently in pandas —
+    including composition across multiple merges (intermediate churn
+    collapses to net changes)."""
+    import random
+
+    rng = random.Random(41)
+    t = _mk(spark, tmp_table_dir)
+    versions = [t.current_version()]
+    keys = [(f"c{i}", j) for i in range(1, 7) for j in range(3)]
+    for step in range(4):
+        ch = []
+        for k in rng.sample(keys, rng.randint(2, 6)):
+            if rng.random() < 0.25:
+                ch.append((*k, None, True))  # delete
+            else:
+                ch.append((*k, f"v{step}-{rng.randint(0, 9)}", False))
+        t.merge(spark, spark.createDataFrame(ch, CH_SCHEMA))
+        versions.append(t.current_version())
+
+    def state(v):
+        return {
+            (r.conv_id, r.turn_idx): r.text for r in t.read(spark, version=v).collect()
+        }
+
+    for a in range(len(versions)):
+        for b in range(a, len(versions)):
+            va, vb = versions[a], versions[b]
+            sa, sb = state(va), state(vb)
+            expected = set()
+            for k in set(sa) | set(sb):
+                if k not in sa:
+                    expected.add(("insert", *k, sb[k]))
+                elif k not in sb:
+                    expected.add(("delete", *k, sa[k]))
+                elif sa[k] != sb[k]:
+                    expected.add(("update", *k, sb[k]))
+            got = {
+                (r.op, r.conv_id, r.turn_idx, r.text)
+                for r in t.read_changes(spark, va, vb).collect()
+            }
+            assert got == expected, (va, vb)
+
+
 def test_read_changes_across_schema_evolution(spark, tmp_table_dir):
     """The changelog aligns both sides to the TO snapshot's schema:
     rows written before an ADD COLUMN diff cleanly against rows after

@@ -230,7 +230,10 @@ Reference single-JVM baseline (BASELINE.md): ~543 events/s sustained,
 ~208 entries/s sink-bound.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # SCALING.md, not BASELINE.md: the curated BASELINE.md carries
+    # hand-written sections (attribution, flood, sustained volume)
+    # that a raw re-run must never clobber — merge by hand from here
+    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
         f.write(md)
     summary = {
         "n_events": n_events,
