@@ -475,6 +475,28 @@ class LakeTable:
         }
         return self._commit(new)
 
+    def rollback(self, to_version: int) -> int:
+        """Roll the table back to an older snapshot (Iceberg
+        ``rollback_to_snapshot``): commits a NEW snapshot whose buckets,
+        schema, and properties — including the replay watermark
+        ``offset_file/offset_pos/batch_seq`` — mirror ``to_version``.
+        History is preserved (nothing is deleted; the bad snapshots
+        stay time-travelable until expiry), and because the watermark
+        reverts with the data, a subsequent ``CdcApplyJob.run()``
+        REPLAYS the rolled-back range through the idempotent fenced
+        MERGE — the operational escape hatch for a bad batch."""
+        target = self.manifest(to_version)
+        cur = self.manifest()
+        new = dict(target)
+        new["version"] = cur["version"] + 1
+        new["parent"] = cur["version"]
+        new["summary"] = {
+            "operation": "rollback",
+            "to_version": to_version,
+            "ts_ms": int(time.time() * 1000),
+        }
+        return self._commit(new)
+
     # ------------------------------------------------------------- utilities
 
     def set_properties(self, properties: dict[str, str]) -> int:

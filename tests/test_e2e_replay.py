@@ -137,6 +137,35 @@ def test_salted_dedup_identical_under_extreme_skew(spark, tmp_path):
     pd.testing.assert_frame_equal(c[CMP], exp[CMP])
 
 
+def test_rollback_reverts_watermark_and_replay_converges(spark, stream, tmp_path):
+    """Operational escape hatch: roll back to the snapshot after batch
+    1 — data AND replay watermark revert together — then re-run; the
+    fenced idempotent MERGE replays the rolled-back batches and
+    converges to the oracle state. History stays time-travelable."""
+    d, ev = stream
+    p = str(tmp_path / "t")
+    job = CdcApplyJob(spark, d, p, n_buckets=8)
+    job.run(max_batches=1)
+    v1 = job.table.current_version()
+    wm1 = job.watermark()
+    job.run()
+    assert job.watermark() != wm1  # moved past batch 1
+
+    job.table.rollback(v1)
+    # watermark reverted with the data (same snapshot properties)
+    assert job.watermark() == wm1
+    rows_v1 = job.table.read(spark, version=v1).count()
+    assert job.table.read(spark).count() == rows_v1
+
+    # replay the rolled-back range: a fresh run applies batches 2..n
+    job2 = CdcApplyJob(spark, d, p, n_buckets=8)
+    stats = job2.run()
+    assert any(not s.skipped for s in stats)
+    got = normalize(job2.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
 def test_jsonl_source_format_matches_oracle(spark, tmp_path):
     """JSON-lines ingest (the reference's flattened Avro/JSON record
     shape): schema-first read, absent fields null, same final table as
