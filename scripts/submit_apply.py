@@ -63,6 +63,12 @@ def main() -> None:
         "override a config file's n_salts",
     )
     ap.add_argument(
+        "--rollback-to", type=int, default=None, metavar="VERSION",
+        help="before applying, roll the table back to this snapshot "
+        "(data + replay watermark revert together; the run then "
+        "replays the rolled-back range through the fenced MERGE)",
+    )
+    ap.add_argument(
         "--changes-from", type=int, default=None, metavar="VERSION",
         help="after the apply, print the row-level changelog "
         "(insert/update/delete) from this snapshot version to HEAD "
@@ -73,6 +79,15 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("mysql-tracker-spark-apply").getOrCreate()
+
+    if args.rollback_to is not None:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        v = LakeTable.load(args.table).rollback(args.rollback_to)
+        print(
+            json.dumps({"rollback_to": args.rollback_to, "new_version": v}),
+            file=sys.stderr,
+        )
 
     if args.streaming:
         from mysql_tracker_spark.streaming import CdcStreamJob
