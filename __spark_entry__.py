@@ -1304,19 +1304,17 @@ _STOPWORDS = r"\b(the|a|of|and|to|in|is|it)\b"
 
 
 def oracle_sql() -> dict[str, str]:
-    # the flagship/media oracles read parquet dumps; materialize them
-    # here (pure pandas, deterministic) so the oracle side works even
-    # if the driver evaluates it before the Spark query runs
-    if not os.path.exists(FLAGSHIP_ORACLE_DUMP):
-        _write_flagship_dump()
-    if not os.path.exists(MEDIA_ORACLE_DUMP):
-        _write_media_dump()
-    if not os.path.exists(MEDIA_FEATURES_DUMP):
-        _write_media_features_dump()
-    if not os.path.exists(ROW_IMAGE_DUMP):
-        _write_row_image_fixture()
-    if not os.path.exists(CHANGELOG_CUT_DUMP):
-        _write_changelog_cut()
+    # the flagship/media/row-image oracles read parquet dumps;
+    # materialize them here (pure pandas, deterministic) so the oracle
+    # side works even if the driver evaluates it before the Spark query
+    # runs. ALWAYS rewrite (they are tiny): an `if not exists` guard
+    # would let a stale dump from an older code revision poison the
+    # comparison after a dump-format change
+    _write_flagship_dump()
+    _write_media_dump()
+    _write_media_features_dump()
+    _write_row_image_fixture()
+    _write_changelog_cut()
     return {
         "cdc_lww_last_event_per_user": """
             SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
