@@ -1133,6 +1133,49 @@ def _write_flagship_dump(ev=None) -> None:
 
 
 CHANGELOG_CUT_DUMP = "/tmp/mts_flagship_oracle/changelog_cut.parquet"
+EVENTLOG_DUMP = "/tmp/mts_flagship_oracle/eventlog_events.parquet"
+
+
+def _write_eventlog_dump(ev=None) -> None:
+    """Flat (file,pos,row_idx,op) of EVERY generated event (txn markers
+    included) — the SQL oracle derives the append-log's dense seq by
+    ranking the DISTINCT total order."""
+    if ev is None:
+        ev = _flagship_events()
+    _atomic_parquet_dump(
+        ev[["file", "pos", "row_idx", "op"]].copy(), EVENTLOG_DUMP
+    )
+
+
+def q_cdc_eventlog_append(spark, sf_dir):
+    """The reference's THIRD pipeline (HBase append-only event log,
+    HandlerForMagpieHBase.java:476-609) re-expressed: every event —
+    txn markers included — appended exactly once with a dense monotone
+    seq (the increasing-rowkey contract) assigned by the two-phase
+    sequencer across 3 fenced micro-batches. Oracle: rank the DISTINCT
+    (file,pos,row_idx) total order in SQL (replay duplicates collapse,
+    seq dense 0..n-1)."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.eventlog import EventLogJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    ev = _flagship_events()
+    _write_eventlog_dump(ev)
+    work = tempfile.mkdtemp(prefix="mts_entry_eventlog_")
+    try:
+        in_dir = os.path.join(work, "in")
+        write_batches(ev, in_dir, n_batches=3)
+        job = EventLogJob(spark, in_dir, os.path.join(work, "log"))
+        job.run()
+        result = job.read().select(
+            "seq", "file", "pos", "row_idx", "op"
+        ).orderBy("seq")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 def _write_changelog_cut(ev=None) -> None:
@@ -1297,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
+        "cdc_eventlog_append": q_cdc_eventlog_append,
     }
 
 
@@ -1315,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
     _write_media_features_dump()
     _write_row_image_fixture()
     _write_changelog_cut()
+    _write_eventlog_dump()
     return {
         "cdc_lww_last_event_per_user": """
             SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
@@ -1849,5 +1894,14 @@ def oracle_sql() -> dict[str, str]:
                OR s1.ts_text IS DISTINCT FROM sf.ts_text
                OR s1.score IS DISTINCT FROM sf.score
             ORDER BY conv_id, turn_idx
+        """,
+        "cdc_eventlog_append": f"""
+            WITH d AS (
+                SELECT DISTINCT file, pos, row_idx, op
+                FROM read_parquet('{EVENTLOG_DUMP}')
+            )
+            SELECT CAST(row_number() OVER (ORDER BY file, pos, row_idx) - 1 AS BIGINT) AS seq,
+                   file, pos, CAST(row_idx AS INT) AS row_idx, op
+            FROM d ORDER BY seq
         """,
     }

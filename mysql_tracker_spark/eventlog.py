@@ -1,0 +1,225 @@
+"""Append-only EVENT-LOG pipeline — the reference's HBase event-log
+handler (`tracker/HandlerForMagpieHBase.java:476-609`, SURVEY.md §3.3)
+re-expressed Spark-first.
+
+The reference's third pipeline does not maintain a keyed table: it
+appends EVERY parsed entry to HBase at a **monotonically increasing
+long rowkey** (:552-565) and checkpoints (binlog pos, next rowkey)
+atomically after Xid batches (:601-609). Here:
+
+* the rowkey is a dense global ``seq`` assigned by the two-phase
+  sequencer (``operators.parse.global_sequence`` — no single-task
+  sort), offset by the committed ``next_seq`` so it is monotone across
+  batches and replays;
+* the sink is a directory of parquet files governed by an
+  O_EXCL-committed snapshot manifest listing the files plus
+  ``(offset_file, offset_pos, next_seq)`` — watermark and data commit
+  ATOMICALLY (same exactly-once upgrade the keyed lakestore makes over
+  the reference's confirm-after-send window);
+* replayed batches are fenced by the offset watermark, so a rerun is a
+  no-op and a kill/restart converges to the identical log.
+
+Scale shape: append-only — each batch writes its own files, no
+rewrite, no read of existing data; the manifest is one small JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.parse import global_sequence
+from .runner import _parquet_dir_rows
+from .schema import CHANGE_EVENT_SCHEMA, LOG_ORDER
+
+
+@dataclass
+class EventLogStats:
+    batch_id: int
+    rows_in: int = 0
+    rows_appended: int = 0
+    seq_start: int | None = None
+    seq_end: int | None = None
+    skipped: bool = False
+    file_end: str | None = None
+    pos_end: int | None = None
+    wall_ms: int = 0
+    extra: dict = field(default_factory=dict)
+
+
+class EventLogJob:
+    """Replay offset-ordered micro-batches into an append-only event
+    log, exactly once."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        log_path: str,
+        source_format: str = "typed",  # typed | jsonl | wire
+        files_per_batch: int = 1,
+        filter_regex: str | None = None,
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.log_path = log_path
+        self.snap_dir = os.path.join(log_path, "snapshots")
+        self.data_dir = os.path.join(log_path, "data")
+        self.source_format = source_format
+        self.files_per_batch = files_per_batch
+        self.filter_regex = filter_regex
+
+    # ----------------------------------------------------------- snapshots
+
+    def _current_version(self) -> int | None:
+        if not os.path.isdir(self.snap_dir):
+            return None
+        vs = [
+            int(f[1:-5])
+            for f in os.listdir(self.snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(vs) if vs else None
+
+    def manifest(self) -> dict:
+        v = self._current_version()
+        if v is None:
+            return {
+                "version": 0,
+                "files": [],
+                "properties": {"next_seq": "0"},
+            }
+        with open(os.path.join(self.snap_dir, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> int:
+        os.makedirs(self.snap_dir, exist_ok=True)
+        v = manifest["version"]
+        target = os.path.join(self.snap_dir, f"v{v:08d}.json")
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, json.dumps(manifest, separators=(",", ":")).encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        return v
+
+    def watermark(self) -> tuple[str | None, int | None, int]:
+        p = self.manifest()["properties"]
+        f = p.get("offset_file") or None
+        pos = int(p["offset_pos"]) if p.get("offset_pos") else None
+        return f, pos, int(p.get("next_seq", "0"))
+
+    # --------------------------------------------------------------- input
+
+    def batch_files(self) -> list[list[str]]:
+        ext = {"jsonl": ".jsonl", "typed": ".parquet", "wire": ".parquet"}[
+            self.source_format
+        ]
+        files = sorted(
+            os.path.join(self.input_dir, f)
+            for f in os.listdir(self.input_dir)
+            if f.endswith(ext)
+        )
+        k = self.files_per_batch
+        return [files[i : i + k] for i in range(0, len(files), k)]
+
+    def _read_batch(self, paths: list[str]) -> DataFrame:
+        if self.source_format == "wire":
+            from .schema import RAW_FRAME_SCHEMA
+            from .sources.wire import decode_frames
+
+            raw = self.spark.read.schema(RAW_FRAME_SCHEMA).parquet(*paths)
+            return decode_frames(raw)
+        if self.source_format == "jsonl":
+            return self.spark.read.schema(CHANGE_EVENT_SCHEMA).json(*paths)
+        return self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
+
+    # ----------------------------------------------------------------- run
+
+    def run(self, max_batches: int | None = None) -> list[EventLogStats]:
+        out = []
+        for i, group in enumerate(self.batch_files()):
+            if max_batches is not None and len(out) >= max_batches:
+                break
+            out.append(self.apply_batch(i, group))
+        return out
+
+    def apply_batch(self, batch_id: int, paths: list[str]) -> EventLogStats:
+        from .operators.parse import after_watermark
+
+        t0 = time.time()
+        stats = EventLogStats(batch_id=batch_id)
+        wm_file, wm_pos, next_seq = self.watermark()
+
+        batch = self._read_batch(paths)
+        # cross-batch replay overlap is fenced by the watermark; a
+        # replay duplicate INSIDE one micro-batch (producer artifact —
+        # duplicated frames are bytewise copies) collapses by exact
+        # dedup on the total log order, so each event logs exactly once
+        fenced = after_watermark(batch, wm_file, wm_pos).dropDuplicates(
+            ["file", "pos", "row_idx"]
+        )
+        if self.filter_regex is not None:
+            # reference filter semantics (:541): named-table events must
+            # match; unnamed txn markers pass through
+            name = F.concat_ws(".", "schema_name", "table_name")
+            fenced = fenced.filter(
+                F.col("schema_name").isNull() | name.rlike(self.filter_regex)
+            )
+        rng = fenced.agg(
+            F.max(F.struct("file", "pos")).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if not rng["n"]:
+            stats.skipped = True
+            stats.wall_ms = int((time.time() - t0) * 1000)
+            return stats
+        stats.rows_in = int(rng["n"])
+        stats.file_end, stats.pos_end = rng["hi"]["file"], rng["hi"]["pos"]
+
+        # monotone rowkey: dense global seq offset by the committed
+        # next_seq (the HBase increasing-rowkey contract, :552-565)
+        seqd = global_sequence(fenced, LOG_ORDER, out_col="seq").withColumn(
+            "seq", F.col("seq") + F.lit(next_seq)
+        )
+        sub = f"batch-{batch_id:05d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.data_dir, sub)
+        seqd.write.parquet(out_dir)
+        appended = _parquet_dir_rows(out_dir)
+
+        m = self.manifest()
+        new = {
+            "version": m["version"] + 1,
+            "parent": m["version"] or None,
+            "files": m["files"] + [sub],
+            "properties": {
+                "offset_file": stats.file_end,
+                "offset_pos": str(stats.pos_end),
+                "next_seq": str(next_seq + appended),
+                "batch_seq": str(batch_id),
+            },
+            "summary": {"operation": "append", "ts_ms": int(time.time() * 1000)},
+        }
+        self._commit(new)
+        stats.rows_appended = appended
+        stats.seq_start, stats.seq_end = next_seq, next_seq + appended - 1
+        stats.wall_ms = int((time.time() - t0) * 1000)
+        return stats
+
+    # ---------------------------------------------------------------- read
+
+    def read(self, spark: SparkSession | None = None) -> DataFrame:
+        spark = spark or self.spark
+        m = self.manifest()
+        if not m["files"]:
+            schema = CHANGE_EVENT_SCHEMA.add("seq", "long")
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in m["files"]]
+        )

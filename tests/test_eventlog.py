@@ -1,0 +1,94 @@
+"""Append-only event-log pipeline (§3.3 HBase handler re-expressed):
+monotone dense seq across batches and replays, exactly-once append,
+kill/restart convergence, filter pass-through for txn markers."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from mysql_tracker_spark.eventlog import EventLogJob
+from mysql_tracker_spark.sources.binlog_gen import (
+    GenConfig,
+    gen_change_events,
+    write_batches,
+)
+
+CFG = GenConfig(n_events=2500, n_conversations=100, seed=33)
+
+
+def _mk(spark, tmp_path, **kw):
+    ev = gen_change_events(CFG)
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=3)
+    return ev, EventLogJob(spark, d, str(tmp_path / "log"), **kw)
+
+
+def test_eventlog_append_seq_and_exactly_once(spark, tmp_path):
+    ev, job = _mk(spark, tmp_path)
+    stats = job.run()
+    # the generator appends an exact replay-duplicate tail (dup_frac);
+    # the offset fence drops it — the log holds each event ONCE
+    n_unique = len(ev.drop_duplicates(["file", "pos", "row_idx"]))
+    assert n_unique < len(ev)  # the duplicate tail really exists
+    assert sum(s.rows_appended for s in stats) == n_unique
+    log = job.read()
+    n = log.count()
+    assert n == n_unique
+    # dense monotone rowkey 0..n-1, and seq order == log order
+    agg = log.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+        F.count_distinct("seq").alias("d"),
+    ).collect()[0]
+    assert (agg["lo"], agg["hi"], agg["d"]) == (0, n - 1, n)
+    by_seq = [tuple(r) for r in log.orderBy("seq").select("file", "pos", "row_idx").collect()]
+    by_log = [
+        tuple(r)
+        for r in log.orderBy("file", "pos", "row_idx").select("file", "pos", "row_idx").collect()
+    ]
+    assert by_seq == by_log
+    # every event class persisted (the reference's event log keeps txn
+    # markers too)
+    ops = {r["op"] for r in log.select("op").distinct().collect()}
+    assert {"BEGIN", "COMMIT", "INSERT"} <= ops
+    # replay: rerun is a no-op (fenced), seq unchanged
+    stats2 = job.run()
+    assert all(s.skipped for s in stats2)
+    assert job.read().count() == n
+
+
+def test_eventlog_kill_restart_converges(spark, tmp_path):
+    ev, job = _mk(spark, tmp_path)
+    n_unique = len(ev.drop_duplicates(["file", "pos", "row_idx"]))
+    job.run(max_batches=1)
+    mid = job.read().count()
+    assert 0 < mid < n_unique
+    # fresh job over the same log resumes from the committed watermark
+    job2 = EventLogJob(spark, job.input_dir, job.log_path)
+    job2.run()
+    log = job2.read()
+    assert log.count() == n_unique
+    agg = log.agg(F.max("seq").alias("hi"), F.count_distinct("seq").alias("d")).collect()[0]
+    assert agg["hi"] == n_unique - 1 and agg["d"] == n_unique
+
+
+def test_eventlog_filter_keeps_txn_markers(spark, tmp_path):
+    ev, job = _mk(spark, tmp_path, filter_regex=r"chat\.transcripts")
+    job.run()
+    log = job.read().toPandas()
+    named = log[log["schema_name"].notna()]
+    assert set(named["table_name"].unique()) <= {"transcripts"}
+    assert (log["op"] == "BEGIN").any() and (log["op"] == "COMMIT").any()
+    # still dense
+    assert sorted(log["seq"]) == list(range(len(log)))
+
+
+def test_eventlog_wire_format(spark, tmp_path):
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=60, seed=35))
+    d = str(tmp_path / "inw")
+    write_wire_batches(ev, d, n_batches=2)
+    n_unique = len(ev.drop_duplicates(["file", "pos", "row_idx"]))
+    job = EventLogJob(spark, d, str(tmp_path / "logw"), source_format="wire")
+    stats = job.run()
+    assert sum(s.rows_appended for s in stats) == n_unique
+    assert job.read().count() == n_unique
