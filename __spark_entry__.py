@@ -902,6 +902,29 @@ def q_doc_mix_topk_per_lang(spark, sf_dir):
     )
 
 
+def q_doc_pii_redaction(spark, sf_dir):
+    """PII scrubbing (training-data table stakes): emails / IPv4s /
+    phone numbers redacted with typed tokens, pure Catalyst. The
+    corpus carries no PII, so each doc is augmented with a
+    deterministic synthetic contact line derived from its id (BOTH
+    sides construct it identically) — the redaction genuinely fires
+    and the match count is exact."""
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 tel +1 555-000"), (F.col("doc_id") % 10).cast("string"),
+        F.lit("9"),
+    )
+    aug = d.select("doc_id", pii.alias("aug"))
+    return aug.select(
+        "doc_id",
+        TX.pii_count(F.col("aug")).cast("bigint").alias("n_pii"),
+        F.md5(TX.redact_pii(F.col("aug"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 def q_doc_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH near-dups, DRIVER-VERIFIED via properties the DuckDB
     oracle derives independently (SQL cannot simulate MinHash, so the
@@ -1331,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mysql_byte_decode": q_mysql_byte_decode,
         "doc_chunking": q_doc_chunking,
         "doc_mix_topk_per_lang": q_doc_mix_topk_per_lang,
+        "doc_pii_redaction": q_doc_pii_redaction,
         # property-oracled (SQL cannot re-derive the sketch itself):
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -1622,6 +1646,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(len(toks) - start, 64) AS INT) AS n_tokens,
                    array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
             FROM s ORDER BY doc_id, chunk_idx
+        """,
+        "doc_pii_redaction": r"""
+            WITH a AS (
+                SELECT doc_id,
+                       text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.'
+                            || CAST(doc_id % 250 AS VARCHAR) || '.7 tel +1 555-000'
+                            || CAST(doc_id % 10 AS VARCHAR) || '9' AS aug
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(aug, '\b(\d{1,3}\.){3}\d{1,3}\b'))
+                      + len(regexp_extract_all(aug, '\+\d[\d\- ]{7,}\d')) AS BIGINT) AS n_pii,
+                   md5(regexp_replace(
+                       regexp_replace(
+                           regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+            FROM a ORDER BY doc_id
         """,
         "doc_mix_topk_per_lang": rf"""
             WITH q AS (

@@ -122,6 +122,35 @@ def chunk_documents(
     return out
 
 
+# frozen PII patterns (deliberately simple + identical semantics in
+# Java regex and RE2, so the DuckDB oracle matches byte-for-byte):
+# applied in this order
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_count(col: Column) -> Column:
+    """Number of PII matches (before redaction), summed over the
+    pattern set."""
+    out = F.lit(0)
+    for pat, _tok in PII_PATTERNS:
+        out = out + F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+    return out
+
+
+def redact_pii(col: Column) -> Column:
+    """Redact emails / IPv4s / phone numbers with typed tokens —
+    training-data scrubbing as pure Catalyst regexp_replace chains
+    (scan-local, no Python, no shuffle)."""
+    out = col
+    for pat, tok in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tok)
+    return out
+
+
 def lang_id(col: Column) -> Column:
     """Marker-word language ID: the language with the highest marker
     count, ties broken by fixed language order (en,de,fr,es), 'und'
