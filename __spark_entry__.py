@@ -925,6 +925,26 @@ def q_doc_pii_redaction(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any token
+    8-gram with an 'eval set' (deterministically drawn here as every
+    97th document) are flagged with their distinct hit-gram count.
+    Broadcast the tiny eval gram set; the training scan stays
+    shuffle-free until the map-side-combined per-doc count."""
+    d = _t(spark, sf_dir, "documents")
+    eval_df = d.filter(F.col("doc_id") % 97 == 0).select("text")
+    return TX.decontaminate(d, eval_df, n=8).orderBy("doc_id")
+
+
+def q_doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition/quality signals: distinct-token ratio,
+    top-token share, duplicate-bigram fraction per document (explode +
+    two-level agg; map-side combine bounds shuffle volume by per-doc
+    vocabulary)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.repetition_stats(d).orderBy("doc_id")
+
+
 def q_doc_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH near-dups, DRIVER-VERIFIED via properties the DuckDB
     oracle derives independently (SQL cannot simulate MinHash, so the
@@ -1355,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "doc_mix_topk_per_lang": q_doc_mix_topk_per_lang,
         "doc_pii_redaction": q_doc_pii_redaction,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_repetition_stats": q_doc_repetition_stats,
         # property-oracled (SQL cannot re-derive the sketch itself):
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -1664,6 +1686,53 @@ def oracle_sql() -> dict[str, str]:
                            '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
                        '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
             FROM a ORDER BY doc_id
+        """,
+        "doc_decontaminate": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w) - 7),
+                                             i -> array_to_string(w[i:i+7], ' '))) AS gram
+                FROM tok),
+            eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            dg AS (SELECT DISTINCT doc_id, gram FROM g)
+            SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+            FROM dg JOIN eg USING (gram)
+            GROUP BY dg.doc_id
+            ORDER BY doc_id
+        """,
+        "doc_repetition_stats": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+                FROM documents),
+            base AS (SELECT doc_id, w FROM tok WHERE array_to_string(w, '') <> ''),
+            t AS (SELECT doc_id, unnest(w) AS tk FROM base),
+            pt AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_distinct,
+                       CAST(max(c) AS BIGINT) AS top_c
+                FROM (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY doc_id, tk)
+                GROUP BY doc_id),
+            bgx AS (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w) - 1),
+                                             i -> array_to_string(w[i:i+1], ' '))) AS bg
+                FROM base),
+            pb AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+                       CAST(count(*) AS BIGINT) AS n_bg_distinct
+                FROM (SELECT doc_id, bg, count(*) AS c FROM bgx GROUP BY doc_id, bg)
+                GROUP BY doc_id)
+            SELECT pt.doc_id, n_tokens,
+                   round(n_distinct * 1.0 / n_tokens, 6) AS distinct_ratio,
+                   round(top_c * 1.0 / n_tokens, 6) AS top_share,
+                   round(coalesce(1 - n_bg_distinct * 1.0 / n_bg, 0.0), 6) AS dup_bigram_frac
+            FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
+            ORDER BY pt.doc_id
         """,
         "doc_mix_topk_per_lang": rf"""
             WITH q AS (

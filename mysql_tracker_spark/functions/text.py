@@ -151,6 +151,119 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def _token_ngrams(col: Column, n: int) -> Column:
+    """All token n-grams of the normalized text as an array<string>
+    (empty when the document has fewer than n tokens). Pure Catalyst
+    (split / sequence / transform / slice) — scan-local, codegen'd."""
+    toks = F.split(normalize_text(col), " ")
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(docs, eval_df, n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text", eval_text_col: str = "text"):
+    """Benchmark decontamination: flag training documents that share
+    any token ``n``-gram with an eval/benchmark set (the standard
+    pre-training hygiene pass: if an eval question's 8-gram appears in
+    a training doc, the doc is contaminated and must be dropped).
+
+    Scale shape: the eval side is benchmark data — thousands of rows
+    against billions of training docs — so its DISTINCT gram set is
+    broadcast and the training scan stays shuffle-free until the final
+    per-doc count (map-side combined). The training side's grams are
+    derived scan-locally; a document never leaves its partition before
+    aggregation.
+
+    Returns ``id_col, n_hit_grams`` — one row per contaminated doc
+    (docs with zero overlap are absent; anti-join against this result
+    to keep the clean set).
+    """
+    from pyspark.sql import functions as _F
+
+    eval_grams = (
+        eval_df.select(
+            _F.explode(_token_ngrams(_F.col(eval_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    # per-doc grams deduped SCAN-LOCALLY (array_distinct) — no
+    # corpus-wide distinct shuffle; only rows surviving the broadcast
+    # join (contaminated grams, a tiny fraction) reach the shuffle
+    doc_grams = docs.select(
+        id_col,
+        _F.explode(
+            _F.array_distinct(_token_ngrams(_F.col(text_col), n))
+        ).alias("gram"),
+    )
+    return (
+        doc_grams.join(_F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(_F.count(_F.lit(1)).cast("bigint").alias("n_hit_grams"))
+    )
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signals per document: token count,
+    distinct-token ratio, top-token share, duplicate-bigram fraction
+    (high repetition -> low-quality machine-generated or boilerplate
+    text). Explode + two-level aggregation: partial (map-side) combine
+    on (doc, token) collapses repeats before the shuffle, so the
+    shuffled volume is bounded by per-doc vocabulary, not corpus size.
+
+    Returns ``id_col, n_tokens, distinct_ratio, top_share,
+    dup_bigram_frac`` (ratios rounded to 6 dp; docs with no tokens are
+    absent)."""
+    from pyspark.sql import functions as _F
+
+    toks = _F.split(normalize_text(_F.col(text_col)), " ")
+    base = docs.select(
+        id_col,
+        toks.alias("__toks"),
+        _token_ngrams(_F.col(text_col), 2).alias("__bigrams"),
+    ).filter(_F.length(_F.concat_ws("", "__toks")) > 0)
+    per_tok = (
+        base.select(id_col, _F.explode("__toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(_F.count(_F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            _F.sum("c").cast("bigint").alias("n_tokens"),
+            _F.count(_F.lit(1)).cast("bigint").alias("n_distinct"),
+            _F.max("c").cast("bigint").alias("top_c"),
+        )
+    )
+    per_bg = (
+        base.select(id_col, _F.explode("__bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(_F.count(_F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            _F.sum("c").cast("bigint").alias("n_bg"),
+            _F.count(_F.lit(1)).cast("bigint").alias("n_bg_distinct"),
+        )
+    )
+    return (
+        per_tok.join(per_bg, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            _F.round(_F.col("n_distinct") / _F.col("n_tokens"), 6).alias(
+                "distinct_ratio"
+            ),
+            _F.round(_F.col("top_c") / _F.col("n_tokens"), 6).alias("top_share"),
+            _F.round(
+                _F.coalesce(
+                    1 - _F.col("n_bg_distinct") / _F.col("n_bg"), _F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
 def lang_id(col: Column) -> Column:
     """Marker-word language ID: the language with the highest marker
     count, ties broken by fixed language order (en,de,fr,es), 'und'

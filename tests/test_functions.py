@@ -288,3 +288,46 @@ def test_ngram_max_df_bounds_stopgram_fanout(spark):
     }
     assert (1000, 1001) in guarded
     assert guarded == exact
+
+
+def test_decontaminate_flags_only_sharing_docs(spark):
+    """A doc containing an eval 8-gram verbatim is flagged (count =
+    number of distinct hit grams); disjoint docs are absent; docs
+    shorter than n yield no grams."""
+    evalq = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = _docs(spark, [
+        (0, "x " + evalq + " y"),            # contains the gram -> flagged
+        (1, evalq),                           # the gram itself
+        (2, "totally unrelated words here that share nothing with it"),
+        (3, "alpha beta gamma"),              # < 8 tokens, no grams
+    ])
+    eval_df = _docs(spark, [(100, evalq)]).select("text")
+    got = {r.doc_id: r.n_hit_grams for r in TX.decontaminate(docs, eval_df, n=8).collect()}
+    assert got == {0: 1, 1: 1}
+
+
+def test_decontaminate_counts_distinct_hits(spark):
+    """Repeating the contaminated gram in one doc counts once (distinct
+    grams per doc); two different eval grams count twice."""
+    docs = _docs(spark, [(0, "a b c d a b c d"), (1, "a b c d x w y z")])
+    eval_df = _docs(spark, [(100, "a b c d"), (101, "w y z q")]).select("text")
+    got = {r.doc_id: r.n_hit_grams for r in TX.decontaminate(docs, eval_df, n=4).collect()}
+    # doc 0: gram 'a b c d' appears at offsets 0 and 4 -> one distinct hit
+    # doc 1: hits 'a b c d' only ('w y z q' is not contiguous in doc 1)
+    assert got == {0: 1, 1: 1}
+
+
+def test_repetition_stats_hand_computed(spark):
+    docs = _docs(spark, [
+        (0, "a a a a"),          # 4 tokens, 1 distinct, top 4; bigrams: 'a a' x3 -> dup frac 2/3
+        (1, "a b c d"),          # all distinct; 3 distinct bigrams of 3
+        (2, ""),                  # no tokens -> absent
+    ])
+    rows = {r.doc_id: r for r in TX.repetition_stats(docs).collect()}
+    assert set(rows) == {0, 1}
+    r0 = rows[0]
+    assert (r0.n_tokens, r0.distinct_ratio, r0.top_share) == (4, 0.25, 1.0)
+    assert r0.dup_bigram_frac == pytest.approx(2 / 3, abs=1e-6)
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.distinct_ratio, r1.top_share) == (4, 1.0, 0.25)
+    assert r1.dup_bigram_frac == 0.0
