@@ -1128,6 +1128,67 @@ def q_emb_ann_ivf(spark, sf_dir):
     return _ann_verified(spark, ann, emb, qs, recall_frac=1 / 3)
 
 
+# =========================================================================
+# conversation-level training-data ops (the engine's payload is the
+# transcript table — these operate at conversation granularity)
+# =========================================================================
+
+CONV_DUMP = "/tmp/mts_conv_oracle/conversations.parquet"
+
+
+def _write_conv_dump() -> None:
+    """Materialize the deterministic synthetic transcript corpus (pure
+    seeded pandas, planted duplicates/boilerplate — conv_gen.py) at the
+    fixed path both sides read."""
+    from mysql_tracker_spark.sources.conv_gen import gen_conversations
+
+    _atomic_parquet_dump(gen_conversations(n_convs=120, seed=11), CONV_DUMP)
+
+
+def _conv_table(spark):
+    _write_conv_dump()
+    return spark.read.parquet(CONV_DUMP)
+
+
+def q_conv_dedup_exact(spark, sf_dir):
+    """Conversation-level exact dedup: md5 fingerprint over the ordered
+    (turn_idx, role, text) sequence; one row per distinct content with
+    copy count and canonical survivor. The corpus plants 18 exact
+    duplicate conversations; the oracle recomputes the fingerprint with
+    DuckDB's md5(string_agg(.. ORDER BY turn_idx))."""
+    from mysql_tracker_spark.functions.conversations import dedup_conversations
+
+    return dedup_conversations(_conv_table(spark)).orderBy("fingerprint")
+
+
+def q_conv_chat_render(spark, sf_dir):
+    """Chat-SFT sample serialization: render each conversation as
+    'role: text' lines under a 48-token budget keeping the most recent
+    turns (tail truncation — the context-window rule). Oracle replays
+    the DESC running token sum and string_agg in SQL."""
+    from mysql_tracker_spark.functions.conversations import render_chat
+
+    return render_chat(_conv_table(spark), token_budget=48).orderBy("conv_id")
+
+
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation structural stats (turn/role counts, double-send
+    alternation violations, tool calls, wall duration) for quality
+    filtering."""
+    from mysql_tracker_spark.functions.conversations import conv_stats
+
+    return conv_stats(_conv_table(spark)).orderBy("conv_id")
+
+
+def q_conv_boilerplate_turns(spark, sf_dir):
+    """Cross-conversation verbatim-repeated turns (greeting/canned
+    templates appearing in >= 10 distinct conversations) — the
+    turn-level analogue of the max_df stop-gram guard."""
+    from mysql_tracker_spark.functions.conversations import boilerplate_turns
+
+    return boilerplate_turns(_conv_table(spark), min_convs=10).orderBy("text")
+
+
 # Fixed location the flagship oracle SQL reads the generated change
 # events from (DuckDB side of the driver's side-by-side check). The
 # Spark query below (re)writes it atomically via temp-file + rename, so
@@ -1377,6 +1438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redaction": q_doc_pii_redaction,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "conv_dedup_exact": q_conv_dedup_exact,
+        "conv_chat_render": q_conv_chat_render,
+        "conv_stats": q_conv_stats,
+        "conv_boilerplate_turns": q_conv_boilerplate_turns,
         # property-oracled (SQL cannot re-derive the sketch itself):
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -1406,6 +1471,7 @@ def oracle_sql() -> dict[str, str]:
     _write_row_image_fixture()
     _write_changelog_cut()
     _write_eventlog_dump()
+    _write_conv_dump()
     return {
         "cdc_lww_last_event_per_user": """
             SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
@@ -1733,6 +1799,51 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(1 - n_bg_distinct * 1.0 / n_bg, 0.0), 6) AS dup_bigram_frac
             FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
             ORDER BY pt.doc_id
+        """,
+        "conv_dedup_exact": f"""
+            WITH fp AS (
+                SELECT conv_id,
+                       md5(string_agg(turn_idx::VARCHAR || chr(31) || role || chr(31) || text,
+                                      chr(30) ORDER BY turn_idx)) AS fingerprint,
+                       count(*) AS n_turns
+                FROM read_parquet('{CONV_DUMP}') GROUP BY conv_id)
+            SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_convs,
+                   min(conv_id) AS keeper_conv, CAST(min(n_turns) AS BIGINT) AS n_turns
+            FROM fp GROUP BY fingerprint ORDER BY fingerprint
+        """,
+        "conv_chat_render": rf"""
+            WITH tk AS (
+                SELECT conv_id, turn_idx, role, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+                FROM read_parquet('{CONV_DUMP}')),
+            tl AS (
+                SELECT *, sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail
+                FROM tk)
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS sample_text,
+                   CAST(count(*) AS BIGINT) AS n_turns_kept,
+                   CAST(sum(tok) AS BIGINT) AS n_tokens
+            FROM tl WHERE tail <= 48 GROUP BY conv_id ORDER BY conv_id
+        """,
+        "conv_stats": f"""
+            WITH l AS (
+                SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+                FROM read_parquet('{CONV_DUMP}'))
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+                   CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_alt_violations,
+                   CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+            FROM l GROUP BY conv_id ORDER BY conv_id
+        """,
+        "conv_boilerplate_turns": f"""
+            SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM read_parquet('{CONV_DUMP}') GROUP BY text
+            HAVING count(DISTINCT conv_id) >= 10 ORDER BY text
         """,
         "doc_mix_topk_per_lang": rf"""
             WITH q AS (

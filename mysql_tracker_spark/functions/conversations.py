@@ -1,0 +1,159 @@
+"""Conversation-level training-data operators over transcript tables.
+
+The engine's target table is the multi-turn transcript table
+``(conv_id, turn_idx, role, text, tool, ts)`` (BASELINE input_hint).
+A training-data pipeline built on it needs conversation-granular
+operators, not just document-granular ones:
+
+- :func:`conv_fingerprint` / :func:`dedup_conversations` — exact
+  conversation-level dedup: two conversations are duplicates iff their
+  ordered (turn_idx, role, text) sequences are byte-identical
+  (timestamps and ids excluded — re-ingested or mirrored conversations
+  differ in both).
+- :func:`render_chat` — serialize each conversation into one training
+  sample string under a token budget, keeping the TAIL (most recent
+  turns) — the standard context-window truncation rule for chat SFT.
+- :func:`conv_stats` — structural stats per conversation (turn/role
+  counts, alternation violations, tool-call count, wall duration) for
+  quality filtering.
+- :func:`boilerplate_turns` — turn texts repeated verbatim across many
+  conversations (greeting templates, canned responses) — the
+  conversation-granularity analogue of a stop-gram / max_df filter.
+
+All four are pure Catalyst (aggregates + window functions, zero
+Python rows). Scale shape: everything keys on conv_id, so one hash
+shuffle on conv_id serves fingerprint, render and stats alike;
+boilerplate detection is a text-keyed aggregation with map-side
+partial aggregation. Nothing here is quadratic and nothing collects.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window
+
+from .text import token_count
+
+# ASCII unit/record separators: cannot appear in generated text, so the
+# packed fingerprint string is unambiguous.
+_FIELD_SEP = "\x1f"
+_TURN_SEP = "\x1e"
+
+
+def conv_fingerprint(df: DataFrame, conv_col: str = "conv_id") -> DataFrame:
+    """``(conv_id, fingerprint, n_turns)`` — md5 over the ordered
+    ``turn_idx<US>role<US>text`` turn sequence joined by ``<RS>``.
+
+    Implementation: pack each turn into one string, ``collect_list``
+    into an array (one row per conversation after the conv_id
+    shuffle), ``array_sort`` — the packed string starts with the
+    struct's turn_idx so struct sort order == turn order — then join
+    and hash. Map-side partial aggregation applies to collect_list,
+    and each conversation is bounded (thousands of turns at most), so
+    the per-key state is small.
+    """
+    packed = F.struct(
+        F.col("turn_idx"),
+        F.concat_ws(
+            _FIELD_SEP, F.col("turn_idx"), F.col("role"), F.col("text")
+        ).alias("t"),
+    )
+    return df.groupBy(F.col(conv_col).alias("conv_id")).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(packed)), lambda x: x["t"]
+                ),
+                _TURN_SEP,
+            )
+        ).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def dedup_conversations(df: DataFrame, conv_col: str = "conv_id") -> DataFrame:
+    """``(fingerprint, n_convs, keeper_conv, n_turns)`` — one row per
+    distinct conversation CONTENT; ``keeper_conv`` is the minimum
+    conv_id (the canonical survivor), ``n_convs`` how many exact
+    copies exist. Filter ``n_convs > 1`` for the duplicate report;
+    join ``keeper_conv`` back to keep one copy per group."""
+    fp = conv_fingerprint(df, conv_col)
+    return fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("conv_id").alias("keeper_conv"),
+        F.min("n_turns").alias("n_turns"),
+    )
+
+
+def render_chat(df: DataFrame, token_budget: int = 48) -> DataFrame:
+    """``(conv_id, sample_text, n_turns_kept, n_tokens)`` — each
+    conversation rendered ``role: text`` per line, truncated to the
+    most recent turns whose whitespace-token total fits the budget.
+
+    The tail-sum is a window over ``turn_idx DESC`` (rows unbounded
+    preceding → current), then turns with ``tail_sum <= budget``
+    survive — exactly "drop oldest turns until it fits". One shuffle
+    on conv_id shared by the window and the final aggregation.
+    """
+    toks = df.withColumn("__tok", token_count(F.col("text")))
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = toks.withColumn("__tail", F.sum("__tok").over(w)).filter(
+        F.col("__tail") <= token_budget
+    )
+    line = F.struct(
+        F.col("turn_idx"),
+        F.concat_ws(": ", F.col("role"), F.col("text")).alias("l"),
+    )
+    return kept.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(line)), lambda x: x["l"]),
+            "\n",
+        ).alias("sample_text"),
+        F.count(F.lit(1)).alias("n_turns_kept"),
+        F.sum("__tok").alias("n_tokens"),
+    )
+
+
+def conv_stats(df: DataFrame) -> DataFrame:
+    """Per-conversation structural stats for quality filtering:
+    ``(conv_id, n_turns, n_user, n_assistant, n_tool,
+    n_alt_violations, duration_s)``. An alternation violation is two
+    consecutive turns with the same role (e.g. a double user send).
+    One conv_id shuffle; lag + aggregate share it."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = df.withColumn("__prev_role", F.lag("role").over(w))
+    return lagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+            "n_assistant"
+        ),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool"),
+        F.sum(
+            F.when(F.col("role") == F.col("__prev_role"), 1).otherwise(0)
+        ).alias("n_alt_violations"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+    )
+
+
+def boilerplate_turns(df: DataFrame, min_convs: int = 10) -> DataFrame:
+    """``(text, n_convs, n_occurrences)`` — turn texts that appear in
+    at least ``min_convs`` DISTINCT conversations, verbatim. These are
+    template/greeting turns a training pipeline masks or drops (the
+    turn-level analogue of the documents' max_df stop-gram guard).
+    Text-keyed aggregation: count_distinct(conv_id) partial-aggregates
+    map-side on the text key, so the shuffle carries one row per
+    distinct (text, conv_id) worst-case and hot templates collapse
+    before the exchange."""
+    return (
+        df.groupBy("text")
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
