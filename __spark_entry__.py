@@ -945,6 +945,18 @@ def q_doc_repetition_stats(spark, sf_dir):
     return TX.repetition_stats(d).orderBy("doc_id")
 
 
+def q_doc_seq_packing(spark, sf_dir):
+    """Greedy sequence packing: bin each language's documents (ordered
+    by doc_id) into 256-token training sequences; oversize docs get a
+    singleton bin. Inherently sequential per group, parallel across
+    groups/shards (packing.py). Oracle: DuckDB recursive CTE replays
+    the identical fill per language."""
+    from mysql_tracker_spark.functions.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=256).orderBy("lang", "doc_id")
+
+
 def q_doc_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH near-dups, DRIVER-VERIFIED via properties the DuckDB
     oracle derives independently (SQL cannot simulate MinHash, so the
@@ -1438,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redaction": q_doc_pii_redaction,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_seq_packing": q_doc_seq_packing,
         "conv_dedup_exact": q_conv_dedup_exact,
         "conv_chat_render": q_conv_chat_render,
         "conv_stats": q_conv_stats,
@@ -1799,6 +1812,25 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(1 - n_bg_distinct * 1.0 / n_bg, 0.0), 6) AS dup_bigram_frac
             FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
             ORDER BY pt.doc_id
+        """,
+        "doc_seq_packing": r"""
+            WITH RECURSIVE t AS (
+                SELECT lang, doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents),
+            p AS (
+                SELECT lang, doc_id, n_tokens, rn, 0 AS bin_idx, n_tokens AS fill
+                FROM t WHERE rn = 1
+                UNION ALL
+                SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+                       CASE WHEN p.fill + t.n_tokens > 256 THEN p.bin_idx + 1 ELSE p.bin_idx END,
+                       CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens ELSE p.fill + t.n_tokens END
+                FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+            SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(bin_idx AS BIGINT) AS bin_idx
+            FROM p ORDER BY lang, doc_id
         """,
         "conv_dedup_exact": f"""
             WITH fp AS (
