@@ -659,6 +659,17 @@ def q_emb_cosine_near_dups(spark, sf_dir):
     return SIM.cosine_near_dups(emb, threshold=0.35).orderBy("id_a", "id_b")
 
 
+def q_emb_semantic_dedup(spark, sf_dir):
+    """Semantic (embedding-level) dedup: cosine>=0.35 pair graph ->
+    connected components -> keep the minimum vec_id per cluster. The
+    DuckDB oracle recomputes pairs with list_inner_product and the
+    components with a recursive reachability CTE."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return SIM.semantic_dedup(emb, threshold=0.35).orderBy("vec_id")
+
+
 # fixed dump paths for the media oracles (atomic-rename write, like the
 # flagship's)
 MEDIA_ORACLE_DUMP = "/tmp/mts_media_oracle/assets_meta.parquet"
@@ -1443,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_near_dups": q_doc_ngram_jaccard_near_dups,
         "doc_ngram_jaccard_guarded": q_doc_ngram_jaccard_guarded,
         "emb_cosine_near_dups": q_emb_cosine_near_dups,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "doc_dedup_clusters": q_doc_dedup_clusters,
         "mysql_byte_decode": q_mysql_byte_decode,
         "doc_chunking": q_doc_chunking,
@@ -1988,6 +2000,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION SELECT src, src FROM edges
                 UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
             SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id
+        """,
+        "emb_semantic_dedup": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM v a, v b
+                WHERE a.vec_id < b.vec_id
+                  AND round(list_inner_product(a.e, b.e) /
+                            (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.35),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT src AS id, dst AS r FROM edges
+                UNION SELECT src, src FROM edges
+                UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+            SELECT id AS vec_id, min(r) AS cluster_id, (id = min(r)) AS keep
+            FROM reach GROUP BY id ORDER BY vec_id
         """,
         "emb_cosine_near_dups": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 300)

@@ -185,3 +185,38 @@ def ann_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-level (semantic) near-duplicate dedup:
+    ``(id, cluster_id, keep)`` for every vector that participates in at
+    least one cosine>=threshold pair; ``keep`` marks the cluster's
+    canonical survivor (minimum id). Vectors with no near-dup partner
+    are implicitly kept (absent from the output).
+
+    Composition: cosine pair graph -> pointer-jumping connected
+    components (``sketches.near_dup_clusters``) -> keep-min rule.
+    ``pairs`` overrides the pair source: pass the LSH-bucketed
+    candidate pairs (``sketches.ann_lsh`` buckets + exact verify) at
+    corpus scale — the default brute-force pair join is the
+    verification-grade twin, exactly like ``cosine_near_dups``.
+    """
+    from .sketches import near_dup_clusters
+
+    if pairs is None:
+        pairs = cosine_near_dups(
+            vectors, threshold, id_col=id_col, vec_col=vec_col, round_to=round_to
+        )
+    labels = near_dup_clusters(pairs.select("id_a", "id_b"))
+    return labels.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
