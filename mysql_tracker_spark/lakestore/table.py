@@ -290,15 +290,18 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
 
-    def _write_buckets(self, df: DataFrame, schema: T.StructType) -> dict[int, list[dict]]:
+    def _write_buckets(
+        self, df: DataFrame, schema: T.StructType, n_buckets: int | None = None
+    ) -> dict[int, list[dict]]:
         """Write rows (must carry __bucket) partitioned by bucket into the
         data dir; return bucket -> file entries. One Spark job; files land
-        under a unique staging subdir so concurrent writers never collide."""
+        under a unique staging subdir so concurrent writers never collide.
+        ``n_buckets`` overrides the manifest's count (rescale path)."""
         stage = f"stage-{uuid.uuid4().hex[:12]}"
         stage_dir = os.path.join(self.data_dir, stage)
         m0 = self.manifest()
         cols = [f.name for f in schema.fields]
-        nb = m0["n_buckets"]
+        nb = n_buckets if n_buckets is not None else m0["n_buckets"]
         (
             df.select(_BUCKET_COL, *cols)
             # repartition by the BUCKETING KEY with numPartitions =
@@ -335,6 +338,53 @@ class LakeTable:
         new["buckets"] = {str(b): files for b, files in buckets.items()}
         new["properties"] = {**m["properties"], **(properties or {})}
         new["summary"] = {"operation": "overwrite", "ts_ms": int(time.time() * 1000)}
+        return self._commit(new)
+
+    def rescale_buckets(
+        self,
+        spark: SparkSession,
+        new_n_buckets: int,
+        properties: dict[str, str] | None = None,
+    ) -> int:
+        """Change the table's bucket count (Iceberg's
+        ``bucket(N, key)`` partition-evolution analogue, done eagerly):
+        re-hash every row into ``new_n_buckets`` buckets and commit one
+        new snapshot. The bucket count is fixed at create() for the
+        MERGE fast path (partition i == bucket i off a single
+        exchange), but a table that grows 100x needs wider buckets or
+        every COW rewrite touches files 100x the working set — this is
+        the migration lever.
+
+        One full-table Spark job (read aligned to the current schema,
+        one repartition on the bucketing key, bucket-partitioned
+        write). Data content is IDENTICAL by construction: history
+        stays time-travelable, a changelog scan across the rescale
+        boundary yields zero rows (same keys, same payloads), and
+        subsequent merges pick up the new count from the manifest.
+        Concurrent writers are fenced by the optimistic snapshot commit
+        exactly like merge."""
+        m = self.manifest()
+        if new_n_buckets == m["n_buckets"]:
+            return m["version"]
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        schema = self.schema()
+        df = self.read(spark).withColumn(
+            _BUCKET_COL, _bucket_expr(m["bucket_by"], new_n_buckets)
+        )
+        buckets = self._write_buckets(df, schema, n_buckets=new_n_buckets)
+        new = dict(m)
+        new["version"] = m["version"] + 1
+        new["parent"] = m["version"]
+        new["n_buckets"] = new_n_buckets
+        new["buckets"] = {str(b): files for b, files in buckets.items()}
+        new["properties"] = {**m["properties"], **(properties or {})}
+        new["summary"] = {
+            "operation": "rescale-buckets",
+            "from_n_buckets": m["n_buckets"],
+            "to_n_buckets": new_n_buckets,
+            "ts_ms": int(time.time() * 1000),
+        }
         return self._commit(new)
 
     def merge(

@@ -69,6 +69,12 @@ def main() -> None:
         "replays the rolled-back range through the fenced MERGE)",
     )
     ap.add_argument(
+        "--rescale-buckets", type=int, default=None, metavar="N",
+        help="before applying, re-hash the table into N buckets "
+        "(bucket-count evolution for table growth; one full-table "
+        "rewrite committed as a snapshot, content unchanged)",
+    )
+    ap.add_argument(
         "--changes-from", type=int, default=None, metavar="VERSION",
         help="after the apply, print the row-level changelog "
         "(insert/update/delete) from this snapshot version to HEAD "
@@ -86,6 +92,15 @@ def main() -> None:
         v = LakeTable.load(args.table).rollback(args.rollback_to)
         print(
             json.dumps({"rollback_to": args.rollback_to, "new_version": v}),
+            file=sys.stderr,
+        )
+
+    if args.rescale_buckets is not None:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        v = LakeTable.load(args.table).rescale_buckets(spark, args.rescale_buckets)
+        print(
+            json.dumps({"rescale_buckets": args.rescale_buckets, "new_version": v}),
             file=sys.stderr,
         )
 

@@ -317,3 +317,50 @@ def test_lakestore_read_pushes_filters_to_scan(spark, tmp_path):
     pf = pushed_filters(q)
     assert pf and any("conv_id" in p for p in pf), pf
     assert q.count() == 1
+
+
+def test_rescale_buckets_preserves_content_and_placement(spark, tmp_table_dir):
+    """Bucket-count evolution: content identical, placement re-hashed,
+    history time-travelable, changelog across the boundary empty, and
+    subsequent merges pick up the new count."""
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_table_dir)
+    v_before = t.current_version()
+    before = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark).collect()}
+
+    v = t.rescale_buckets(spark, 16)
+    assert t.manifest()["n_buckets"] == 16
+    assert t.manifest()["summary"]["operation"] == "rescale-buckets"
+    after = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark).collect()}
+    assert after == before
+    # placement invariant: every file entry lives under the bucket id
+    # pmod(hash(conv_id), 16) of the rows it holds
+    for b, files in t.manifest()["buckets"].items():
+        for fe in files:
+            import os as _os
+            df = spark.read.parquet(_os.path.join(t.path, fe["path"]))
+            bad = df.filter(F.pmod(F.hash("conv_id"), F.lit(16)) != int(b)).count()
+            assert bad == 0
+    # the rescale commit changed no ROW: changelog across it is empty
+    assert t.read_changes(spark, v_before, v).count() == 0
+    # time travel to the pre-rescale snapshot still reads the old layout
+    old = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark, v_before).collect()}
+    assert old == before
+
+    # merges after the rescale use the new count and stay correct
+    ch = spark.createDataFrame([("c9", 0, "new", False), ("c1", 0, None, True)], CH_SCHEMA)
+    t.merge(spark, ch)
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark).collect()}
+    expect = dict(before)
+    del expect[("c1", 0)]
+    expect[("c9", 0)] = "new"
+    assert rows == expect
+
+    # shrink path works too (4x down) and no-op is a no-op
+    v2 = t.current_version()
+    assert t.rescale_buckets(spark, t.manifest()["n_buckets"]) == v2
+    t.rescale_buckets(spark, 2)
+    assert t.manifest()["n_buckets"] == 2
+    rows2 = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark).collect()}
+    assert rows2 == expect
