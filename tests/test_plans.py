@@ -115,3 +115,43 @@ def test_decode_has_exactly_one_python_stage(spark, tmp_path):
     write_wire_batches(ev, str(tmp_path), n_batches=1)
     df = decode_frames(spark.read.schema(RAW_FRAME_SCHEMA).parquet(str(tmp_path)))
     assert python_stage_count(df) == 1
+
+
+def test_conversation_queries_pure_jvm(spark):
+    for name in [
+        "conv_dedup_exact",
+        "conv_chat_render",
+        "conv_stats",
+        "conv_boilerplate_turns",
+        "emb_semantic_dedup",
+    ]:
+        df = entrymod.queries()[name](spark, SF)
+        assert python_stage_count(df) == 0, name
+
+
+def test_render_chat_shares_one_conv_shuffle(spark):
+    """The window (tail token sum) and the final aggregation both
+    partition by conv_id — the plan must carry exactly ONE hash
+    exchange (the groupBy reuses the window's partitioning)."""
+    from mysql_tracker_spark.functions.conversations import render_chat
+    from mysql_tracker_spark.plans.checks import explain_str
+    from mysql_tracker_spark.sources.conv_gen import gen_conversations
+
+    df = spark.createDataFrame(gen_conversations(n_convs=20, seed=1))
+    plan = explain_str(render_chat(df))
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_packing_has_exactly_one_python_stage_over_counts_only(spark):
+    """pack_sequences: one FlatMapGroupsInPandas stage, and ONLY the
+    token counts cross the Python boundary (text is projected away
+    before the exchange)."""
+    df = entrymod.q_doc_seq_packing(spark, SF)
+    assert python_stage_count(df) == 1
+    from mysql_tracker_spark.plans.checks import explain_str
+
+    plan = explain_str(df)
+    assert "FlatMapGroupsInPandas" in plan
+    # the grouped exchange must not carry the text column
+    seg = plan[plan.index("FlatMapGroupsInPandas") :]
+    assert "text" not in seg.split("== Initial Plan ==")[0].split("Scan parquet")[0]
