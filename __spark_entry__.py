@@ -1408,6 +1408,36 @@ def q_cdc_apply_transcripts_final(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_conv_dedup_applied(spark, sf_dir):
+    """End-to-end COMPOSITION of the two layers: the flagship fenced
+    replay -> lakestore MERGE produces the transcripts table, and the
+    conversation-level dedup operator fingerprints it. The DuckDB
+    oracle recomputes the LWW final state from the flat event dump
+    (the cdc_apply_transcripts_final CTE) and then the fingerprint in
+    SQL — so any divergence in EITHER layer (engine state or operator
+    semantics) breaks the hash."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.functions.conversations import dedup_conversations
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_convdedup_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run()
+        result = dedup_conversations(job.table.read(spark)).orderBy("fingerprint")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -1476,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
+        "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
         "cdc_eventlog_append": q_cdc_eventlog_append,
     }
 
@@ -2127,6 +2158,35 @@ def oracle_sql() -> dict[str, str]:
                    ts_text, CAST(score AS BIGINT) AS score
             FROM r WHERE rn = 1 AND op <> 'DELETE'
             ORDER BY conv_id, turn_idx
+        """,
+        # Composition oracle: LWW final state (same CTE as above) ->
+        # conversation fingerprint, all in SQL.
+        "cdc_conv_dedup_applied": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            ), f AS (
+                SELECT conv_id, turn_idx, role, text
+                FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ), fp AS (
+                SELECT conv_id,
+                       md5(string_agg(turn_idx::VARCHAR || chr(31) || role || chr(31) || text,
+                                      chr(30) ORDER BY turn_idx)) AS fingerprint,
+                       count(*) AS n_turns
+                FROM f GROUP BY conv_id)
+            SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_convs,
+                   min(conv_id) AS keeper_conv, CAST(min(n_turns) AS BIGINT) AS n_turns
+            FROM fp GROUP BY fingerprint ORDER BY fingerprint
         """,
         # Changelog oracle: LWW state at the batch-1 watermark vs the
         # final LWW state, diffed in SQL — insert (final only), delete
