@@ -1203,6 +1203,19 @@ def q_conv_stats(spark, sf_dir):
     return conv_stats(_conv_table(spark)).orderBy("conv_id")
 
 
+def q_conv_sft_export(spark, sf_dir):
+    """The composed SFT export pipeline: drop boilerplate turns
+    (broadcast anti-join), drop conversations still containing
+    double-send violations, render the survivors under the 48-token
+    budget. Oracle replays all three stages in SQL."""
+    from mysql_tracker_spark.functions.conversations import build_sft_samples
+
+    return build_sft_samples(
+        _conv_table(spark), token_budget=48, boilerplate_min_convs=10,
+        max_violations=0,
+    ).orderBy("conv_id")
+
+
 def q_conv_boilerplate_turns(spark, sf_dir):
     """Cross-conversation verbatim-repeated turns (greeting/canned
     templates appearing in >= 10 distinct conversations) — the
@@ -1497,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_chat_render": q_conv_chat_render,
         "conv_stats": q_conv_stats,
         "conv_boilerplate_turns": q_conv_boilerplate_turns,
+        "conv_sft_export": q_conv_sft_export,
         # property-oracled (SQL cannot re-derive the sketch itself):
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -1913,6 +1927,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT) AS n_alt_violations,
                    CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
             FROM l GROUP BY conv_id ORDER BY conv_id
+        """,
+        "conv_sft_export": rf"""
+            WITH bp AS (
+                SELECT text FROM read_parquet('{CONV_DUMP}')
+                GROUP BY text HAVING count(DISTINCT conv_id) >= 10),
+            clean AS (
+                SELECT c.* FROM read_parquet('{CONV_DUMP}') c
+                WHERE c.text NOT IN (SELECT text FROM bp)),
+            v AS (
+                SELECT conv_id FROM (
+                    SELECT conv_id, role,
+                           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+                    FROM clean)
+                GROUP BY conv_id
+                HAVING sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) <= 0),
+            tk AS (
+                SELECT clean.conv_id, turn_idx, role, text,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+                FROM clean JOIN v ON clean.conv_id = v.conv_id),
+            tl AS (
+                SELECT *, sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail
+                FROM tk)
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS sample_text,
+                   CAST(count(*) AS BIGINT) AS n_turns_kept,
+                   CAST(sum(tok) AS BIGINT) AS n_tokens
+            FROM tl WHERE tail <= 48 GROUP BY conv_id ORDER BY conv_id
         """,
         "conv_boilerplate_turns": f"""
             SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,

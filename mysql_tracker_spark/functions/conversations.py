@@ -140,6 +140,64 @@ def conv_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def build_sft_samples(
+    df: DataFrame,
+    token_budget: int = 48,
+    boilerplate_min_convs: int = 10,
+    max_violations: int = 0,
+) -> DataFrame:
+    """The export pipeline a training run actually consumes, composed
+    from the operators above: (1) drop turns whose text is
+    cross-conversation boilerplate (>= ``boilerplate_min_convs``
+    distinct conversations), (2) drop conversations whose REMAINING
+    turn sequence still has more than ``max_violations`` same-role
+    double-sends, (3) render the survivors under the token budget
+    (tail truncation). Returns ``(conv_id, sample_text, n_turns_kept,
+    n_tokens)``.
+
+    Scale shape: the boilerplate set is tiny by construction (texts
+    repeated across >= N conversations) — broadcast anti-join; the
+    violation filter and render share one conv_id shuffle.
+    """
+    bp = boilerplate_turns(df, min_convs=boilerplate_min_convs).select("text")
+    clean = df.join(F.broadcast(bp), "text", "left_anti")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    viol = (
+        clean.withColumn("__prev_role", F.lag("role").over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.sum(
+                F.when(F.col("role") == F.col("__prev_role"), 1).otherwise(0)
+            ).alias("__nv")
+        )
+        .filter(F.col("__nv") <= max_violations)
+        .select("conv_id")
+    )
+    return render_chat(clean.join(viol, "conv_id", "left_semi"), token_budget)
+
+
+def incremental_conv_stats(
+    table: DataFrame, prev_stats: DataFrame, changes: DataFrame
+) -> DataFrame:
+    """Incrementally maintain a materialized :func:`conv_stats` view
+    from a CDC changelog (``LakeTable.read_changes`` output): stats
+    for conversations touched by the change set are recomputed from
+    the current table, untouched rows carry forward from
+    ``prev_stats``, and fully-deleted conversations drop out (they are
+    touched but have no surviving turns).
+
+    This is the downstream-consumer pattern the changelog exists for:
+    cost tracks the WORKING SET (distinct touched conv_ids — a
+    semi-join prunes the table scan to their buckets' rows), never the
+    table or history size. Equivalent to a full recompute by
+    construction; the equivalence is asserted in tests.
+    """
+    touched = changes.select("conv_id").distinct()
+    refreshed = conv_stats(table.join(touched, "conv_id", "left_semi"))
+    carried = prev_stats.join(touched, "conv_id", "left_anti")
+    return carried.unionByName(refreshed)
+
+
 def boilerplate_turns(df: DataFrame, min_convs: int = 10) -> DataFrame:
     """``(text, n_convs, n_occurrences)`` — turn texts that appear in
     at least ``min_convs`` DISTINCT conversations, verbatim. These are

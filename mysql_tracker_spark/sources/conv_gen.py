@@ -95,15 +95,20 @@ def gen_conversations(
             turns.append((idx, "assistant", _BOILER_ASSISTANT, None))
             idx += 1
         n_ex = int(rng.integers(1, 6))  # 1..5 exchanges after the opener
+        # ordinary turns carry a per-conversation case reference, so
+        # (realistically) only the planted opener exchange and the
+        # canned tool outputs repeat VERBATIM across conversations —
+        # the boilerplate detector must find those and nothing else
+        case = f"case {c:04d}"
         for _ in range(n_ex):
             u = _USER_PHRASES[int(rng.integers(len(_USER_PHRASES)))]
-            turns.append((idx, "user", u, None))
+            turns.append((idx, "user", f"{u} {case}", None))
             idx += 1
             # ~10%: alternation violation — the user sends a second
             # message before any reply
             if rng.random() < 0.10:
                 u2 = _USER_PHRASES[int(rng.integers(len(_USER_PHRASES)))]
-                turns.append((idx, "user", u2, None))
+                turns.append((idx, "user", f"{u2} {case}", None))
                 idx += 1
             # ~25%: the assistant calls a tool before answering
             if rng.random() < 0.25:
@@ -111,7 +116,7 @@ def gen_conversations(
                 turns.append((idx, "tool", _TOOL_PHRASES[k], _TOOL_NAMES[k]))
                 idx += 1
             a = _ASSISTANT_PHRASES[int(rng.integers(len(_ASSISTANT_PHRASES)))]
-            turns.append((idx, "assistant", a, None))
+            turns.append((idx, "assistant", f"{a} {case}", None))
             idx += 1
         per_conv.append(turns)
         for (ti, role, text, tool) in turns:

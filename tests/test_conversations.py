@@ -94,3 +94,82 @@ def test_boilerplate_detection(spark, conv_df):
     assert _BOILER_ASSISTANT_EXPORTED in set(bp["text"])
     assert (bp["n_convs"] >= 30).all()
     assert (bp["n_occurrences"] >= bp["n_convs"]).all()
+
+
+def test_sft_export_composition(spark, conv_df):
+    from mysql_tracker_spark.functions.conversations import build_sft_samples
+
+    out = build_sft_samples(conv_df, token_budget=48).toPandas()
+    assert (out["n_tokens"] <= 48).all()
+    # no boilerplate line survives in any rendered sample
+    bp = boilerplate_turns(conv_df, min_convs=10).toPandas()["text"]
+    for t in bp:
+        assert not out["sample_text"].str.contains(t, regex=False).any()
+    # every surviving conversation has zero violations AFTER the drop
+    kept = set(out["conv_id"])
+    clean = conv_df.join(
+        spark.createDataFrame([(t,) for t in bp], "text string"),
+        "text",
+        "left_anti",
+    )
+    st = conv_stats(clean).toPandas()
+    assert set(st[st["n_alt_violations"] == 0]["conv_id"]) >= kept
+
+
+def test_incremental_stats_matches_full_recompute(spark, tmp_table_dir):
+    from pyspark.sql import types as T
+
+    from mysql_tracker_spark.functions.conversations import incremental_conv_stats
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    ch_schema = T.StructType(schema.fields + [T.StructField("__delete", T.BooleanType())])
+    import datetime as dt
+
+    t0 = dt.datetime(1995, 1, 1)
+    sec = dt.timedelta(seconds=45)
+    rows = [
+        ("a", 0, "user", "hi", t0),
+        ("a", 1, "assistant", "hello", t0 + sec),
+        ("b", 0, "user", "q", t0),
+        ("b", 1, "user", "q again", t0 + sec),  # violation
+        ("c", 0, "user", "solo", t0),
+    ]
+    t = LakeTable.create(tmp_table_dir, schema, ["conv_id", "turn_idx"], "conv_id", n_buckets=4)
+    t.overwrite(spark.createDataFrame(rows, schema))
+    v1 = t.current_version()
+    prev = conv_stats(t.read(spark)).localCheckpoint()
+
+    # change set: update a turn in 'a', fully delete 'c', create 'd'
+    ch = spark.createDataFrame(
+        [
+            ("a", 1, "assistant", "hello!", t0 + sec, False),
+            ("c", 0, None, None, None, True),
+            ("d", 0, "user", "new conv", t0, False),
+            ("d", 1, "assistant", "reply", t0 + sec, False),
+        ],
+        ch_schema,
+    )
+    t.merge(spark, ch)
+    changes = t.read_changes(spark, v1)
+
+    inc = (
+        incremental_conv_stats(t.read(spark), prev, changes)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    full = conv_stats(t.read(spark)).toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert inc.equals(full)
+    assert "c" not in set(inc["conv_id"])  # fully deleted conv dropped
+    assert "d" in set(inc["conv_id"])
+    # untouched 'b' carried forward (violation count intact)
+    assert int(inc[inc["conv_id"] == "b"]["n_alt_violations"].iloc[0]) == 1
