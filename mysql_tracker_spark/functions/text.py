@@ -215,7 +215,16 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
 
     Returns ``id_col, n_tokens, distinct_ratio, top_share,
     dup_bigram_frac`` (ratios rounded to 6 dp; docs with no tokens are
-    absent)."""
+    absent).
+
+    Every signal is a function of ONE document, so the whole operator
+    is scan-local: distinct counts via ``array_distinct`` and the
+    top-token frequency via a sorted-run ``aggregate`` (sort the token
+    array, longest equal-run = max frequency) — higher-order Catalyst
+    expressions, ZERO shuffles, one pass over the scan. The earlier
+    explode + two-level-aggregate formulation shuffled the corpus'
+    per-doc vocabulary twice; at 100x corpus size that exchange is the
+    bottleneck while this form stays embarrassingly parallel."""
     from pyspark.sql import functions as _F
 
     toks = _F.split(normalize_text(_F.col(text_col)), " ")
@@ -224,43 +233,48 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
         toks.alias("__toks"),
         _token_ngrams(_F.col(text_col), 2).alias("__bigrams"),
     ).filter(_F.length(_F.concat_ws("", "__toks")) > 0)
-    per_tok = (
-        base.select(id_col, _F.explode("__toks").alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(_F.count(_F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            _F.sum("c").cast("bigint").alias("n_tokens"),
-            _F.count(_F.lit(1)).cast("bigint").alias("n_distinct"),
-            _F.max("c").cast("bigint").alias("top_c"),
+
+    def _max_run(arr):
+        # longest run of equal values in the SORTED array == max
+        # multiplicity. Accumulator: (prev value, current run, best).
+        init = _F.struct(
+            _F.lit(None).cast("string").alias("prev"),
+            _F.lit(0).cast("bigint").alias("run"),
+            _F.lit(0).cast("bigint").alias("best"),
         )
-    )
-    per_bg = (
-        base.select(id_col, _F.explode("__bigrams").alias("bg"))
-        .groupBy(id_col, "bg")
-        .agg(_F.count(_F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            _F.sum("c").cast("bigint").alias("n_bg"),
-            _F.count(_F.lit(1)).cast("bigint").alias("n_bg_distinct"),
-        )
-    )
-    return (
-        per_tok.join(per_bg, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            _F.round(_F.col("n_distinct") / _F.col("n_tokens"), 6).alias(
-                "distinct_ratio"
-            ),
-            _F.round(_F.col("top_c") / _F.col("n_tokens"), 6).alias("top_share"),
-            _F.round(
-                _F.coalesce(
-                    1 - _F.col("n_bg_distinct") / _F.col("n_bg"), _F.lit(0.0)
-                ),
-                6,
-            ).alias("dup_bigram_frac"),
-        )
+
+        def step(acc, x):
+            same = _F.coalesce(x == acc["prev"], _F.lit(False))
+            run2 = _F.when(same, acc["run"] + 1).otherwise(_F.lit(1).cast("bigint"))
+            return _F.struct(
+                x.alias("prev"),
+                run2.alias("run"),
+                _F.greatest(acc["best"], run2).alias("best"),
+            )
+
+        return _F.aggregate(_F.array_sort(arr), init, step, lambda acc: acc["best"])
+
+    return base.select(
+        id_col,
+        _F.size("__toks").cast("bigint").alias("n_tokens"),
+        _F.size(_F.array_distinct("__toks")).cast("bigint").alias("__n_distinct"),
+        _max_run(_F.col("__toks")).alias("__top_c"),
+        _F.size("__bigrams").cast("bigint").alias("__n_bg"),
+        _F.size(_F.array_distinct("__bigrams")).cast("bigint").alias("__n_bg_distinct"),
+    ).select(
+        id_col,
+        "n_tokens",
+        _F.round(_F.col("__n_distinct") / _F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+        _F.round(_F.col("__top_c") / _F.col("n_tokens"), 6).alias("top_share"),
+        _F.round(
+            _F.when(
+                _F.col("__n_bg") > 0,
+                1 - _F.col("__n_bg_distinct") / _F.col("__n_bg"),
+            ).otherwise(_F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
     )
 
 

@@ -155,3 +155,16 @@ def test_packing_has_exactly_one_python_stage_over_counts_only(spark):
     # the grouped exchange must not carry the text column
     seg = plan[plan.index("FlatMapGroupsInPandas") :]
     assert "text" not in seg.split("== Initial Plan ==")[0].split("Scan parquet")[0]
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """Every repetition signal is per-document: the plan must contain
+    NO exchange (scan-local higher-order expressions only)."""
+    from mysql_tracker_spark.plans.checks import explain_str
+
+    df = entrymod.q_doc_repetition_stats(spark, SF)
+    plan = explain_str(df)
+    body = plan.split("== Physical Plan ==")[1]
+    # the trailing orderBy of the contract query adds one range
+    # exchange; no hash exchange may appear
+    assert "hashpartitioning(" not in body, body
