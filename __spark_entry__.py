@@ -949,9 +949,9 @@ def q_doc_decontaminate(spark, sf_dir):
 
 def q_doc_repetition_stats(spark, sf_dir):
     """Gopher-style repetition/quality signals: distinct-token ratio,
-    top-token share, duplicate-bigram fraction per document (explode +
-    two-level agg; map-side combine bounds shuffle volume by per-doc
-    vocabulary)."""
+    top-token share, duplicate-bigram fraction per document —
+    SHUFFLE-FREE (scan-local array_distinct + sorted-run aggregate;
+    plan-locked in tests/test_plans.py)."""
     d = _t(spark, sf_dir, "documents")
     return TX.repetition_stats(d).orderBy("doc_id")
 
@@ -1214,6 +1214,63 @@ def q_conv_sft_export(spark, sf_dir):
         _conv_table(spark), token_budget=48, boilerplate_min_convs=10,
         max_violations=0,
     ).orderBy("conv_id")
+
+
+def q_conv_near_dups(spark, sf_dir):
+    """FUZZY conversation-level near-dup detection: MinHash-LSH over
+    each conversation's rendered text (ordered turns joined by
+    newlines), verified exactly on candidates — catches re-ingested
+    conversations with small edits, where the exact fingerprint
+    (conv_dedup_exact) sees two distinct contents. Property-oracled in
+    the doc_minhash style: the one cross-derived number
+    (n_exact_dup_pairs) is recomputed by the DuckDB oracle from the
+    fingerprint SQL; the booleans assert planted-duplicate coverage,
+    precision against the exact n-gram Jaccard pair set, and >=80%
+    recall of it."""
+    from mysql_tracker_spark.functions.conversations import conv_fingerprint
+
+    conv = _conv_table(spark)
+    line = F.struct(F.col("turn_idx"), F.col("text").alias("t"))
+    texts = conv.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(line)), lambda x: x["t"]), "\n"
+        ).alias("text")
+    )
+    rep = {
+        (r.id_a, r.id_b)
+        for r in SK.minhash_near_dups(texts, id_col="conv_id", threshold=0.8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    ex = {
+        (r.id_a, r.id_b)
+        for r in SK.ngram_jaccard_near_dups(
+            texts, id_col="conv_id", n=3, threshold=0.8, max_df=200
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    fp = conv_fingerprint(conv).select("conv_id", F.col("fingerprint").alias("fp"))
+    dup = {
+        (r.id_a, r.id_b)
+        for r in fp.alias("a")
+        .join(fp.alias("b"), "fp")
+        .filter(F.col("a.conv_id") < F.col("b.conv_id"))
+        .select(F.col("a.conv_id").alias("id_a"), F.col("b.conv_id").alias("id_b"))
+        .collect()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                len(dup),
+                len(dup - rep) == 0,
+                len(rep - ex) == 0,
+                len(ex - rep) <= 0.2 * len(ex),
+            )
+        ],
+        "n_exact_dup_pairs long, all_exact_dups_found boolean, "
+        "precision_ok boolean, recall_ok boolean",
+    )
 
 
 def q_conv_boilerplate_turns(spark, sf_dir):
@@ -1511,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": q_conv_stats,
         "conv_boilerplate_turns": q_conv_boilerplate_turns,
         "conv_sft_export": q_conv_sft_export,
+        "conv_near_dups": q_conv_near_dups,
         # property-oracled (SQL cannot re-derive the sketch itself):
         "doc_minhash_near_dups": q_doc_minhash_near_dups,
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
@@ -1956,6 +2014,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_turns_kept,
                    CAST(sum(tok) AS BIGINT) AS n_tokens
             FROM tl WHERE tail <= 48 GROUP BY conv_id ORDER BY conv_id
+        """,
+        # Property oracle (doc_minhash pattern): the cross-derived
+        # number is the exact-duplicate pair count from the
+        # fingerprint; the booleans are asserted true (a broken
+        # signature/banding/verify flips one and the hash fails).
+        "conv_near_dups": f"""
+            WITH fp AS (
+                SELECT conv_id,
+                       md5(string_agg(turn_idx::VARCHAR || chr(31) || role || chr(31) || text,
+                                      chr(30) ORDER BY turn_idx)) AS f
+                FROM read_parquet('{CONV_DUMP}') GROUP BY conv_id),
+            g AS (SELECT f, count(*) AS c FROM fp GROUP BY f)
+            SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_exact_dup_pairs,
+                   true AS all_exact_dups_found, true AS precision_ok,
+                   true AS recall_ok
+            FROM g
         """,
         "conv_boilerplate_turns": f"""
             SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
