@@ -212,6 +212,46 @@ class EventLogJob:
         stats.wall_ms = int((time.time() - t0) * 1000)
         return stats
 
+    # ------------------------------------------------------------ compact
+
+    def compact(self, max_segments: int = 8, n_out_parts: int = 8) -> int | None:
+        """Minor compaction (the HBase-compaction analogue the
+        reference's sink relied on its store to do): when more than
+        ``max_segments`` live segment dirs exist, rewrite the whole
+        live set into ONE segment, range-partitioned by ``seq`` so the
+        log stays ordered-scannable. At 10^10 events with second-level
+        micro-batches the append-only log is millions of tiny segments
+        — scan cost and file-listing cost both degrade without this.
+
+        Content is IDENTICAL (rows carry their committed seq; nothing
+        is renumbered), the watermark/next_seq properties carry
+        forward unchanged, and the commit is the same optimistic
+        exclusive-create as append — a concurrent append makes this
+        version collide and the compaction simply retries later. Old
+        segment dirs stay on disk referenced by older manifest
+        versions (history remains readable). Returns the new version,
+        or None when below the threshold."""
+        m = self.manifest()
+        if len(m["files"]) <= max_segments:
+            return None
+        live = self.read()
+        sub = f"compact-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.data_dir, sub)
+        live.repartitionByRange(n_out_parts, "seq").write.parquet(out_dir)
+        new = {
+            "version": m["version"] + 1,
+            "parent": m["version"],
+            "files": [sub],
+            "properties": dict(m["properties"]),
+            "summary": {
+                "operation": "compact",
+                "segments_in": len(m["files"]),
+                "ts_ms": int(time.time() * 1000),
+            },
+        }
+        self._commit(new)
+        return new["version"]
+
     # ---------------------------------------------------------------- read
 
     def read(self, spark: SparkSession | None = None) -> DataFrame:

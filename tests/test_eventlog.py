@@ -92,3 +92,32 @@ def test_eventlog_wire_format(spark, tmp_path):
     stats = job.run()
     assert sum(s.rows_appended for s in stats) == n_unique
     assert job.read().count() == n_unique
+
+
+def test_eventlog_compaction_preserves_log_and_appends_continue(spark, tmp_path):
+    """compact(): many segments -> one; rows/seq identical; watermark
+    and next_seq carry forward; a post-compaction append stays dense;
+    below-threshold compaction is a no-op."""
+    ev, job = _mk(spark, tmp_path)
+    # two of three batches -> 2 segments
+    job.run(max_batches=2)
+    assert len(job.manifest()["files"]) == 2
+    before = job.read().orderBy("seq").toPandas()
+    wm_before = job.watermark()
+
+    assert job.compact(max_segments=8) is None  # below threshold: no-op
+    v = job.compact(max_segments=1)
+    assert v == job.manifest()["version"]
+    assert len(job.manifest()["files"]) == 1
+    assert job.manifest()["summary"]["operation"] == "compact"
+    after = job.read().orderBy("seq").toPandas()
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+    assert job.watermark() == wm_before
+
+    # the remaining batch appends on top of the compacted log, seq dense
+    job.run()
+    final = job.read().orderBy("seq").toPandas()
+    assert list(final["seq"]) == list(range(len(final)))
+    assert len(job.manifest()["files"]) == 2  # compacted + new segment
