@@ -64,6 +64,7 @@ class EventLogJob:
         source_format: str = "typed",  # typed | jsonl | wire
         files_per_batch: int = 1,
         filter_regex: str | None = None,
+        compact_threshold: int | None = 64,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -73,6 +74,9 @@ class EventLogJob:
         self.source_format = source_format
         self.files_per_batch = files_per_batch
         self.filter_regex = filter_regex
+        # auto-compact when the live segment count exceeds this after a
+        # batch; None disables (compact() stays callable manually)
+        self.compact_threshold = compact_threshold
 
     # ----------------------------------------------------------- snapshots
 
@@ -147,7 +151,14 @@ class EventLogJob:
         for i, group in enumerate(self.batch_files()):
             if max_batches is not None and len(out) >= max_batches:
                 break
-            out.append(self.apply_batch(i, group))
+            st = self.apply_batch(i, group)
+            if (
+                self.compact_threshold is not None
+                and not st.skipped
+                and self.compact(max_segments=self.compact_threshold) is not None
+            ):
+                st.extra["compacted"] = True
+            out.append(st)
         return out
 
     def apply_batch(self, batch_id: int, paths: list[str]) -> EventLogStats:

@@ -121,3 +121,18 @@ def test_eventlog_compaction_preserves_log_and_appends_continue(spark, tmp_path)
     final = job.read().orderBy("seq").toPandas()
     assert list(final["seq"]) == list(range(len(final)))
     assert len(job.manifest()["files"]) == 2  # compacted + new segment
+
+
+def test_eventlog_auto_compaction_in_run_loop(spark, tmp_path):
+    """run() with compact_threshold keeps the live segment count bounded
+    while the log content stays identical to an uncompacted run."""
+    ev, job = _mk(spark, tmp_path, compact_threshold=1)
+    stats = job.run()
+    assert any(s.extra.get("compacted") for s in stats)
+    assert len(job.manifest()["files"]) == 1  # bounded, not 3
+    n_unique = len(ev.drop_duplicates(["file", "pos", "row_idx"]))
+    log = job.read().orderBy("seq").toPandas()
+    assert len(log) == n_unique
+    assert list(log["seq"]) == list(range(n_unique))
+    # replay after compaction is still fenced to a no-op
+    assert all(s.skipped for s in job.run())
