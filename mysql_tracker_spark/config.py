@@ -47,6 +47,10 @@ class JobConfig:
     # hot-key handling: 0 = packed-argmax LWW (map-side combine),
     # N>0 = explicit two-phase salted LWW with N salts
     n_salts: int = 0
+    # dead-letter audit (wire source only): when set, corrupt frames
+    # are persisted here (reason + verbatim payload) instead of only
+    # dropped; None keeps the reference's log-and-skip semantics
+    quarantine_dir: str | None = None
 
     @classmethod
     def load(cls, path: str) -> "JobConfig":

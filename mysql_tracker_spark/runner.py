@@ -96,6 +96,9 @@ class ApplyStats:
     # lww_variant = which dedup formulation this batch ran
     rows_winners: int | None = None
     lww_variant: str | None = None
+    # dead-letter audit (wire path, opt-in): corrupt frames persisted
+    # this batch; None = quarantine disabled
+    frames_quarantined: int | None = None
 
 
 class CdcApplyJob:
@@ -139,6 +142,7 @@ class CdcApplyJob:
         filter_regex: str | None = None,
         allowlist: list[tuple[str, str]] | None = None,
         expire_keep_last: int | None = None,
+        quarantine_dir: str | None = None,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -172,6 +176,13 @@ class CdcApplyJob:
         # (Iceberg's expire_snapshots maintenance, inlined; time travel
         # stays available inside the retained window).
         self.expire_keep_last = expire_keep_last
+        # dead-letter audit (wire path): when set, each batch persists
+        # its corrupt frames (truncated / bad_crc / malformed, verbatim
+        # payload + reason) under this directory instead of ONLY
+        # dropping them — the reference logs-and-skips
+        # (LogDecoder.java:158-169), which at 10^10 events makes data
+        # loss unauditable. None (default) keeps the pure drop path.
+        self.quarantine_dir = quarantine_dir
         # F1/F2 stream filters (reference filterRegex + filterMap,
         # TrackerConf.java:206-216). This job applies ONE target table,
         # so a filter that excludes the target is a misconfiguration:
@@ -218,6 +229,7 @@ class CdcApplyJob:
             filter_regex=cfg.filter_regex,
             allowlist=cfg.allowlist or None,
             n_salts=getattr(cfg, "n_salts", 0),
+            quarantine_dir=getattr(cfg, "quarantine_dir", None),
         )
 
     # ------------------------------------------------------------- lifecycle
@@ -387,6 +399,29 @@ class CdcApplyJob:
                     "behavior) or retarget the job."
                 )
         return trunc_fp
+
+    def _quarantine(self, raw_f: DataFrame, batch_id: int) -> int:
+        """Dead-letter audit for the wire path: persist this batch's
+        corrupt frames (past the fence) verbatim with a reason, return
+        the count. The write is NOT inside the snapshot commit — a
+        crash between quarantine write and commit can double-write a
+        batch's bad frames on replay, which ``read_quarantine`` dedups
+        on (file, pos) at read time (audit artifact, not table state).
+        Cost when enabled: one extra Arrow scan per batch; clean frames
+        transfer zero rows."""
+        import shutil
+        import uuid
+
+        from .sources.wire import quarantine_frames
+
+        sub = os.path.join(
+            self.quarantine_dir, f"batch-{batch_id:05d}-{uuid.uuid4().hex[:8]}"
+        )
+        quarantine_frames(raw_f).write.parquet(sub)
+        n = _parquet_dir_rows(sub)
+        if n == 0:
+            shutil.rmtree(sub, ignore_errors=True)
+        return n
 
     def _stream_filters(self, df: DataFrame) -> DataFrame:
         """F1/F2 predicates from the job config (no-ops when unset;
@@ -648,6 +683,8 @@ class CdcApplyJob:
         if trunc_fp is not None:
             # discard DML at or before the truncate (it was wiped)
             raw_f = after_watermark(raw_f, *trunc_fp)
+        if self.quarantine_dir is not None:
+            stats.frames_quarantined = self._quarantine(raw_f, batch_id)
         # F4 pre-decode gate, faithful to the reference's decoder
         # BitSet (LogDecoder.java:108-134): only row-event frames
         # (WRITE/UPDATE/DELETE_ROWS, header type byte 30/31/32) reach

@@ -567,6 +567,155 @@ def write_wire_distributed(
     return sorted(r["path"] for r in res)
 
 
+# ---------------------------------------------------------------- quarantine
+
+# Dead-letter record: the corrupt frame verbatim plus why it was
+# rejected, keyed by its stream offset for exactly-once-at-read dedup.
+FRAME_QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("reason", T.StringType()),  # truncated | bad_crc | malformed
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _audit_batch_arrow(rb):
+    """Frame-level corruption audit over one Arrow batch: emits ONLY the
+    bad frames (clean batches transfer zero rows back to the JVM).
+
+    Classification mirrors the decode's drop rules exactly —
+    ``truncated`` (shorter than header+crc+1, dropped JVM-side before
+    the decode kernel), ``bad_crc`` (additive-checksum mismatch), and
+    ``malformed`` (checksum passes but the body is invalid UTF-8 or a
+    row does not split into the 10 wire fields). The checksum/offset
+    arithmetic is the same zero-copy numpy as ``_decode_batch_arrow``;
+    the body check runs only on checksum-clean frames.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    names = [f.name for f in FRAME_QUARANTINE_SCHEMA.fields]
+    n = rb.num_rows
+    empty = pa.RecordBatch.from_arrays(
+        [
+            pa.array([], pa.string()),
+            pa.array([], pa.int64()),
+            pa.array([], pa.int32()),
+            pa.array([], pa.string()),
+            pa.array([], pa.binary()),
+        ],
+        names=names,
+    )
+    if n == 0:
+        return empty
+    pay = rb.column(rb.schema.get_field_index("payload"))
+    if isinstance(pay, pa.ChunkedArray):
+        pay = pay.combine_chunks()
+
+    large = pa.types.is_large_binary(pay.type)
+    off_dt = np.int64 if large else np.int32
+    offs = np.frombuffer(pay.buffers()[1], dtype=off_dt)[pay.offset : pay.offset + n + 1]
+    base = int(offs[0])
+    flat = np.frombuffer(pay.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
+    starts = (offs[:-1] - base).astype(np.int64)
+    ends = (offs[1:] - base).astype(np.int64)
+    lengths = ends - starts
+    truncated = lengths <= HEADER_LEN + CRC_LEN
+
+    cs = np.empty(len(flat) + 1, dtype=np.uint32)
+    cs[0] = 0
+    np.cumsum(flat, out=cs[1:], dtype=np.uint32)
+    total = cs[ends] - cs[starts]
+    # clamp the trailing-CRC gather for frames shorter than 4 bytes —
+    # those are all `truncated` and masked out of the crc verdict anyway
+    idx = np.maximum(ends[:, None] - np.array([4, 3, 2, 1]), starts[:, None])
+    crcb = flat[idx].astype(np.uint32) if len(flat) else np.zeros((n, 4), np.uint32)
+    crc_stored = crcb @ np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
+    crc_ok = (total - crcb.sum(axis=1, dtype=np.uint32)) == crc_stored
+    bad_crc = ~truncated & ~crc_ok
+
+    malformed = np.zeros(n, dtype=bool)
+    chk = np.flatnonzero(~truncated & crc_ok)
+    if len(chk):
+        sub = pc.take(pay, pa.array(chk, pa.int64()))
+        body_bin = pc.binary_slice(sub, HEADER_LEN, -CRC_LEN)
+        utf8_bad = np.zeros(len(chk), dtype=bool)
+        try:
+            body = pc.cast(body_bin, pa.string())
+        except pa.lib.ArrowInvalid:
+            vals = []
+            for i, b in enumerate(body_bin.to_pylist()):
+                try:
+                    vals.append(b.decode("utf-8"))
+                except UnicodeDecodeError:
+                    vals.append("")
+                    utf8_bad[i] = True
+            body = pa.array(vals, pa.string())
+        rows = pc.split_pattern(body, "\x1c")
+        fields = pc.split_pattern(pc.list_flatten(rows), FIELD_SEP)
+        row_ok = pc.equal(pc.list_value_length(fields), 10).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(rows).to_numpy()
+        frame_ok = np.ones(len(chk), dtype=bool)
+        np.logical_and.at(frame_ok, parent, row_ok)
+        malformed[chk] = utf8_bad | ~frame_ok
+
+    reason = np.where(
+        truncated, "truncated", np.where(bad_crc, "bad_crc", np.where(malformed, "malformed", ""))
+    )
+    bad = np.flatnonzero(reason != "")
+    if not len(bad):
+        return empty
+    take = pa.array(bad, pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(rb.column(rb.schema.get_field_index("file")), take),
+            pc.cast(pc.take(rb.column(rb.schema.get_field_index("pos")), take), pa.int64()),
+            pa.array(lengths[bad].astype(np.int32)),
+            pa.array(reason[bad]),
+            pc.cast(pc.take(pay, take), pa.binary()),
+        ],
+        names=names,
+    )
+
+
+def quarantine_frames(raw: DataFrame) -> DataFrame:
+    """Dead-letter scan: every corrupt frame in ``raw`` with its reason
+    and verbatim payload (schema ``FRAME_QUARANTINE_SCHEMA``).
+
+    The decode path *drops* corrupt frames (reference behavior — the
+    Java decoder logs and skips, ``LogDecoder.java:158-169``); at 10^10
+    events that makes data loss unauditable. This scan is the opt-in
+    audit twin: one Arrow pass (numpy checksum + body check on
+    checksum-clean frames only), emitting rows ONLY for bad frames, so
+    a clean stream costs one scan and zero transfer."""
+
+    def gen(batches):
+        for rb in batches:
+            yield _audit_batch_arrow(rb)
+
+    return raw.mapInArrow(gen, schema=FRAME_QUARANTINE_SCHEMA)
+
+
+def read_quarantine(spark, quarantine_dir: str) -> DataFrame:
+    """Read a job's dead-letter directory. Replays after a crash between
+    the quarantine write and the snapshot commit can double-write a
+    batch's bad frames, so reads dedup on the frame's stream offset —
+    the same exactly-once-at-read rule the log applies to events."""
+    import os
+
+    subs = sorted(
+        os.path.join(quarantine_dir, d)
+        for d in os.listdir(quarantine_dir)
+        if os.path.isdir(os.path.join(quarantine_dir, d))
+    )
+    if not subs:
+        return spark.createDataFrame([], FRAME_QUARANTINE_SCHEMA)
+    return spark.read.parquet(*subs).dropDuplicates(["file", "pos"])
+
+
 def write_wire_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> list[str]:
     """Encode a generated stream into wire-frame parquet micro-batches."""
     import os

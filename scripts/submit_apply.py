@@ -63,6 +63,12 @@ def main() -> None:
         "override a config file's n_salts",
     )
     ap.add_argument(
+        "--quarantine-dir", default=None, metavar="DIR",
+        help="dead-letter audit (wire format): persist corrupt frames "
+        "(reason + verbatim payload) under DIR instead of only "
+        "dropping them",
+    )
+    ap.add_argument(
         "--rollback-to", type=int, default=None, metavar="VERSION",
         help="before applying, roll the table back to this snapshot "
         "(data + replay watermark revert together; the run then "
@@ -135,6 +141,8 @@ def main() -> None:
                 cfg.on_destructive_ddl = args.on_destructive_ddl
             if args.salts is not None:
                 cfg.n_salts = args.salts
+            if args.quarantine_dir is not None:
+                cfg.quarantine_dir = args.quarantine_dir
             job2 = CdcApplyJob.from_config(spark, cfg)
         else:
             job2 = CdcApplyJob(
@@ -146,6 +154,7 @@ def main() -> None:
                 source_format=args.format or "typed",
                 on_destructive_ddl=args.on_destructive_ddl or "raise",
                 n_salts=args.salts if args.salts is not None else 0,
+                quarantine_dir=args.quarantine_dir,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last
