@@ -1508,6 +1508,49 @@ def q_cdc_conv_dedup_applied(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_point_read_pruned(spark, sf_dir):
+    """Serving path: engine apply -> ``LakeTable.read_for_keys`` (the
+    bucket-pruned point lookup) for the three lexicographically-first
+    conversations. The CONTENT is SQL-oracled here (LWW final state
+    filtered to the same keys, derived identically on both sides from
+    the deterministic dump); the PRUNING itself (inputFiles strictly
+    fewer than the full scan's) is asserted by
+    tests/test_lakestore.py::test_read_for_keys_prunes_to_owning_buckets."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_pointread_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    dml = ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])]
+    keys = sorted({m.get("conv_id") for m in dml["after"] if m and m.get("conv_id")})[:3]
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run()
+        result = (
+            job.table.read_for_keys(spark, keys)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "text",
+                "tool",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+                "score",
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -1579,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
+        "cdc_point_read_pruned": q_cdc_point_read_pruned,
         "cdc_eventlog_append": q_cdc_eventlog_append,
     }
 
@@ -2274,6 +2318,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
                    ts_text, CAST(score AS BIGINT) AS score
             FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """,
+        # Point-read oracle: the same LWW final-state CTE restricted to
+        # the three lexicographically-first conversations — the key
+        # subset is derived from the dump on BOTH sides.
+        "cdc_point_read_pruned": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), keys AS (
+                SELECT DISTINCT conv_id FROM e ORDER BY conv_id LIMIT 3
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+              AND conv_id IN (SELECT conv_id FROM keys)
             ORDER BY conv_id, turn_idx
         """,
         # Composition oracle: LWW final state (same CTE as above) ->

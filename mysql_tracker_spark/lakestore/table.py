@@ -209,6 +209,38 @@ class LakeTable:
         entries = [fe for files in m["buckets"].values() for fe in files]
         return self._read_aligned(spark, entries, m["schemas"], cur)
 
+    def buckets_for_keys(self, spark: SparkSession, keys: list) -> list[int]:
+        """Bucket ids owning ``keys`` — computed by Spark's own
+        ``hash()`` (one tiny single-partition job), never a Python
+        reimplementation of Murmur3: the placement function is the
+        engine's, so the lookup's is too, by construction."""
+        m = self.manifest()
+        ktype = next(
+            f.dataType for f in self.schema().fields if f.name == m["bucket_by"]
+        )
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField("k", ktype)])
+        )
+        rows = kdf.select(_bucket_expr("k", m["n_buckets"]).alias("b")).distinct().collect()
+        return sorted({int(r["b"]) for r in rows})
+
+    def read_for_keys(
+        self, spark: SparkSession, keys: list, version: int | None = None
+    ) -> DataFrame:
+        """Point/serving read: rows whose bucket key is in ``keys``,
+        opening ONLY the buckets that can contain them. ``read()``
+        scans every live file; at 10^10 rows fetching one conversation
+        must touch 1/n_buckets of the table, not all of it — the same
+        pruning a bucket-partitioned Iceberg scan gets from its
+        partition spec. The residual ``isin`` filter is pushed to the
+        parquet scan (hash collisions share a bucket)."""
+        m = self.manifest(version)
+        cur = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
+        bks = self.buckets_for_keys(spark, keys)
+        entries = [fe for b in bks for fe in m["buckets"].get(str(b), [])]
+        df = self._read_aligned(spark, entries, m["schemas"], cur)
+        return df.filter(F.col(m["bucket_by"]).isin(list(keys)))
+
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
         """Buckets whose file lists differ between the two snapshots.
         COW invariant: an untouched bucket carries the SAME file entries

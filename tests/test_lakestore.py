@@ -364,3 +364,37 @@ def test_rescale_buckets_preserves_content_and_placement(spark, tmp_table_dir):
     assert t.manifest()["n_buckets"] == 2
     rows2 = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark).collect()}
     assert rows2 == expect
+
+
+def test_read_for_keys_prunes_to_owning_buckets(spark, tmp_table_dir):
+    """Point read: only the key's buckets are opened (inputFiles is the
+    proof), result identical to a full-scan filter."""
+    t = LakeTable.create(
+        tmp_table_dir, SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=8
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(f"c{i}", j, f"t{i}.{j}") for i in range(40) for j in range(3)]
+    t.overwrite(spark.createDataFrame(rows, SCHEMA))
+
+    keys = ["c7", "c23"]
+    got = t.read_for_keys(spark, keys)
+    want = t.read(spark).filter(F.col("conv_id").isin(keys))
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 6
+
+    # pruning: the point read scanned only the owning buckets' files
+    m = t.manifest()
+    owning = set(t.buckets_for_keys(spark, keys))
+    assert owning and len(owning) < m["n_buckets"]
+    allowed = {
+        fe["path"] for b in owning for fe in m["buckets"].get(str(b), [])
+    }
+    opened = {p.split("/data/")[-1] for p in got.inputFiles()}
+    opened = {f"data/{p}" for p in opened}
+    assert opened <= allowed
+    assert len(set(want.inputFiles())) > len(set(got.inputFiles()))
+
+    # a key that hashes to an empty/absent bucket returns empty, not error
+    assert t.read_for_keys(spark, ["never-written"]).count() == 0
