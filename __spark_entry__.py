@@ -218,6 +218,86 @@ def q_cdc_sessionization(spark, sf_dir):
     )
 
 
+def q_events_asof_prior_click(spark, sf_dir):
+    """As-of join, unbounded lookback (operators/asof.py::asof_join):
+    each purchase matched to the user's latest at-or-before click —
+    union + ONE key shuffle + running last() window; no join explosion.
+    Spark lacks the operator; the brief names it as a required custom
+    op. Ties at equal ts break by click event_id (LAST wins)."""
+    from mysql_tracker_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    out = asof_join(
+        p, c, ["user_id"], "pts", "cts",
+        {"click_id": "cid", "click_ts": "cts"}, tie_cols=("cid",),
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.expr("timestampdiff(MICROSECOND, click_ts, pts)").alias("gap_us"),
+    )
+
+
+def q_events_asof_attribution_1h(spark, sf_dir):
+    """As-of join, bounded lookback (asof_join_binned): each purchase
+    attributed to the latest view within the preceding hour. The
+    tolerance bounds the SHUFFLE too: equi-join on (user, hour-bin)
+    with next-bin duplication — a hot user's traffic spreads across
+    its time range, the skew-free 100-TB shape (no per-key window)."""
+    from mysql_tracker_spark.operators.asof import asof_join_binned
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), F.col("ts").alias("vts")
+    )
+    out = asof_join_binned(
+        p, v, ["user_id"], "pts", "vts",
+        {"view_id": "vid", "view_ts": "vts"},
+        left_id=["purchase_id"], tolerance_s=3600.0, tie_cols=("vid",),
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.expr("timestampdiff(MICROSECOND, view_ts, pts)").alias("gap_us"),
+    )
+
+
+def q_cdc_scd2_history(spark, sf_dir):
+    """SCD Type-2 materialization (operators/scd.py): events as a
+    changelog over keys (user_id, event_id % 20) — 'error' is a DELETE
+    — folded into versioned dimension rows with [valid_from, valid_to)
+    intervals; deletes close their predecessor and emit nothing."""
+    from mysql_tracker_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_id") % 20).alias("slot"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("event_type").alias("attr_type"),
+        F.col("value").alias("attr_value"),
+    )
+    return scd2_history(
+        ev,
+        key_cols=["user_id", "slot"],
+        order_cols=["ts", "event_id"],
+        ts_col="ts",
+        attr_cols=["attr_type", "attr_value"],
+    ).drop("event_id")
+
+
 def q_doc_top_terms(spark, sf_dir):
     """Explode + aggregation + deterministic top-k: the 20 most
     frequent normalized tokens across the corpus (term-frequency
@@ -1573,6 +1653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_click_purchase_same_hour": q_cdc_click_purchase_same_hour,
         "cdc_rollup_type_hour": q_cdc_rollup_type_hour,
         "cdc_sessionization": q_cdc_sessionization,
+        "events_asof_prior_click": q_events_asof_prior_click,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "events_asof_attribution_1h": q_events_asof_attribution_1h,
         "doc_top_terms": q_doc_top_terms,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
@@ -1683,6 +1766,42 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts DESC, event_id DESC) rn
                 FROM events)
             WHERE rn = 1 AND last_type <> 'error'
+        """,
+        "cdc_scd2_history": """
+            SELECT user_id, slot, version, attr_type, attr_value,
+                   valid_from, valid_to, is_current
+            FROM (
+                SELECT user_id, event_id % 20 AS slot,
+                       row_number() OVER w AS version,
+                       event_type AS attr_type, value AS attr_value,
+                       ts AS valid_from, lead(ts) OVER w AS valid_to,
+                       lead(ts) OVER w IS NULL AS is_current,
+                       event_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id, event_id % 20
+                             ORDER BY ts, event_id)
+            ) WHERE event_type <> 'error'
+        """,
+        "events_asof_prior_click": """
+            SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+                   CASE WHEN c.ts IS NOT NULL
+                        THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+            QUALIFY row_number() OVER (PARTITION BY p.event_id
+                ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1
+        """,
+        "events_asof_attribution_1h": """
+            SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+                   CASE WHEN v.ts IS NOT NULL
+                        THEN epoch_us(p.ts) - epoch_us(v.ts) END AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
+                 AND v.ts >= p.ts - INTERVAL 1 HOUR
+            QUALIFY row_number() OVER (PARTITION BY p.event_id
+                ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) = 1
         """,
         "cdc_running_total_per_user": """
             SELECT user_id, event_id,
