@@ -298,6 +298,35 @@ def q_cdc_scd2_history(spark, sf_dir):
     ).drop("event_id")
 
 
+def q_cdc_sketch_accuracy(spark, sf_dir):
+    """Sketch coverage with an honest property oracle: per event type,
+    HLL++ distinct-user estimate (approx_count_distinct, rsd=5%) and a
+    KLL-style median (percentile_approx) are checked IN-ENGINE against
+    exact re-derivations — the oracle re-derives the exact distinct
+    count in SQL and pins the verification booleans to true. Both
+    sketches are mergeable partial aggregates (map-side combine), the
+    only shape that survives 10^10 rows."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("__hll"),
+        F.countDistinct("user_id").alias("n_exact"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("__p50a"),
+        F.expr("percentile(value, 0.45)").alias("__p45"),
+        F.expr("percentile(value, 0.55)").alias("__p55"),
+    )
+    return per.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("__hll") - F.col("n_exact"))
+            <= 3 * 0.05 * F.col("n_exact")
+        ).alias("hll_ok"),
+        (
+            (F.col("__p50a") >= F.col("__p45")) & (F.col("__p50a") <= F.col("__p55"))
+        ).alias("p50_ok"),
+    )
+
+
 def q_doc_top_terms(spark, sf_dir):
     """Explode + aggregation + deterministic top-k: the 20 most
     frequent normalized tokens across the corpus (term-frequency
@@ -1588,6 +1617,75 @@ def q_cdc_conv_dedup_applied(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_incremental_minhash_index(spark, sf_dir):
+    """CDC x dedup COMPOSITION: the near-dup MinHash index maintained
+    INCREMENTALLY from the engine's changelog. Apply batch 1, build the
+    full signature index at that snapshot; apply the rest; refresh the
+    index from read_changes (touched convs recomputed, untouched
+    carried, deleted dropped) and assert it equals a full recompute of
+    the final table — the materialized-view maintenance contract whose
+    cost tracks the working set, not the corpus. Oracle: the SQL twin
+    re-derives n_convs at both snapshots and the touched-conv count
+    from the flat dump (same CTEs as the changelog row) and pins the
+    equivalence booleans."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.functions.conversations import (
+        conv_signatures,
+        incremental_conv_signatures,
+    )
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    _write_changelog_cut(ev)
+    work = tempfile.mkdtemp(prefix="mts_entry_incsig_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    try:
+        write_batches(ev, in_dir, n_batches=3)
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run(max_batches=1)
+        v1 = job.table.current_version()
+        s1 = conv_signatures(job.table.read(spark, version=v1))
+        s1_map = {r.conv_id: tuple(r.sig) for r in s1.collect()}
+        job.run()  # remaining batches (applied ones fence out)
+        changes = job.table.read_changes(spark, v1)
+        touched = {
+            r.conv_id for r in changes.select("conv_id").distinct().collect()
+        }
+        final = job.table.read(spark)
+        prev = spark.createDataFrame(
+            [(c, list(s)) for c, s in s1_map.items()],
+            "conv_id string, sig array<bigint>",
+        )
+        inc = {
+            r.conv_id: tuple(r.sig)
+            for r in incremental_conv_signatures(final, prev, changes).collect()
+        }
+        full = {r.conv_id: tuple(r.sig) for r in conv_signatures(final).collect()}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    changed_convs = {
+        c for c in set(s1_map) | set(inc)
+        if s1_map.get(c) != inc.get(c)
+    }
+    return spark.createDataFrame(
+        [
+            (
+                len(s1_map),
+                len(full),
+                len(touched),
+                inc == full,
+                len(changed_convs - touched) == 0,
+            )
+        ],
+        "n_convs_v1 long, n_convs_final long, n_touched_convs long, "
+        "incremental_equals_full boolean, changes_confined_to_touched boolean",
+    )
+
+
 def q_cdc_point_read_pruned(spark, sf_dir):
     """Serving path: engine apply -> ``LakeTable.read_for_keys`` (the
     bucket-pruned point lookup) for the three lexicographically-first
@@ -1655,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sessionization": q_cdc_sessionization,
         "events_asof_prior_click": q_events_asof_prior_click,
         "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_sketch_accuracy": q_cdc_sketch_accuracy,
         "events_asof_attribution_1h": q_events_asof_attribution_1h,
         "doc_top_terms": q_doc_top_terms,
         "tpch_q1_pricing_summary": q_tpch_q1,
@@ -1705,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
+        "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
         "cdc_eventlog_append": q_cdc_eventlog_append,
     }
@@ -1766,6 +1866,11 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY ts DESC, event_id DESC) rn
                 FROM events)
             WHERE rn = 1 AND last_type <> 'error'
+        """,
+        "cdc_sketch_accuracy": """
+            SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                   true AS hll_ok, true AS p50_ok
+            FROM events GROUP BY event_type
         """,
         "cdc_scd2_history": """
             SELECT user_id, slot, version, attr_type, attr_value,
@@ -2544,6 +2649,53 @@ def oracle_sql() -> dict[str, str]:
                OR s1.ts_text IS DISTINCT FROM sf.ts_text
                OR s1.score IS DISTINCT FROM sf.score
             ORDER BY conv_id, turn_idx
+        """,
+        # Incremental-index oracle: conv counts at the batch-1 snapshot
+        # and the final state, plus the touched-conversation count from
+        # the row-level diff (same CTEs as the changelog row); the
+        # incremental==full and confinement booleans are pinned.
+        "cdc_incremental_minhash_index": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), cut AS (SELECT bf, bp FROM read_parquet('{CHANGELOG_CUT_DUMP}')),
+            s1 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                    WHERE file < (SELECT bf FROM cut)
+                       OR (file = (SELECT bf FROM cut) AND pos <= (SELECT bp FROM cut))
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            ), sf AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            ), diff AS (
+                SELECT COALESCE(sf.conv_id, s1.conv_id) AS conv_id
+                FROM s1 FULL OUTER JOIN sf
+                  ON s1.conv_id = sf.conv_id AND s1.turn_idx = sf.turn_idx
+                WHERE s1.conv_id IS NULL OR sf.conv_id IS NULL
+                   OR s1.role IS DISTINCT FROM sf.role
+                   OR s1.text IS DISTINCT FROM sf.text
+                   OR s1.tool IS DISTINCT FROM sf.tool
+                   OR s1.ts_text IS DISTINCT FROM sf.ts_text
+                   OR s1.score IS DISTINCT FROM sf.score
+            )
+            SELECT (SELECT count(DISTINCT conv_id) FROM s1) AS n_convs_v1,
+                   (SELECT count(DISTINCT conv_id) FROM sf) AS n_convs_final,
+                   (SELECT count(DISTINCT conv_id) FROM diff) AS n_touched_convs,
+                   true AS incremental_equals_full,
+                   true AS changes_confined_to_touched
         """,
         "cdc_eventlog_append": f"""
             WITH d AS (

@@ -198,6 +198,58 @@ def incremental_conv_stats(
     return carried.unionByName(refreshed)
 
 
+def conv_full_text(df: DataFrame) -> DataFrame:
+    """``(conv_id, text)`` — each conversation's turn texts in
+    turn_idx order joined by newlines (the rendering conv-level
+    near-dup detection fingerprints over). One conv_id shuffle."""
+    line = F.struct(F.col("turn_idx"), F.col("text").alias("t"))
+    return df.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(line)), lambda x: x["t"]), "\n"
+        ).alias("text")
+    )
+
+
+def conv_signatures(
+    df: DataFrame, k: int = 32, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """``(conv_id, sig)`` — per-conversation MinHash signature (k
+    permutations over word n-gram shingles of the rendered text): the
+    persistent near-dup INDEX for a conversation corpus. Pure Catalyst
+    (sketches.minhash_signature), one conv_id shuffle."""
+    from .sketches import minhash_signature
+
+    return conv_full_text(df).select(
+        "conv_id", minhash_signature(F.col("text"), k=k, n=n, seed=seed).alias("sig")
+    )
+
+
+def incremental_conv_signatures(
+    table: DataFrame,
+    prev_sigs: DataFrame,
+    changes: DataFrame,
+    k: int = 32,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incrementally maintain the :func:`conv_signatures` near-dup
+    index from a CDC changelog (``LakeTable.read_changes`` output):
+    signatures for touched conversations are recomputed from the
+    current table, untouched rows carry forward from ``prev_sigs``,
+    fully-deleted conversations drop out (touched, no surviving
+    turns). Same working-set cost model as
+    :func:`incremental_conv_stats` — at 10^10 rows the per-batch index
+    refresh touches only changed conversations' buckets, never the
+    corpus. Equivalence to a full recompute is asserted in tests and
+    in the cdc_incremental_minhash_index contract row."""
+    touched = changes.select("conv_id").distinct()
+    refreshed = conv_signatures(
+        table.join(touched, "conv_id", "left_semi"), k=k, n=n, seed=seed
+    )
+    carried = prev_sigs.join(touched, "conv_id", "left_anti")
+    return carried.unionByName(refreshed)
+
+
 def boilerplate_turns(df: DataFrame, min_convs: int = 10) -> DataFrame:
     """``(text, n_convs, n_occurrences)`` — turn texts that appear in
     at least ``min_convs`` DISTINCT conversations, verbatim. These are

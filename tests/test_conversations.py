@@ -173,3 +173,63 @@ def test_incremental_stats_matches_full_recompute(spark, tmp_table_dir):
     assert "d" in set(inc["conv_id"])
     # untouched 'b' carried forward (violation count intact)
     assert int(inc[inc["conv_id"] == "b"]["n_alt_violations"].iloc[0]) == 1
+
+
+def test_incremental_signatures_match_full_recompute(spark, tmp_table_dir):
+    from pyspark.sql import types as T
+
+    from mysql_tracker_spark.functions.conversations import (
+        conv_signatures,
+        incremental_conv_signatures,
+    )
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    ch_schema = T.StructType(schema.fields + [T.StructField("__delete", T.BooleanType())])
+    import datetime as dt
+
+    t0 = dt.datetime(1995, 1, 1)
+    sec = dt.timedelta(seconds=45)
+    rows = [
+        ("a", 0, "user", "the quick brown fox jumps over the lazy dog", t0),
+        ("a", 1, "assistant", "and the dog sleeps on while the fox runs", t0 + sec),
+        ("b", 0, "user", "completely unrelated question about spark plans", t0),
+        ("c", 0, "user", "short lived conversation to be deleted", t0),
+    ]
+    t = LakeTable.create(tmp_table_dir, schema, ["conv_id", "turn_idx"], "conv_id", n_buckets=4)
+    t.overwrite(spark.createDataFrame(rows, schema))
+    v1 = t.current_version()
+    prev = conv_signatures(t.read(spark)).localCheckpoint()
+
+    ch = spark.createDataFrame(
+        [
+            ("a", 1, "assistant", "and the dog wakes up while the fox hides", t0 + sec, False),
+            ("c", 0, None, None, None, True),
+            ("d", 0, "user", "a brand new conversation enters the corpus", t0, False),
+        ],
+        ch_schema,
+    )
+    t.merge(spark, ch)
+    changes = t.read_changes(spark, v1)
+
+    inc = {
+        r.conv_id: tuple(r.sig)
+        for r in incremental_conv_signatures(t.read(spark), prev, changes).collect()
+    }
+    full = {
+        r.conv_id: tuple(r.sig) for r in conv_signatures(t.read(spark)).collect()
+    }
+    assert inc == full
+    assert "c" not in inc  # fully deleted conv dropped from the index
+    assert "d" in inc
+    prev_map = {r.conv_id: tuple(r.sig) for r in prev.collect()}
+    assert inc["b"] == prev_map["b"]  # untouched conv carried forward
+    assert inc["a"] != prev_map["a"]  # touched conv re-signed
