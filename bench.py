@@ -106,10 +106,12 @@ def main() -> None:
     # single warm-up doesn't fully cover; noise is strictly additive,
     # so MIN estimates true capability (same rationale as
     # tools/scaling_bench.py, where it is measured and documented)
-    # default 3: this VM shows multi-minute windows of >2x host-level
-    # slowdown (same workload measured 18.7s and 55s within hours);
-    # more reps give min() more chances to land outside a window
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # default 4: this VM shows multi-minute windows of >2x host-level
+    # slowdown (same workload measured 18.7s and 55s within hours) AND
+    # a slow-start longer than the single warm-up apply (measured rep
+    # walls 46.5/38.0/37.9/25.7 in one run) — min() needs enough reps
+    # to land past both
+    reps = int(os.environ.get("BENCH_REPS", "4"))
     walls = []
     applied_events = 0
     for r in range(max(reps, 1)):
