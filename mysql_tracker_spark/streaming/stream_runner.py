@@ -50,8 +50,15 @@ class CdcStreamJob:
         checkpoint_dir: str,
         source_format: str = "typed",
         max_files_per_trigger: int = 1,
+        views: list | None = None,
         **job_kwargs,
     ):
+        """``views``: optional :class:`~mysql_tracker_spark.views.
+        MaterializedView` list synced after every applied micro-batch —
+        derived datasets (stats, near-dup signature index, …) then trail
+        the table by at most one batch. A fenced-out (replayed) batch
+        leaves the table version unchanged, so its sync is a no-op; view
+        maintenance inherits the stream's exactly-once economics."""
         self.job = CdcApplyJob(
             spark, input_dir, table_path, source_format=source_format, **job_kwargs
         )
@@ -60,6 +67,7 @@ class CdcStreamJob:
         self.checkpoint_dir = checkpoint_dir
         self.source_format = source_format
         self.max_files_per_trigger = max_files_per_trigger
+        self.views = list(views or [])
         self.stats: list[ApplyStats] = []
 
     def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -69,6 +77,8 @@ class CdcStreamJob:
             self.stats.append(self.job._apply_wire_df(int(epoch_id), batch_df))
         else:
             self.stats.append(self.job.apply_df(int(epoch_id), batch_df))
+        for v in self.views:
+            v.sync(self.spark)
 
     def start(self, available_now: bool = True):
         """Start the streaming query. ``available_now=True`` drains the

@@ -124,3 +124,41 @@ def test_gc_keeps_last_two_versions(spark, tmp_path):
     datas = [d for d in os.listdir(view.view_dir) if d.startswith("data_v")]
     assert len(metas) == 2 and len(datas) == 2
     assert _as_map(view.read(spark)) == _as_map(conv_signatures(t.read(spark)))
+
+
+def test_view_synced_per_microbatch_in_stream(spark, tmp_path):
+    """Streaming integration: a signature-index view attached to the
+    CDC tail is synced after every micro-batch and matches a full
+    recompute of the final table."""
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+    from mysql_tracker_spark.streaming import CdcStreamJob
+
+    ev = gen_change_events(GenConfig(n_events=2000, n_conversations=80, seed=33))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+    job = CdcStreamJob(
+        spark,
+        in_dir,
+        str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    job.job.prepare()  # idempotent; materializes the table for the view
+    view = MaterializedView(
+        job.job.table,
+        str(tmp_path / "sig_view"),
+        bootstrap=conv_signatures,
+        refresh=incremental_conv_signatures,
+    )
+    job.views.append(view)
+    stats = job.run_available()
+    assert len(stats) >= 2  # several micro-batches ran
+    assert view.synced_version() == job.job.table.current_version()
+    assert _as_map(view.read(spark)) == _as_map(
+        conv_signatures(job.job.table.read(spark))
+    )
