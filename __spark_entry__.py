@@ -1260,6 +1260,22 @@ def q_emb_ann_ivf(spark, sf_dir):
     return _ann_verified(spark, ann, emb, qs, recall_frac=1 / 3)
 
 
+def q_emb_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (product-quantized residual codes + exact refine —
+    the memory-bounded 10^9-vector index shape), DRIVER-VERIFIED per
+    query like emb_ann_ivf: recall bound vs brute force and exact
+    cosine re-derivation (the refine step guarantees reported cosines
+    are true even where quantization costs recall)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    ann = SIM.ann_ivf_pq(
+        emb, qs, dim=64, k=3, n_cells=16, n_probe=8, m_subs=8, n_codes=32, rerank=32
+    )
+    return _ann_verified(spark, ann, emb, qs, recall_frac=1 / 3)
+
+
 # =========================================================================
 # conversation-level training-data ops (the engine's payload is the
 # transcript table — these operate at conversation granularity)
@@ -1799,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near_dups": q_doc_simhash_near_dups,
         "emb_ann_lsh": q_emb_ann_lsh,
         "emb_ann_ivf": q_emb_ann_ivf,
+        "emb_ann_ivfpq": q_emb_ann_ivfpq,
         "media_summary": q_media_summary,
         "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
@@ -2491,6 +2508,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
         """,
         "emb_ann_ivf": """
+            SELECT vec_id AS query_id, true AS recall_ok, true AS cos_exact
+            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        "emb_ann_ivfpq": """
             SELECT vec_id AS query_id, true AS recall_ok, true AS cos_exact
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
         """,

@@ -187,6 +187,166 @@ def ann_ivf(
     )
 
 
+def ann_ivf_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_subs: int = 8,
+    n_codes: int = 32,
+    rerank: int = 32,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ approximate top-k cosine (the FAISS ``IVFPQ,Refine``
+    shape): the :func:`ann_ivf` coarse quantizer picks cells, and
+    inside each cell vectors are stored as ``m_subs`` product-quantizer
+    codes over the RESIDUAL (vector minus cell centroid) — the index a
+    10^9+-vector corpus can actually hold in memory (``m_subs`` bytes
+    per vector instead of ``4*dim``). Probed candidates are scored by
+    asymmetric distance (query against reconstructed
+    centroid+codeword), the top ``rerank`` per query are re-ranked
+    EXACTLY against the raw vectors, and the final top-k carries true
+    cosines — so recall can degrade with quantization but reported
+    scores never lie (the contract row's ``cos_exact`` check).
+
+    Scale shape: both codebooks train on one bounded driver-side
+    sample; encode is one vectorized matmul+gather per Arrow batch;
+    candidate generation is the same cell equi-join as IVF; only the
+    ``rerank`` survivors per query touch raw vectors again.
+    """
+    from pyspark.sql import types as T
+
+    if dim % m_subs:
+        raise ValueError(f"dim={dim} not divisible by m_subs={m_subs}")
+    d_sub = dim // m_subs
+
+    def _lloyd_l2(X: np.ndarray, n_k: int, rng) -> np.ndarray:
+        cent = X[rng.choice(len(X), size=min(n_k, len(X)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = X[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        return cent
+
+    # --- train on one bounded sample: coarse cells, then residual PQ --
+    samp = np.array(
+        [r[0] for r in vectors.select(vec_col).limit(sample).collect()],
+        dtype=np.float64,
+    )
+    samp = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = samp[rng.choice(len(samp), size=min(n_cells, len(samp)), replace=False)]
+    for _ in range(iters):
+        assign = (samp @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = samp[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    C = cent  # (cells, dim), unit norm
+    resid = samp - C[(samp @ C.T).argmax(axis=1)]
+    CB = np.stack(
+        [
+            _lloyd_l2(resid[:, j * d_sub : (j + 1) * d_sub], n_codes, rng)
+            for j in range(m_subs)
+        ]
+    )  # (m_subs, n_codes, d_sub)
+
+    def _norm_rows(vs: pd.Series) -> np.ndarray:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        )
+    )
+    def encode(vs: pd.Series) -> pd.DataFrame:
+        M = _norm_rows(vs)
+        cell = (M @ C.T).argmax(axis=1)
+        R = M - C[cell]
+        codes = np.empty((len(M), m_subs), dtype=np.int32)
+        for j in range(m_subs):
+            Rj = R[:, j * d_sub : (j + 1) * d_sub]
+            # argmin ||r - cb||^2 = argmax (r.cb - ||cb||^2/2)
+            codes[:, j] = (
+                Rj @ CB[j].T - 0.5 * (CB[j] ** 2).sum(axis=1)
+            ).argmax(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype("int32"), "codes": list(codes)}
+        )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        top = np.argsort(-(_norm_rows(vs) @ C.T), axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype("int32")))
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_score(qs: pd.Series, cells: pd.Series, codes: pd.Series) -> pd.Series:
+        # asymmetric distance: q . (cell centroid + per-subspace codeword)
+        Q = _norm_rows(qs)
+        cell = cells.to_numpy(dtype=np.int64)
+        Cd = np.array(codes.tolist(), dtype=np.int64)  # (n, m_subs)
+        recon = C[cell].copy()
+        for j in range(m_subs):
+            recon[:, j * d_sub : (j + 1) * d_sub] += CB[j][Cd[:, j]]
+        return pd.Series(np.einsum("ij,ij->i", Q, recon))
+
+    enc = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        encode(F.col(vec_col)).alias("__e"),
+    ).select("neighbor_id", F.col("__e.cell").alias("cell"), F.col("__e.codes").alias("codes"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    approx = (
+        enc.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc_score(F.col("__qv"), F.col("cell"), F.col("codes")).alias("__adc"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("__adc"), F.asc("neighbor_id"))
+    survivors = approx.withColumn("__r", F.row_number().over(wa)).filter(
+        F.col("__r") <= rerank
+    )
+    # exact refine: only rerank survivors touch raw vectors again
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv2"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        survivors.join(nv, "neighbor_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("__qv2"), F.col("__nv")), round_to).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.95,

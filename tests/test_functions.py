@@ -331,3 +331,40 @@ def test_repetition_stats_hand_computed(spark):
     r1 = rows[1]
     assert (r1.n_tokens, r1.distinct_ratio, r1.top_share) == (4, 1.0, 0.25)
     assert r1.dup_bigram_frac == 0.0
+
+
+def test_ann_ivfpq_recall_and_exact_cosines(spark):
+    """IVF-PQ on clustered data: quantized candidate generation + exact
+    refine recovers most true neighbors, reported cosines are TRUE
+    cosines (refine step), and probing all cells with a generous rerank
+    matches brute force."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)) * 4
+    pts = np.concatenate(
+        [centers[i % 8] + rng.standard_normal(16) * 0.3 for i in range(80)]
+    ).reshape(80, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = df.filter("vec_id < 5")
+    exact_rows = SIM.knn_bruteforce(df, qs, k=3).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_cos = {(r.query_id, r.neighbor_id): r.cos for r in exact_rows}
+    got = SIM.ann_ivf_pq(
+        df, qs, dim=16, k=3, n_cells=8, n_probe=4, m_subs=4, n_codes=16,
+        rerank=16, sample=80,
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(exact & approx) / len(exact) >= 0.8
+    for r in got:  # refine guarantees true cosines wherever sets agree
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cos - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ann_ivf_pq(
+            df, qs, dim=16, k=3, n_cells=8, n_probe=8, m_subs=4, n_codes=16,
+            rerank=80, sample=80,
+        ).collect()
+    }
+    assert full == exact
