@@ -327,6 +327,17 @@ def q_cdc_sketch_accuracy(spark, sf_dir):
     )
 
 
+def q_doc_split_deterministic(spark, sf_dir):
+    """Reproducible train/val/test split: md5-bucket by doc_id, cut at
+    80/10/10 — bit-stable across engines (the oracle derives the SAME
+    assignment), reorder-proof, and append-only-stable (new docs never
+    move old ones). The property df.sample cannot give."""
+    from mysql_tracker_spark.functions.text import deterministic_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_split(d).select("doc_id", "lang", "split")
+
+
 def q_doc_top_terms(spark, sf_dir):
     """Explode + aggregation + deterministic top-k: the 20 most
     frequent normalized tokens across the corpus (term-frequency
@@ -1772,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sketch_accuracy": q_cdc_sketch_accuracy,
         "events_asof_attribution_1h": q_events_asof_attribution_1h,
         "doc_top_terms": q_doc_top_terms,
+        "doc_split_deterministic": q_doc_split_deterministic,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q6_revenue": q_tpch_q6,
@@ -1956,6 +1968,15 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 ELSE 0 END AS new_sess
                     FROM events))
             GROUP BY user_id
+        """,
+        "doc_split_deterministic": """
+            SELECT doc_id, lang,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+                  FROM documents)
         """,
         "doc_top_terms": r"""
             SELECT tok, count(*) AS n FROM (

@@ -310,3 +310,41 @@ def lang_id_sql(col_sql: str) -> str:
         c = counts[lang]
         expr = f"CASE WHEN {c} > 0 AND {c} = {best} THEN '{lang}' ELSE {expr} END"
     return expr
+
+
+def split_bucket(id_col: Column, n: int = 100) -> Column:
+    """Engine-portable deterministic bucket in [0, n): first 8 hex
+    digits of md5 of the id's decimal string, mod n. md5 is bit-stable
+    across engines (unlike Spark's murmur ``hash()``), so an oracle —
+    or a later rerun on different hardware/partitioning — derives the
+    identical assignment. Pure Catalyst."""
+    from pyspark.sql import functions as F
+
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+    return (h.cast("bigint") % n).alias("bucket")
+
+
+def deterministic_split(
+    df,
+    id_col: str = "doc_id",
+    weights: tuple = (80, 10, 10),
+    labels: tuple = ("train", "val", "test"),
+):
+    """Reproducible train/val/test assignment: md5-bucket each row by
+    id and cut at cumulative weights — stable under reruns, engine
+    changes, and data reordering (the property ``df.sample`` lacks),
+    and a new document never moves existing documents between splits.
+    Adds a ``split`` column."""
+    from pyspark.sql import functions as F
+
+    n = sum(weights)
+    b = split_bucket(F.col(id_col), n)
+    expr = F.lit(labels[-1])
+    cum = 0
+    conds = []
+    for w, lab in zip(weights[:-1], labels[:-1]):
+        cum += w
+        conds.append((b < cum, lab))
+    for cond, lab in reversed(conds):
+        expr = F.when(cond, lab).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -22,10 +22,22 @@ twice, because the right construction depends on the lookback bound:
   row into its own and the NEXT bin (a left row in bin b only sees
   matches from bins b-1 and b), equi-join on ``(key, bin)``, then
   argmax per left row. Shuffle granularity is ``(key, bin)`` — a hot
-  key's traffic spreads over its time range, so this is the skew-free
-  100-TB shape. The follow-up groupBy adds no shuffle: hash
-  partitioning on ``(key, bin)`` already satisfies the grouping's
-  clustered distribution (asserted in tests/test_asof.py).
+  key's traffic spreads over its time range, bounding max-task size.
+  The follow-up groupBy adds no shuffle: hash partitioning on
+  ``(key, bin)`` already satisfies the grouping's clustered
+  distribution (asserted in tests/test_asof.py).
+
+Choosing between them — MEASURED (tools/asof_bench.py, local[32],
+digest-equal outputs): the window path's single-task-per-key sort is
+cheap far longer than intuition says (32M rows of one key sorted in
+one task: 38.5 s), while the binned path pays a per-(key,bin)
+left×right candidate product that grows with per-window density
+(density 10/window: 9.5 s ≈ window path's 11.0 s; density 40/window at
+16M hot rows: 286 s vs 38.5 s). Default to :func:`asof_join`; reach
+for the binned variant when one key's volume exceeds what a single
+task can sort (memory, not time, is the first wall) AND match density
+per tolerance window is low — the regime of point-in-time lookups
+against a sparse slowly-changing right side.
 
 Both paths are pure Catalyst (zero Python stages) and return exactly
 the left rows (left-outer semantics: unmatched rows keep NULL match
