@@ -327,6 +327,35 @@ def q_cdc_sketch_accuracy(spark, sf_dir):
     )
 
 
+def q_cdc_quality_expectations(spark, sf_dir):
+    """Data-quality expectations (quality.py — the DLT/Iceberg
+    validations analogue): five declared invariants over the event
+    stream, all row-level checks measured in ONE aggregation pass,
+    uniqueness in one groupBy; violation counts independently
+    re-derivable in SQL (the value<=50 check is deliberately violated
+    so non-zero counting is exercised)."""
+    from mysql_tracker_spark.quality import (
+        in_range,
+        in_set,
+        not_null,
+        run_expectations,
+        unique,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    expects = [
+        not_null("user_id_not_null", "user_id"),
+        in_set(
+            "type_known", "event_type",
+            ["click", "view", "purchase", "signup", "error"],
+        ),
+        in_range("value_le_50", "value", hi=50.0),
+        in_range("value_nonneg", "value", lo=0.0),
+        unique("event_id_unique", ["event_id"]),
+    ]
+    return run_expectations(ev, expects)
+
+
 def q_doc_split_deterministic(spark, sf_dir):
     """Reproducible train/val/test split: md5-bucket by doc_id, cut at
     80/10/10 — bit-stable across engines (the oracle derives the SAME
@@ -1784,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_attribution_1h": q_events_asof_attribution_1h,
         "doc_top_terms": q_doc_top_terms,
         "doc_split_deterministic": q_doc_split_deterministic,
+        "cdc_quality_expectations": q_cdc_quality_expectations,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q6_revenue": q_tpch_q6,
@@ -1968,6 +1998,31 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 ELSE 0 END AS new_sess
                     FROM events))
             GROUP BY user_id
+        """,
+        "cdc_quality_expectations": """
+            WITH counts AS (
+                SELECT 0 AS ord, 'user_id_not_null' AS name,
+                       count(*) FILTER (user_id IS NULL) AS violations FROM events
+                UNION ALL
+                SELECT 1, 'type_known',
+                       count(*) FILTER (event_type IS NULL OR event_type NOT IN
+                           ('click','view','purchase','signup','error')) FROM events
+                UNION ALL
+                SELECT 2, 'value_le_50',
+                       count(*) FILTER (value IS NULL OR value > 50.0) FROM events
+                UNION ALL
+                SELECT 3, 'value_nonneg',
+                       count(*) FILTER (value IS NULL OR value < 0.0) FROM events
+                UNION ALL
+                SELECT 4, 'event_id_unique',
+                       (SELECT COALESCE(sum(n - 1), 0) FROM (
+                            SELECT count(*) AS n FROM events GROUP BY event_id
+                        ) WHERE n > 1)
+            )
+            SELECT CAST(ord AS INT) AS ord, name,
+                   CAST(violations AS BIGINT) AS violations,
+                   violations = 0 AS passed
+            FROM counts
         """,
         "doc_split_deterministic": """
             SELECT doc_id, lang,

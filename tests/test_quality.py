@@ -1,0 +1,82 @@
+"""Data-quality expectations: per-kind violation counting, single-pass
+row-level plan, unique-key counting, and the blocking gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_tracker_spark.plans.checks import explain_str, python_stage_count
+from mysql_tracker_spark.quality import (
+    enforce,
+    in_range,
+    in_set,
+    not_null,
+    predicate,
+    run_expectations,
+    unique,
+)
+
+ROWS = [
+    ("a", 0, "user", 1.0),
+    ("a", 0, "user", 2.0),  # duplicate key (a, 0)
+    ("a", 1, None, 3.0),  # null role
+    ("b", 0, "alien", -1.0),  # bad role, negative value
+    ("b", 1, "assistant", None),  # null value
+]
+SCHEMA = "conv_id string, turn_idx int, role string, value double"
+
+def _expects():  # F.col needs an active session -> build lazily
+    return [
+        not_null("role_not_null", "role"),
+        in_set("role_known", "role", ["user", "assistant", "system", "tool"]),
+        in_range("value_nonneg", "value", lo=0.0),
+        predicate("conv_before_b", F.col("conv_id") < "b"),
+        unique("key_unique", ["conv_id", "turn_idx"]),
+    ]
+
+
+def _res(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    return {
+        r.name: (r.violations, r.passed)
+        for r in run_expectations(df, _expects()).collect()
+    }
+
+
+def test_violation_counts_per_kind(spark):
+    got = _res(spark)
+    assert got["role_not_null"] == (1, False)
+    assert got["role_known"] == (2, False)  # 'alien' + the NULL
+    assert got["value_nonneg"] == (2, False)  # -1.0 + the NULL
+    assert got["conv_before_b"] == (2, False)  # both 'b' rows
+    assert got["key_unique"] == (1, False)  # one extra copy of (a, 0)
+
+
+def test_all_pass_on_clean_data(spark):
+    df = spark.createDataFrame(ROWS[:1], SCHEMA)
+    res = run_expectations(df, _expects()).collect()
+    assert all(r.passed and r.violations == 0 for r in res)
+    assert [r.ord for r in sorted(res, key=lambda r: r.ord)] == [0, 1, 2, 3, 4]
+
+
+def test_row_level_checks_share_one_pass(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    row_only = [e for e in _expects() if e.kind != "unique"]
+    plan = explain_str(run_expectations(df, row_only), mode="simple")
+    assert python_stage_count(run_expectations(df, row_only)) == 0
+    # one aggregation over one scan: no join, no union of scans
+    assert plan.count("LocalTableScan") + plan.count("Scan ") <= 1
+
+
+def test_enforce_raises_only_on_blocking(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    soft = run_expectations(df, _expects())  # no gate: fine
+    assert soft.count() == 5
+    gated = [
+        not_null("role_not_null", "role", blocking=True),
+        in_range("value_nonneg", "value", lo=0.0),
+    ]
+    with pytest.raises(ValueError, match="role_not_null=1"):
+        enforce(df, gated)
+    # blocking but clean -> returns results
+    ok = enforce(df.filter(F.col("role").isNotNull()), gated)
+    assert {r.name for r in ok.collect()} == {"role_not_null", "value_nonneg"}
