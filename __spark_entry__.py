@@ -367,6 +367,40 @@ def q_doc_split_deterministic(spark, sf_dir):
     return deterministic_split(d).select("doc_id", "lang", "split")
 
 
+def q_doc_pipeline_quality_dedup_split(spark, sf_dir):
+    """END-TO-END training-data pipeline composition, fully SQL-oracled
+    because every stage has an exact twin: quality gate (score >= .65)
+    -> exact dedup (keep min doc_id per fingerprint) -> deterministic
+    md5 split -> per-(lang, split) doc/token budget. One fingerprint
+    shuffle + one group-by; the shape a 100-TB corpus build runs
+    nightly. Threshold .65 sits between the frozen score's levels (.5
+    and .7) so float literal representation can't flip membership."""
+    from mysql_tracker_spark.functions.text import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.token_count(F.col("text")).alias("nt"),
+    ).filter(F.col("q") >= 0.65)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        deterministic_split(kept)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def q_doc_top_terms(spark, sf_dir):
     """Explode + aggregation + deterministic top-k: the 20 most
     frequent normalized tokens across the corpus (term-frequency
@@ -1814,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_terms": q_doc_top_terms,
         "doc_split_deterministic": q_doc_split_deterministic,
         "cdc_quality_expectations": q_cdc_quality_expectations,
+        "doc_pipeline_quality_dedup_split": q_doc_pipeline_quality_dedup_split,
         "tpch_q1_pricing_summary": q_tpch_q1,
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q6_revenue": q_tpch_q6,
@@ -2032,6 +2067,34 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, lang,
                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
                   FROM documents)
+        """,
+        "doc_pipeline_quality_dedup_split": rf"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       round((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.5 ELSE 0.0 END)
+                           + (CASE WHEN round(n_sw / greatest(n_tok, 1), 6) >= 0.01 THEN 0.3 ELSE 0.0 END)
+                           + (CASE WHEN round(n_punct / greatest(n_chars, 1), 6) <= 0.1 THEN 0.2 ELSE 0.0 END), 6) AS q,
+                       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+                       n_tok AS nt
+                FROM (
+                    SELECT doc_id, lang, text,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                           length(text) AS n_chars,
+                           len(regexp_extract_all(lower(text), '{_STOPWORDS}')) AS n_sw
+                    FROM documents)
+            ), kept AS (
+                SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                               FROM scored WHERE q >= 0.65) WHERE rn = 1
+            ), labeled AS (
+                SELECT lang, nt,
+                       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+                FROM (SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+                      FROM kept)
+            )
+            SELECT lang, split, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM labeled GROUP BY lang, split
         """,
         "doc_top_terms": r"""
             SELECT tok, count(*) AS n FROM (
