@@ -143,6 +143,7 @@ class CdcApplyJob:
         allowlist: list[tuple[str, str]] | None = None,
         expire_keep_last: int | None = None,
         quarantine_dir: str | None = None,
+        expectations: list | None = None,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -183,6 +184,9 @@ class CdcApplyJob:
         # (LogDecoder.java:158-169), which at 10^10 events makes data
         # loss unauditable. None (default) keeps the pure drop path.
         self.quarantine_dir = quarantine_dir
+        # audit-before-publish gate (quality.py): blocking expectations
+        # run per batch on the UPSERT rows BEFORE the MERGE
+        self.expectations = list(expectations or [])
         # F1/F2 stream filters (reference filterRegex + filterMap,
         # TrackerConf.java:206-216). This job applies ONE target table,
         # so a filter that excludes the target is a misconfiguration:
@@ -740,6 +744,7 @@ class CdcApplyJob:
             (F.col("op") == "DELETE").alias("__delete"),
             _bucket_expr(self.key_cols[0], nb).alias("__bucket"),
         )
+        self._gate_expectations(changes)
         delta_dir = os.path.join(self.table_path, f"_delta_{batch_id}")
         shutil.rmtree(delta_dir, ignore_errors=True)
         t1 = time.time()
@@ -919,6 +924,7 @@ class CdcApplyJob:
         # count_upserts=False: rows_applied comes from the first-pass
         # observe (the reference's persisNum counter semantics); a
         # merge-side Observation deadlocks under foreachBatch
+        self._gate_expectations(changes)
         version, summary = self.table.merge(
             self.spark,
             changes,
@@ -935,6 +941,19 @@ class CdcApplyJob:
             self.table.expire_snapshots(keep_last=self.expire_keep_last)
         self._append_lineage(stats)
         return stats
+
+    def _gate_expectations(self, changes) -> None:
+        """Write-audit-publish: blocking data-quality expectations
+        (quality.py) run on the batch's UPSERT rows (deletes carry only
+        the key, so they are exempt) BEFORE anything is committed. A
+        raise leaves table and watermark untouched — after the fix the
+        batch replays through the normal fence. Opt-in: the hot path
+        runs zero extra jobs when no expectations are declared."""
+        if not self.expectations:
+            return
+        from .quality import enforce
+
+        enforce(changes.filter(~F.col("__delete")), self.expectations)
 
     # ---------------------------------------------------------------- lineage
 

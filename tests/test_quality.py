@@ -80,3 +80,47 @@ def test_enforce_raises_only_on_blocking(spark):
     # blocking but clean -> returns results
     ok = enforce(df.filter(F.col("role").isNotNull()), gated)
     assert {r.name for r in ok.collect()} == {"role_not_null", "value_nonneg"}
+
+
+def test_engine_gate_blocks_before_publish(spark, tmp_path):
+    """Write-audit-publish in the apply loop: a blocking expectation
+    failure leaves table AND watermark untouched (the batch replays
+    after the fix); with a passing gate the apply completes and
+    matches the oracle."""
+    import pandas as pd
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        expected_final_state,
+        gen_change_events,
+        write_batches,
+    )
+    from tests.conftest import normalize
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=60, seed=9))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=2)
+
+    # impossible predicate -> every upsert row violates -> batch blocked
+    bad = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "tbl"), n_buckets=4,
+        expectations=[predicate("never", F.length("text") < 0, blocking=True)],
+    )
+    with pytest.raises(ValueError, match="never="):
+        bad.run()
+    v_blocked = bad.table.current_version()
+    assert bad.table.read(spark).count() == 0  # nothing published
+    assert bad.watermark()[0] is None  # watermark never moved
+
+    # same table dir, passing gate -> full apply, oracle equality
+    good = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "tbl"), n_buckets=4,
+        expectations=[not_null("text_not_null", "text", blocking=True)],
+    )
+    good.run()
+    assert good.table.current_version() > (v_blocked or 0)
+    got = normalize(good.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
