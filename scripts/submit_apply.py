@@ -24,6 +24,29 @@ import json
 import sys
 
 
+def parse_expect(spec: str):
+    """Compact --expect spec -> quality.Expect (always blocking: the
+    CLI flag exists to gate)."""
+    from mysql_tracker_spark import quality as Q
+
+    parts = spec.split(":")
+    kind = parts[0]
+    if kind == "not_null" and len(parts) == 2:
+        return Q.not_null(f"not_null_{parts[1]}", parts[1], blocking=True)
+    if kind == "unique" and len(parts) == 2:
+        cols = parts[1].split("+")
+        return Q.unique(f"unique_{'_'.join(cols)}", cols, blocking=True)
+    if kind == "in_set" and len(parts) == 3:
+        return Q.in_set(
+            f"in_set_{parts[1]}", parts[1], parts[2].split("|"), blocking=True
+        )
+    if kind == "range" and len(parts) == 4:
+        lo = float(parts[2]) if parts[2] != "" else None
+        hi = float(parts[3]) if parts[3] != "" else None
+        return Q.in_range(f"range_{parts[1]}", parts[1], lo=lo, hi=hi, blocking=True)
+    raise SystemExit(f"bad --expect spec: {spec!r}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="CDC binlog replay -> lakestore MERGE apply")
     ap.add_argument("--input", required=True, help="directory of micro-batch parquet files")
@@ -81,12 +104,22 @@ def main() -> None:
         "rewrite committed as a snapshot, content unchanged)",
     )
     ap.add_argument(
+        "--expect", action="append", default=None, metavar="SPEC",
+        help="blocking data-quality gate per batch (write-audit-publish; "
+        "repeatable). SPEC: not_null:col | unique:colA+colB | "
+        "in_set:col:v1|v2 | range:col:lo:hi (empty lo/hi = open). A "
+        "violation aborts BEFORE the MERGE; table and watermark stay "
+        "untouched and the batch replays after the fix",
+    )
+    ap.add_argument(
         "--changes-from", type=int, default=None, metavar="VERSION",
         help="after the apply, print the row-level changelog "
         "(insert/update/delete) from this snapshot version to HEAD "
         "as JSON lines (downstream verification consumer)",
     )
     args = ap.parse_args()
+
+    expectations = [parse_expect(s) for s in (args.expect or [])]
 
     from pyspark.sql import SparkSession
 
@@ -144,6 +177,7 @@ def main() -> None:
             if args.quarantine_dir is not None:
                 cfg.quarantine_dir = args.quarantine_dir
             job2 = CdcApplyJob.from_config(spark, cfg)
+            job2.expectations = expectations or job2.expectations
         else:
             job2 = CdcApplyJob(
                 spark,
@@ -155,6 +189,7 @@ def main() -> None:
                 on_destructive_ddl=args.on_destructive_ddl or "raise",
                 n_salts=args.salts if args.salts is not None else 0,
                 quarantine_dir=args.quarantine_dir,
+                expectations=expectations,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last

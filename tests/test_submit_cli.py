@@ -103,3 +103,54 @@ def test_spark_submit_pyfiles_apply_and_changelog(tmp_path):
     )
     expdf = exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert got["text"].tolist() == expdf["text"].tolist()
+
+
+def test_parse_expect_specs():
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from submit_apply import parse_expect
+
+    e = parse_expect("not_null:text")
+    assert (e.kind, e.cols, e.blocking) == ("not_null", ("text",), True)
+    e = parse_expect("unique:conv_id+turn_idx")
+    assert (e.kind, e.cols) == ("unique", ("conv_id", "turn_idx"))
+    e = parse_expect("in_set:role:user|assistant")
+    assert (e.kind, e.values) == ("in_set", ("user", "assistant"))
+    e = parse_expect("range:score:0:")
+    assert (e.kind, e.lo, e.hi) == ("range", 0.0, None)
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_expect("bogus:spec")
+
+
+def test_spark_submit_expect_gate_blocks(tmp_path):
+    """--expect gate through real spark-submit: an impossible range
+    blocks the batch before publish (non-zero exit, empty table)."""
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=600, n_conversations=40, seed=23))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=1)
+    tbl = str(tmp_path / "tbl")
+    z = _zip_pkg(tmp_path)
+    r = _spark_submit(
+        ["--py-files", z, os.path.join(REPO, "scripts", "submit_apply.py"),
+         "--input", in_dir, "--table", tbl, "--buckets", "4",
+         "--expect", "range:turn_idx::-1"],
+        cwd=str(tmp_path),
+    )
+    assert r.returncode != 0
+    assert "range_turn_idx" in (r.stderr + r.stdout)
+    # schema-update snapshots from mid-stream DDL are metadata-only and
+    # legitimately precede the gate; what must NOT exist is published
+    # DATA or a moved watermark
+    snaps = os.path.join(tbl, "snapshots")
+    for f in os.listdir(snaps):
+        if f.endswith(".json"):
+            m = json.load(open(os.path.join(snaps, f)))
+            assert "offset_file" not in m.get("properties", {})  # no watermark
+            assert all(not v for v in m.get("buckets", {}).values())  # no data
