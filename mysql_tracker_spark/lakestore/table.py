@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -579,6 +580,49 @@ class LakeTable:
         }
         return self._commit(new)
 
+    # ------------------------------------------------------------------ tags
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Named immutable snapshot ref (Iceberg tag analogue): pin a
+        version under a name for audits/reproducible reads. Create-only
+        (``O_EXCL`` — retagging a name is an error, like Iceberg);
+        tagged snapshots are protected from :meth:`expire_snapshots`.
+        Returns the pinned version."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"bad tag name: {name!r}")
+        v = version if version is not None else self.current_version()
+        self.manifest(v)  # raises if the version doesn't exist
+        tags_dir = os.path.join(self.path, "tags")
+        os.makedirs(tags_dir, exist_ok=True)
+        payload = json.dumps({"version": v, "ts_ms": int(time.time() * 1000)})
+        fd = os.open(
+            os.path.join(tags_dir, f"{name}.json"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+        try:
+            os.write(fd, payload.encode())
+        finally:
+            os.close(fd)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        tags_dir = os.path.join(self.path, "tags")
+        if not os.path.isdir(tags_dir):
+            return {}
+        out = {}
+        for fn in os.listdir(tags_dir):
+            if fn.endswith(".json"):
+                with open(os.path.join(tags_dir, fn)) as f:
+                    out[fn[:-5]] = json.load(f)["version"]
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        os.unlink(os.path.join(self.path, "tags", f"{name}.json"))
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the snapshot a tag pins (time-travel by name)."""
+        return self.read(spark, version=self.tags()[name])
+
     # ------------------------------------------------------------- utilities
 
     def set_properties(self, properties: dict[str, str]) -> int:
@@ -609,7 +653,11 @@ class LakeTable:
             for f in os.listdir(self.snap_dir)
             if f.startswith("v") and f.endswith(".json")
         )
-        to_drop = versions[:-keep_last] if keep_last > 0 else []
+        protected = set(self.tags().values())
+        to_drop = [
+            v for v in (versions[:-keep_last] if keep_last > 0 else [])
+            if v not in protected  # tagged snapshots survive expiry
+        ]
         for v in to_drop:
             os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
         if to_drop:

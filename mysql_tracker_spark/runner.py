@@ -981,3 +981,62 @@ class CdcApplyJob:
         }
         with open(path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+
+class MultiApplyJob:
+    """One binlog stream -> N lakestore tables (the reference tracks
+    EVERY table in the binlog and ships each to its own HBase
+    table/Kafka topic, ``tracker/HandlerNoParserMagpieHBase.java`` —
+    this is that fan-out over lakestore targets).
+
+    Each declared (schema, table) target gets its own
+    :class:`CdcApplyJob` over the SAME input directory: per-target
+    watermark fencing means targets are independently exactly-once,
+    a target added later simply catches up from the beginning of
+    retained input, and one target's blocking failure (DDL policy,
+    quality gate) never stalls the others unless ``fail_fast``.
+
+    Scale note: targets re-scan the shared input rather than sharing
+    one pass — scans are cheap and parallel (JVM manifest + header
+    gate drop foreign-table rows before Python); sharing a decode
+    across targets would couple their fences, which is exactly what
+    the reference's single-cursor design suffers from (one slow sink
+    stalls the tracker, SURVEY.md §3).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        targets: dict[tuple[str, str], str],
+        fail_fast: bool = False,
+        **job_kwargs,
+    ):
+        self.fail_fast = fail_fast
+        self.jobs: dict[tuple[str, str], CdcApplyJob] = {
+            key: CdcApplyJob(
+                spark,
+                input_dir,
+                path,
+                schema_name=key[0],
+                table_name=key[1],
+                **job_kwargs,
+            )
+            for key, path in targets.items()
+        }
+
+    def run(self, max_batches: int | None = None):
+        """Apply all targets. Returns ``{(schema, table): [ApplyStats]}``;
+        per-target errors are re-raised (fail_fast) or collected under
+        an ``errors`` attribute on the result dict."""
+        out: dict = {}
+        errors: dict = {}
+        for key, job in self.jobs.items():
+            try:
+                out[key] = job.run(max_batches=max_batches)
+            except Exception as e:  # noqa: BLE001 - isolation boundary
+                if self.fail_fast:
+                    raise
+                errors[key] = e
+        out["errors"] = errors
+        return out

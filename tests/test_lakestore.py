@@ -398,3 +398,35 @@ def test_read_for_keys_prunes_to_owning_buckets(spark, tmp_table_dir):
 
     # a key that hashes to an empty/absent bucket returns empty, not error
     assert t.read_for_keys(spark, ["never-written"]).count() == 0
+
+
+def test_tags_pin_survive_expiry_and_read(spark, tmp_table_dir):
+    """Iceberg-tag analogue: a tag pins a version by name, protects it
+    from snapshot expiry, and reads it back by name; retagging a taken
+    name is an error; deleting the tag releases the snapshot."""
+    t = _mk(spark, tmp_table_dir)
+    v1 = t.current_version()
+    t.tag("baseline")  # defaults to current
+    for i in range(3):
+        t.merge(spark, spark.createDataFrame([("c1", 0, f"v{i}", False)], CH_SCHEMA))
+    assert t.tags() == {"baseline": v1}
+
+    t.expire_snapshots(keep_last=1)
+    # tagged snapshot survived; everything else old is gone
+    left = sorted(
+        int(f[1:-5]) for f in __import__("os").listdir(t.snap_dir) if f.endswith(".json")
+    )
+    assert v1 in left and len(left) == 2
+
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.read_tag(spark, "baseline").collect()}
+    assert rows[("c1", 0)] == "a"  # pre-merge content, by name
+
+    with pytest.raises(FileExistsError):
+        t.tag("baseline", v1)
+    with pytest.raises(ValueError):
+        t.tag("bad name!")
+
+    t.delete_tag("baseline")
+    t.expire_snapshots(keep_last=1)
+    left = [int(f[1:-5]) for f in __import__("os").listdir(t.snap_dir) if f.endswith(".json")]
+    assert v1 not in left  # released
