@@ -190,3 +190,26 @@ def test_plan_shapes(spark, frames):
     # the post-join groupBy reuses the join's (key, bin) clustering:
     # only the two join-input exchanges, none between join and agg
     assert btxt.count("Exchange hashpartitioning") <= 2
+
+
+def test_asof_composite_key(spark):
+    """Multi-column key: matches respect BOTH key columns."""
+    left = spark.createDataFrame(
+        [("a", "x", 1, _ts("2026-01-01 10:00:00")),
+         ("a", "y", 2, _ts("2026-01-01 10:00:00"))],
+        "k1 string, k2 string, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", "x", 10, _ts("2026-01-01 09:00:00"), "sx"),
+         ("a", "y", 11, _ts("2026-01-01 09:30:00"), "sy")],
+        "k1 string, k2 string, rid int, ts timestamp, state string",
+    )
+    for out in (
+        asof_join(left, right, ["k1", "k2"], "ts", "ts", RCOLS, tie_cols=("rid",)),
+        asof_join_binned(
+            left, right, ["k1", "k2"], "ts", "ts", RCOLS,
+            left_id=["lid"], tolerance_s=7200.0, tie_cols=("rid",),
+        ),
+    ):
+        got = {(r.k1, r.k2): (r.match_rid, r.match_state) for r in out.collect()}
+        assert got == {("a", "x"): (10, "sx"), ("a", "y"): (11, "sy")}

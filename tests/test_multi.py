@@ -53,3 +53,36 @@ def test_multi_target_apply_each_matches_its_oracle(spark, tmp_path):
     wm_main = multi.jobs[("chat", "transcripts")].watermark()
     wm_noise = multi.jobs[("chat", "noise_tbl")].watermark()
     assert wm_main[:2] == wm_noise[:2]
+
+
+def test_late_added_target_catches_up(spark, tmp_path):
+    """A target declared AFTER the stream was already applied to
+    another target starts from scratch and catches up from retained
+    input — per-target fencing means no coordination is needed."""
+    ev = gen_change_events(CFG)
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+    first = MultiApplyJob(
+        spark, in_dir, {("chat", "transcripts"): str(tmp_path / "t_main")}, n_buckets=4
+    )
+    assert first.run()["errors"] == {}
+
+    both = MultiApplyJob(
+        spark,
+        in_dir,
+        {
+            ("chat", "transcripts"): str(tmp_path / "t_main"),  # replays -> fence
+            ("chat", "noise_tbl"): str(tmp_path / "t_noise"),  # catches up
+        },
+        n_buckets=4,
+    )
+    res = both.run()
+    assert res["errors"] == {}
+    # main target: full rerun fenced out (no new data applied)
+    assert all(s.skipped for s in res[("chat", "transcripts")])
+    got = normalize(both.jobs[("chat", "noise_tbl")].table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev, "chat", "noise_tbl"))
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "role", "text", "tool"]],
+        exp[["conv_id", "turn_idx", "role", "text", "tool"]],
+    )

@@ -77,3 +77,61 @@ def test_plan_single_exchange_no_python(spark):
     assert python_stage_count(out) == 0
     assert txt.count("Exchange hashpartitioning") == 1
     assert txt.count("Sort ") <= 1  # row_number and lead share one sort
+
+
+def test_scd2_over_eventlog_current_equals_merge_table(spark, tmp_path):
+    """Two-pipeline composition: the append-only event log (dense seq)
+    folded through SCD2 must agree with the MERGE-applied table — the
+    is_current slice of the history IS the table state, key by key."""
+    from pyspark.sql import functions as F
+
+    from mysql_tracker_spark.eventlog import EventLogJob
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=2500, n_conversations=80, seed=41))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+
+    log = EventLogJob(spark, in_dir, str(tmp_path / "log"))
+    log.run()
+    apply_job = CdcApplyJob(spark, in_dir, str(tmp_path / "tbl"), n_buckets=4)
+    apply_job.run()
+
+    changes = (
+        log.read()
+        .filter(
+            F.col("op").isin("INSERT", "UPDATE", "DELETE")
+            & (F.col("schema_name") == "chat")
+            & (F.col("table_name") == "transcripts")
+        )
+        .select(
+            F.element_at("after", "conv_id").alias("conv_id"),
+            F.element_at("after", "turn_idx").cast("int").alias("turn_idx"),
+            "seq",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "op",
+            F.element_at("after", "text").alias("text"),
+        )
+    )
+    hist = scd2_history(
+        changes,
+        key_cols=["conv_id", "turn_idx"],
+        order_cols=["seq"],
+        ts_col="ts",
+        delete_op="DELETE",
+        attr_cols=["text"],
+    )
+    current = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in hist.filter("is_current").collect()
+    }
+    table = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in apply_job.table.read(spark).collect()
+    }
+    assert current == table and len(table) > 0
