@@ -99,6 +99,9 @@ class ApplyStats:
     # dead-letter audit (wire path, opt-in): corrupt frames persisted
     # this batch; None = quarantine disabled
     frames_quarantined: int | None = None
+    # data-quality gate (opt-in): per-expectation violation counts for
+    # this batch's upserts; None = no expectations declared
+    expectation_violations: dict | None = None
 
 
 class CdcApplyJob:
@@ -744,7 +747,7 @@ class CdcApplyJob:
             (F.col("op") == "DELETE").alias("__delete"),
             _bucket_expr(self.key_cols[0], nb).alias("__bucket"),
         )
-        self._gate_expectations(changes)
+        self._gate_expectations(changes, stats)
         delta_dir = os.path.join(self.table_path, f"_delta_{batch_id}")
         shutil.rmtree(delta_dir, ignore_errors=True)
         t1 = time.time()
@@ -924,7 +927,7 @@ class CdcApplyJob:
         # count_upserts=False: rows_applied comes from the first-pass
         # observe (the reference's persisNum counter semantics); a
         # merge-side Observation deadlocks under foreachBatch
-        self._gate_expectations(changes)
+        self._gate_expectations(changes, stats)
         version, summary = self.table.merge(
             self.spark,
             changes,
@@ -942,18 +945,31 @@ class CdcApplyJob:
         self._append_lineage(stats)
         return stats
 
-    def _gate_expectations(self, changes) -> None:
+    def _gate_expectations(self, changes, stats: ApplyStats) -> None:
         """Write-audit-publish: blocking data-quality expectations
         (quality.py) run on the batch's UPSERT rows (deletes carry only
         the key, so they are exempt) BEFORE anything is committed. A
         raise leaves table and watermark untouched — after the fix the
         batch replays through the normal fence. Opt-in: the hot path
-        runs zero extra jobs when no expectations are declared."""
+        runs zero extra jobs when no expectations are declared.
+        Violation counts (blocking or not) land in the batch's stats
+        and lineage row — the expectations double as a metric stream
+        alongside the M1 counters."""
         if not self.expectations:
             return
-        from .quality import enforce
+        from .quality import run_expectations
 
-        enforce(changes.filter(~F.col("__delete")), self.expectations)
+        rows = run_expectations(
+            changes.filter(~F.col("__delete")), self.expectations
+        ).collect()
+        stats.expectation_violations = {r.name: r.violations for r in rows}
+        blocking = {e.name for e in self.expectations if e.blocking}
+        failed = [r for r in rows if r.name in blocking and not r.passed]
+        if failed:
+            detail = ", ".join(f"{r.name}={r.violations}" for r in failed)
+            raise ValueError(
+                f"blocking data-quality expectations failed: {detail}"
+            )
 
     # ---------------------------------------------------------------- lineage
 
@@ -977,6 +993,7 @@ class CdcApplyJob:
             "snapshot_version": stats.snapshot_version,
             "wall_ms": stats.wall_ms,
             "lag_s": stats.lag_s,
+            "expectation_violations": stats.expectation_violations,
             "ts_ms": int(time.time() * 1000),
         }
         with open(path, "a") as f:

@@ -124,3 +124,41 @@ def test_engine_gate_blocks_before_publish(spark, tmp_path):
     exp = normalize(expected_final_state(ev))
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
     pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+def test_expectation_counts_land_in_lineage(spark, tmp_path):
+    """Non-blocking expectations are a metric stream: per-batch
+    violation counts ride in ApplyStats and the lineage JSONL."""
+    import json as _json
+    import os as _os
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=50, seed=13))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=2)
+    tbl = str(tmp_path / "tbl")
+    job = CdcApplyJob(
+        spark, in_dir, tbl, n_buckets=4,
+        expectations=[
+            not_null("text_not_null", "text"),          # passes
+            predicate("never", F.length("text") < 0),   # all rows violate (non-blocking)
+        ],
+    )
+    stats = job.run()
+    applied = [s for s in stats if not s.skipped]
+    assert applied
+    for s in applied:
+        assert s.expectation_violations["text_not_null"] == 0
+        assert s.expectation_violations["never"] > 0
+    recs = [
+        _json.loads(line)
+        for line in open(_os.path.join(tbl, "lineage.jsonl"))
+    ]
+    assert all("expectation_violations" in r for r in recs)
+    assert any(r["expectation_violations"]["never"] > 0 for r in recs)
