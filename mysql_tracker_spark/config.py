@@ -51,6 +51,12 @@ class JobConfig:
     # are persisted here (reason + verbatim payload) instead of only
     # dropped; None keeps the reference's log-and-skip semantics
     quarantine_dir: str | None = None
+    # sink write mode: "cow" (read-optimized copy-on-write, default) |
+    # "mor" (write-optimized merge-on-read: batches commit as bucket
+    # delta files, auto-compacted past mor_compact_threshold deltas
+    # per bucket)
+    write_mode: str = "cow"
+    mor_compact_threshold: int = 8
 
     @classmethod
     def load(cls, path: str) -> "JobConfig":

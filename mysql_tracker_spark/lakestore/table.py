@@ -51,9 +51,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 _BUCKET_COL = "__bucket"
+# tombstone column riding in merge-on-read delta files (the runner's
+# change sets already carry exactly this flag)
+_TOMBSTONE = "__delete"
 # identifier of the bucket-placement hash; bump ONLY with a migration
 # path (rewriting every bucket) — see module docstring
 _BUCKET_HASH_ID = "murmur3_42"
+
+
+def _has_delta(entries: list[dict]) -> bool:
+    return any(fe.get("delta") for fe in entries)
 
 
 def _bucket_expr(key_col: str | F.Column, n_buckets: int):
@@ -201,14 +208,113 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _read_state(
+        self,
+        spark: SparkSession,
+        m: dict,
+        bucket_ids: list[int] | None = None,
+        target: T.StructType | None = None,
+        schemas: dict | None = None,
+    ) -> DataFrame:
+        """Live one-row-per-key state of a snapshot's buckets, with any
+        merge-on-read DELTA files resolved: for every key the entry
+        with the highest commit ``seq`` wins (base files carry seq 0 —
+        a delta can only coexist with a base it was committed AFTER,
+        because every base rewrite absorbs the bucket's deltas), and a
+        winning tombstone drops the key.
+
+        Fast path: a scope with no delta entries returns the plain
+        aligned base read — byte-identical plan to the pure-COW table,
+        so tables that never use MOR pay nothing.
+
+        Resolution shape at scale: one scan per live (schema_id, seq)
+        file group — the group count is the number of UNCOMPACTED delta
+        commits, which the compaction threshold bounds — then ONE
+        aggregation on the key with ``max_by(payload_struct, seq)``.
+        max_by is a declarative aggregate, so hot keys collapse
+        map-side before the shuffle, and the shuffle moves only the
+        buckets in scope (point reads stay bucket-pruned)."""
+        schemas = schemas if schemas is not None else m["schemas"]
+        target = (
+            target
+            if target is not None
+            else T.StructType.fromJson(schemas[str(m["schema_id"])])
+        )
+        if bucket_ids is None:
+            entries = [fe for files in m["buckets"].values() for fe in files]
+        else:
+            entries = [
+                fe for b in bucket_ids for fe in m["buckets"].get(str(b), [])
+            ]
+        if not _has_delta(entries):
+            return self._read_aligned(spark, entries, schemas, target)
+
+        # group files by (schema_id, seq): every file in a group shares
+        # one parquet schema and one commit precedence level
+        groups: dict[tuple[int, int, bool], list[str]] = {}
+        for fe in entries:
+            k = (fe["schema_id"], fe.get("seq", 0), bool(fe.get("delta")))
+            groups.setdefault(k, []).append(os.path.join(self.path, fe["path"]))
+        parts = []
+        for (sid, seq, is_delta), paths in sorted(groups.items()):
+            old = T.StructType.fromJson(schemas[str(sid)])
+            read_schema = (
+                T.StructType(
+                    list(old.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())]
+                )
+                if is_delta
+                else old
+            )
+            df = spark.read.schema(read_schema).parquet(*paths)
+            old_names = {f.name for f in old.fields}
+            cols = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in old_names
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+            tomb = (
+                F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+                if is_delta
+                else F.lit(False)
+            )
+            parts.append(
+                df.select(
+                    *cols, tomb.alias("__is_del"), F.lit(seq).alias("__seq")
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        key = m["key_cols"]
+        payload = [f.name for f in target.fields if f.name not in key]
+        winner = F.max_by(
+            F.struct(*payload, "__is_del"), F.col("__seq")
+        ).alias("__w")
+        agg = u.groupBy(*key).agg(winner)
+        return agg.filter(~F.col("__w.__is_del")).select(
+            *key, *[F.col(f"__w.{c}").alias(c) for c in payload]
+        ).select(*[f.name for f in target.fields])
+
+    def delta_counts(self, version: int | None = None) -> dict[int, int]:
+        """Bucket id -> number of live merge-on-read delta files (the
+        read-amplification meter compaction policies key off)."""
+        m = self.manifest(version)
+        out: dict[int, int] = {}
+        for b_str, files in m["buckets"].items():
+            n = sum(1 for fe in files if fe.get("delta"))
+            if n:
+                out[int(b_str)] = n
+        return out
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Current (or time-travel) snapshot as a DataFrame with the
         snapshot's schema. Files are read grouped by their schema_id and
-        cast to the snapshot schema (schema evolution without rewrite)."""
+        cast to the snapshot schema (schema evolution without rewrite);
+        merge-on-read delta files, if any, are LWW-resolved
+        (:meth:`_read_state`)."""
         m = self.manifest(version)
-        cur = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
-        entries = [fe for files in m["buckets"].values() for fe in files]
-        return self._read_aligned(spark, entries, m["schemas"], cur)
+        return self._read_state(spark, m)
 
     def buckets_for_keys(self, spark: SparkSession, keys: list) -> list[int]:
         """Bucket ids owning ``keys`` — computed by Spark's own
@@ -236,10 +342,8 @@ class LakeTable:
         partition spec. The residual ``isin`` filter is pushed to the
         parquet scan (hash collisions share a bucket)."""
         m = self.manifest(version)
-        cur = T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
         bks = self.buckets_for_keys(spark, keys)
-        entries = [fe for b in bks for fe in m["buckets"].get(str(b), [])]
-        df = self._read_aligned(spark, entries, m["schemas"], cur)
+        df = self._read_state(spark, m, bucket_ids=bks)
         return df.filter(F.col(m["bucket_by"]).isin(list(keys)))
 
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
@@ -282,17 +386,16 @@ class LakeTable:
         target = T.StructType.fromJson(mt["schemas"][str(mt["schema_id"])])
         schemas = {**mf["schemas"], **mt["schemas"]}
         key = mt["key_cols"]
-        old_entries: list[dict] = []
-        new_entries: list[dict] = []
-        for b in self.changed_buckets(from_version, to_v):
-            old_entries += mf["buckets"].get(str(b), [])
-            new_entries += mt["buckets"].get(str(b), [])
-        old = self._read_aligned(spark, old_entries, schemas, target).withColumn(
-            "__o", F.lit(True)
-        )
-        new = self._read_aligned(spark, new_entries, schemas, target).withColumn(
-            "__n", F.lit(True)
-        )
+        changed = self.changed_buckets(from_version, to_v)
+        # per-side STATE reads (delta-resolved): under merge-on-read a
+        # bucket's raw files hold superseded rows and tombstones — the
+        # diff below needs one live row per key on each side
+        old = self._read_state(
+            spark, mf, bucket_ids=changed, target=target, schemas=schemas
+        ).withColumn("__o", F.lit(True))
+        new = self._read_state(
+            spark, mt, bucket_ids=changed, target=target, schemas=schemas
+        ).withColumn("__n", F.lit(True))
         non_key = [f.name for f in target.fields if f.name not in key]
         o, n = old.alias("o"), new.alias("n")
         cond = None
@@ -324,7 +427,11 @@ class LakeTable:
     # ----------------------------------------------------------------- write
 
     def _write_buckets(
-        self, df: DataFrame, schema: T.StructType, n_buckets: int | None = None
+        self,
+        df: DataFrame,
+        schema: T.StructType,
+        n_buckets: int | None = None,
+        extra_cols: list[str] | None = None,
     ) -> dict[int, list[dict]]:
         """Write rows (must carry __bucket) partitioned by bucket into the
         data dir; return bucket -> file entries. One Spark job; files land
@@ -333,7 +440,7 @@ class LakeTable:
         stage = f"stage-{uuid.uuid4().hex[:12]}"
         stage_dir = os.path.join(self.data_dir, stage)
         m0 = self.manifest()
-        cols = [f.name for f in schema.fields]
+        cols = [f.name for f in schema.fields] + list(extra_cols or [])
         nb = n_buckets if n_buckets is not None else m0["n_buckets"]
         (
             df.select(_BUCKET_COL, *cols)
@@ -458,32 +565,18 @@ class LakeTable:
         upserts = ch.filter(~F.col(delete_col)).drop(delete_col)
         n_upserts = upserts.count() if count_upserts else -1
 
-        # current rows of affected buckets, minus changed keys
-        groups: dict[int, list[str]] = {}
+        # current LIVE rows of affected buckets, minus changed keys.
+        # _read_state is the plain aligned read when the buckets hold
+        # no merge-on-read deltas (the pure-COW fast path, plan
+        # unchanged); with deltas present it LWW-resolves them, so a
+        # COW merge over a MOR bucket also acts as its compaction.
         aff = set(affected)
-        for b_str, files in m["buckets"].items():
-            if int(b_str) in aff:
-                for fe in files:
-                    groups.setdefault(fe["schema_id"], []).append(
-                        os.path.join(self.path, fe["path"])
-                    )
+        has_files = any(
+            m["buckets"].get(str(b)) for b in affected
+        )
         survivors = None
-        if groups:
-            parts = []
-            for sid, paths in sorted(groups.items()):
-                old = T.StructType.fromJson(m["schemas"][str(sid)])
-                df = spark.read.schema(old).parquet(*paths)
-                old_names = {f.name for f in old.fields}
-                cols = [
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in old_names
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                ]
-                parts.append(df.select(*cols))
-            target = parts[0]
-            for p in parts[1:]:
-                target = target.unionByName(p)
+        if has_files:
+            target = self._read_state(spark, m, bucket_ids=affected)
             # anti-join away all changed keys (updates + deletes);
             # change set is one deduped row per key → broadcastable
             # when small; Catalyst/AQE picks the strategy.
@@ -521,6 +614,157 @@ class LakeTable:
         }
         v = self._commit(new)
         return v, new["summary"]
+
+    def merge_mor(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        delete_col: str = "__delete",
+        properties: dict[str, str] | None = None,
+    ) -> tuple[int, dict]:
+        """MERGE-ON-READ upsert (Iceberg v2 equality-delete analogue):
+        instead of rewriting every affected bucket (copy-on-write),
+        append the LWW-deduped change set itself — tombstones included —
+        as per-bucket DELTA files stamped with the committing snapshot
+        version. Reads resolve base+deltas with
+        ``max_by(payload, seq)`` (:meth:`_read_state`);
+        :meth:`compact` folds deltas back into base files.
+
+        Why this exists at 10^10 events: a COW merge's cost is the size
+        of the TOUCHED BUCKETS — with keys spread uniformly every
+        micro-batch touches all of them, so per-batch wall grows with
+        table size. merge_mor's cost is one bucket-partitioned write of
+        the batch, full stop; table size never enters. The read-side
+        tax is bounded by the compaction threshold (≤K deltas per
+        bucket), the classic LSM trade.
+
+        ``changes`` contract is :meth:`merge`'s: exactly one row per
+        key, current-schema columns, boolean ``delete_col``."""
+        m = self.manifest()
+        schema = self.schema()
+        nb = m["n_buckets"]
+        new_version = m["version"] + 1
+        ch = changes.withColumn(
+            _BUCKET_COL, _bucket_expr(m["bucket_by"], nb)
+        ).withColumn(_TOMBSTONE, F.col(delete_col).cast("boolean"))
+        new_files = self._write_buckets(ch, schema, extra_cols=[_TOMBSTONE])
+        return self._commit_delta(m, new_version, new_files, properties)
+
+    def adopt_delta(
+        self,
+        staged_dir: str,
+        properties: dict[str, str] | None = None,
+    ) -> tuple[int, dict]:
+        """Zero-job MOR commit: ADOPT an already-materialized
+        bucket-partitioned change set (``__bucket=N/*.parquet`` dirs,
+        current-schema columns + boolean ``__delete``) as this table's
+        delta files, by a single directory rename into the data dir +
+        one manifest commit. The apply runner stages exactly this
+        layout for its skew stats anyway, so under MOR the entire merge
+        step costs NO Spark job at all. The staged dir is consumed
+        (moved); crash between move and commit leaves an orphan dir
+        that :meth:`gc_orphans` reaps."""
+        m = self.manifest()
+        new_version = m["version"] + 1
+        dest = f"mor-{uuid.uuid4().hex[:12]}"
+        os.replace(staged_dir, os.path.join(self.data_dir, dest))
+        sid = m["schema_id"]
+        new_files: dict[int, list[dict]] = {}
+        dest_dir = os.path.join(self.data_dir, dest)
+        for entry in sorted(os.listdir(dest_dir)):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bdir = os.path.join(dest_dir, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    rel = os.path.join("data", dest, entry, fn)
+                    new_files.setdefault(b, []).append(
+                        {"path": rel, "schema_id": sid}
+                    )
+        return self._commit_delta(m, new_version, new_files, properties)
+
+    def _commit_delta(
+        self,
+        m: dict,
+        new_version: int,
+        new_files: dict[int, list[dict]],
+        properties: dict[str, str] | None,
+    ) -> tuple[int, dict]:
+        """Append delta entries (stamped ``delta=True, seq=version``) to
+        their buckets and commit."""
+        new_buckets = {b: list(files) for b, files in m["buckets"].items()}
+        n_delta = 0
+        for b, files in new_files.items():
+            lst = new_buckets.setdefault(str(b), [])
+            for fe in files:
+                lst.append({**fe, "delta": True, "seq": new_version})
+                n_delta += 1
+        new = dict(m)
+        new["version"] = new_version
+        new["parent"] = m["version"]
+        new["buckets"] = new_buckets
+        new["properties"] = {**m["properties"], **(properties or {})}
+        new["summary"] = {
+            "operation": "merge-mor",
+            "ts_ms": int(time.time() * 1000),
+            "affected_buckets": len(new_files),
+            "delta_files": n_delta,
+        }
+        v = self._commit(new)
+        return v, new["summary"]
+
+    def compact(
+        self,
+        spark: SparkSession,
+        bucket_ids: list[int] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> tuple[int, list[int]]:
+        """Fold merge-on-read deltas back into base files (Iceberg
+        ``rewrite_data_files`` analogue): LWW-resolve the listed
+        buckets (default: every bucket holding deltas) and rewrite each
+        to fresh base files in ONE bucket-partitioned Spark job, then
+        commit a snapshot where those buckets reference only the new
+        files. Content is IDENTICAL by construction — history stays
+        time-travelable and a changelog scan across the compaction
+        boundary yields zero rows — and the replay watermark carries
+        forward untouched, so compaction can run between any two
+        applies (or concurrently, fenced by the optimistic commit).
+        Returns (version, compacted bucket ids)."""
+        m = self.manifest()
+        if bucket_ids is None:
+            todo = sorted(
+                int(b) for b, files in m["buckets"].items() if _has_delta(files)
+            )
+        else:
+            todo = sorted(bucket_ids)
+        if not todo:
+            return m["version"], []
+        schema = self.schema()
+        state = self._read_state(spark, m, bucket_ids=todo).withColumn(
+            _BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"])
+        )
+        new_files = self._write_buckets(state, schema)
+        new_buckets = {
+            b: list(files)
+            for b, files in m["buckets"].items()
+            if int(b) not in set(todo)
+        }
+        for b in todo:
+            files = new_files.get(b, [])
+            if files:  # a bucket whose live state is empty drops out
+                new_buckets[str(b)] = files
+        new = dict(m)
+        new["version"] = m["version"] + 1
+        new["parent"] = m["version"]
+        new["buckets"] = new_buckets
+        new["properties"] = {**m["properties"], **(properties or {})}
+        new["summary"] = {
+            "operation": "compact",
+            "ts_ms": int(time.time() * 1000),
+            "compacted_buckets": len(todo),
+        }
+        return self._commit(new), todo
 
     def truncate(self, properties: dict[str, str] | None = None) -> int:
         """TRUNCATE TABLE as an atomic empty-overwrite commit: the next

@@ -102,6 +102,11 @@ class ApplyStats:
     # data-quality gate (opt-in): per-expectation violation counts for
     # this batch's upserts; None = no expectations declared
     expectation_violations: dict | None = None
+    # sink write mode this batch committed under ("cow" | "mor") and,
+    # under mor, the buckets auto-compacted after the commit (None =
+    # no compaction ran)
+    write_mode: str | None = None
+    compacted_buckets: list | None = None
 
 
 class CdcApplyJob:
@@ -147,6 +152,8 @@ class CdcApplyJob:
         expire_keep_last: int | None = None,
         quarantine_dir: str | None = None,
         expectations: list | None = None,
+        write_mode: str = "cow",  # cow | mor
+        mor_compact_threshold: int = 8,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -190,6 +197,19 @@ class CdcApplyJob:
         # audit-before-publish gate (quality.py): blocking expectations
         # run per batch on the UPSERT rows BEFORE the MERGE
         self.expectations = list(expectations or [])
+        # sink write mode: "cow" rewrites affected buckets per batch
+        # (read-optimized; per-batch cost tracks the touched buckets);
+        # "mor" appends the batch's change set as bucket delta files
+        # (write-optimized; per-batch cost tracks the BATCH — the
+        # 10^10-event shape when keys spread across all buckets) and
+        # auto-compacts any bucket once it accumulates
+        # `mor_compact_threshold` deltas, bounding read amplification.
+        if write_mode not in ("cow", "mor"):
+            raise ValueError(f"write_mode must be 'cow' or 'mor', got {write_mode!r}")
+        if mor_compact_threshold < 1:
+            raise ValueError("mor_compact_threshold must be >= 1")
+        self.write_mode = write_mode
+        self.mor_compact_threshold = mor_compact_threshold
         # F1/F2 stream filters (reference filterRegex + filterMap,
         # TrackerConf.java:206-216). This job applies ONE target table,
         # so a filter that excludes the target is a misconfiguration:
@@ -237,6 +257,8 @@ class CdcApplyJob:
             allowlist=cfg.allowlist or None,
             n_salts=getattr(cfg, "n_salts", 0),
             quarantine_dir=getattr(cfg, "quarantine_dir", None),
+            write_mode=getattr(cfg, "write_mode", "cow"),
+            mor_compact_threshold=getattr(cfg, "mor_compact_threshold", 8),
         )
 
     # ------------------------------------------------------------- lifecycle
@@ -785,7 +807,16 @@ class CdcApplyJob:
             for d in os.listdir(delta_dir)
             if d.startswith("__bucket=")
         )
-        if affected:
+        stats.write_mode = self.write_mode
+        if affected and self.write_mode == "mor":
+            # merge-on-read: the staged bucket-partitioned delta IS the
+            # commit — one rename + manifest append, zero Spark jobs
+            # (lakestore.adopt_delta); per-batch cost never sees the
+            # table size. Compaction below bounds read amplification.
+            version, _ = self.table.adopt_delta(delta_dir, properties=props)
+            stats.snapshot_version = version
+            self._maybe_compact(stats)
+        elif affected:
             delta = self.spark.read.parquet(delta_dir).drop("__bucket")
             version, _ = self.table.merge(
                 self.spark,
@@ -928,14 +959,22 @@ class CdcApplyJob:
         # observe (the reference's persisNum counter semantics); a
         # merge-side Observation deadlocks under foreachBatch
         self._gate_expectations(changes, stats)
-        version, summary = self.table.merge(
-            self.spark,
-            changes,
-            properties=props,
-            affected_buckets=affected,
-            count_upserts=False,
-        )
-        stats.snapshot_version = version
+        stats.write_mode = self.write_mode
+        if self.write_mode == "mor":
+            version, _ = self.table.merge_mor(
+                self.spark, changes, properties=props
+            )
+            stats.snapshot_version = version
+            self._maybe_compact(stats)
+        else:
+            version, summary = self.table.merge(
+                self.spark,
+                changes,
+                properties=props,
+                affected_buckets=affected,
+                count_upserts=False,
+            )
+            stats.snapshot_version = version
         stats.rows_applied = rng["n_dml"]
         stats.wall_ms = int((time.time() - t0) * 1000)
         if rng["max_ts"] is not None:
@@ -944,6 +983,23 @@ class CdcApplyJob:
             self.table.expire_snapshots(keep_last=self.expire_keep_last)
         self._append_lineage(stats)
         return stats
+
+    def _maybe_compact(self, stats: ApplyStats) -> None:
+        """Bounded read amplification under merge-on-read: after a MOR
+        commit, fold base+deltas back into fresh base files for every
+        bucket that has accumulated ``mor_compact_threshold`` delta
+        files. Amortized cost: each bucket rewrite is paid once per K
+        delta commits (the LSM trade); between compactions reads see at
+        most K deltas per bucket. The compaction commit carries no
+        watermark change — crash between apply-commit and compaction
+        loses nothing (the next run just compacts later)."""
+        counts = self.table.delta_counts()
+        todo = sorted(
+            b for b, n in counts.items() if n >= self.mor_compact_threshold
+        )
+        if todo:
+            _, done = self.table.compact(self.spark, todo)
+            stats.compacted_buckets = done
 
     def _gate_expectations(self, changes, stats: ApplyStats) -> None:
         """Write-audit-publish: blocking data-quality expectations
@@ -994,6 +1050,8 @@ class CdcApplyJob:
             "wall_ms": stats.wall_ms,
             "lag_s": stats.lag_s,
             "expectation_violations": stats.expectation_violations,
+            "write_mode": stats.write_mode,
+            "compacted_buckets": stats.compacted_buckets,
             "ts_ms": int(time.time() * 1000),
         }
         with open(path, "a") as f:

@@ -86,6 +86,18 @@ def main() -> None:
         "override a config file's n_salts",
     )
     ap.add_argument(
+        "--write-mode", default=None, choices=["cow", "mor"],
+        help="sink mode: cow = copy-on-write MERGE (read-optimized), "
+        "mor = merge-on-read delta commits with bounded auto-compaction "
+        "(write-optimized; per-batch cost tracks the batch, not the "
+        "touched buckets — the uniform-key 10^10-event shape)",
+    )
+    ap.add_argument(
+        "--mor-compact-threshold", type=int, default=None, metavar="K",
+        help="under --write-mode mor: compact a bucket once it holds K "
+        "delta files (read amplification bound; default 8)",
+    )
+    ap.add_argument(
         "--quarantine-dir", default=None, metavar="DIR",
         help="dead-letter audit (wire format): persist corrupt frames "
         "(reason + verbatim payload) under DIR instead of only "
@@ -176,6 +188,10 @@ def main() -> None:
                 cfg.n_salts = args.salts
             if args.quarantine_dir is not None:
                 cfg.quarantine_dir = args.quarantine_dir
+            if args.write_mode is not None:
+                cfg.write_mode = args.write_mode
+            if args.mor_compact_threshold is not None:
+                cfg.mor_compact_threshold = args.mor_compact_threshold
             job2 = CdcApplyJob.from_config(spark, cfg)
             job2.expectations = expectations or job2.expectations
         else:
@@ -190,6 +206,10 @@ def main() -> None:
                 n_salts=args.salts if args.salts is not None else 0,
                 quarantine_dir=args.quarantine_dir,
                 expectations=expectations,
+                write_mode=args.write_mode or "cow",
+                mor_compact_threshold=args.mor_compact_threshold
+                if args.mor_compact_threshold is not None
+                else 8,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last

@@ -1,0 +1,192 @@
+"""Merge-on-read sink mode (Iceberg v2 equality-delete analogue).
+
+The reference's sink always rewrites whole rows into HBase/Kafka; the
+COW lakestore already upgrades that to bucket-granular rewrites. MOR is
+the next scale regime: when every micro-batch's keys spread across all
+buckets (the uniform 10^10-event shape), COW per-batch cost grows with
+table size while MOR stays O(batch) — these tests pin the semantics
+(MOR state == COW state == sequential oracle, always), the bounded
+compaction, and the exactly-once/evolution invariants under MOR.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from mysql_tracker_spark.lakestore import LakeTable
+from mysql_tracker_spark.runner import CdcApplyJob
+from mysql_tracker_spark.sources.binlog_gen import (
+    GenConfig,
+    expected_final_state,
+    gen_change_events,
+)
+
+from .conftest import normalize
+
+CFG = GenConfig(n_events=4000, n_conversations=150, seed=5)
+CMP = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+CH_SCHEMA = T.StructType(
+    list(SCHEMA.fields) + [T.StructField("__delete", T.BooleanType())]
+)
+
+B1 = [("a", 1, "x", False), ("a", 2, "y", False), ("b", 1, "z", False)]
+B2 = [("a", 1, "x2", False), ("b", 1, None, True), ("c", 5, "w", False)]
+B3 = [("a", 2, None, False), ("c", 5, None, True), ("d", 9, "d", False)]
+
+
+def _mk(path):
+    return LakeTable.create(str(path), SCHEMA, ["k", "i"], "k", n_buckets=4)
+
+
+def _state(spark, t, version=None):
+    return sorted(map(tuple, t.read(spark, version=version).collect()))
+
+
+def test_mor_merge_matches_cow(spark, tmp_path):
+    """Same batches (updates, deletes, NULL payloads) through both
+    modes -> identical live state; deltas visibly accumulate."""
+    cow, mor = _mk(tmp_path / "cow"), _mk(tmp_path / "mor")
+    for b in (B1, B2, B3):
+        ch = spark.createDataFrame(b, CH_SCHEMA)
+        cow.merge(spark, ch)
+        mor.merge_mor(spark, ch)
+    assert _state(spark, mor) == _state(spark, cow)
+    assert sum(mor.delta_counts().values()) > 0
+    # read_for_keys resolves deltas AND still opens only owning buckets
+    got = sorted(map(tuple, mor.read_for_keys(spark, ["a"]).collect()))
+    assert got == [r for r in _state(spark, mor) if r[0] == "a"]
+
+
+def test_mor_merge_appends_by_reference(spark, tmp_path):
+    """A MOR commit must not touch existing entries: base files carry
+    forward verbatim and the new entries are delta-stamped with the
+    committing version."""
+    t = _mk(tmp_path / "t")
+    t.merge(spark, spark.createDataFrame(B1, CH_SCHEMA))
+    before = t.manifest()["buckets"]
+    v, summary = t.merge_mor(spark, spark.createDataFrame(B2, CH_SCHEMA))
+    assert summary["operation"] == "merge-mor" and summary["delta_files"] > 0
+    after = t.manifest()["buckets"]
+    for b, files in before.items():
+        assert after[b][: len(files)] == files  # strict append
+    new = [fe for fs in after.values() for fe in fs if fe.get("delta")]
+    assert new and all(fe["seq"] == v for fe in new)
+
+
+def test_compact_preserves_content_changelog_and_time_travel(spark, tmp_path):
+    t = _mk(tmp_path / "t")
+    for b in (B1, B2, B3):
+        t.merge_mor(spark, b_df := spark.createDataFrame(b, CH_SCHEMA))
+    want = _state(spark, t)
+    pre = t.current_version()
+    v, compacted = t.compact(spark)
+    assert compacted and t.delta_counts() == {}
+    assert _state(spark, t) == want
+    # changelog across the compaction boundary is provably empty
+    assert t.read_changes(spark, pre, v).count() == 0
+    # pre-compaction snapshots still delta-resolve (time travel)
+    assert _state(spark, t, version=pre) == want
+    # idempotent: nothing left to compact
+    v2, again = t.compact(spark)
+    assert again == [] and v2 == v
+
+
+def test_cow_merge_over_mor_bucket_resolves_deltas(spark, tmp_path):
+    """Mode mixing: a COW merge on buckets holding deltas must build
+    its survivor set from the RESOLVED state (raw file reads would
+    resurrect superseded rows / drop tombstones)."""
+    mix, cow = _mk(tmp_path / "mix"), _mk(tmp_path / "cow")
+    for table, use_mor in ((mix, (True, False, True)), (cow, (False,) * 3)):
+        for b, m in zip((B1, B2, B3), use_mor):
+            ch = spark.createDataFrame(b, CH_SCHEMA)
+            (table.merge_mor(spark, ch) if m else table.merge(spark, ch))
+    assert _state(spark, mix) == _state(spark, cow)
+
+
+@pytest.fixture(scope="module")
+def wire_stream(tmp_path_factory):
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    d = str(tmp_path_factory.mktemp("mor_wire"))
+    ev = gen_change_events(CFG)
+    write_wire_batches(ev, d, n_batches=5)
+    return d, ev
+
+
+def test_mor_e2e_replay_matches_oracle_with_auto_compaction(
+    spark, wire_stream, tmp_path
+):
+    """The flagship path under write_mode='mor': fenced wire replay ->
+    adopt_delta commits (zero-job merges) -> threshold-triggered
+    auto-compaction mid-run -> final state equals the sequential
+    pandas oracle, including the mid-stream ADD COLUMN + WIDEN DDL
+    (deltas committed under different schema_ids align on read)."""
+    d, ev = wire_stream
+    job = CdcApplyJob(
+        spark,
+        d,
+        str(tmp_path / "t"),
+        n_buckets=8,
+        source_format="wire",
+        write_mode="mor",
+        mor_compact_threshold=2,
+    )
+    stats = job.run()
+    assert all(s.write_mode == "mor" for s in stats if not s.skipped)
+    assert any(s.compacted_buckets for s in stats), "threshold 2 over 5 batches must compact"
+    ops = [
+        job.table.manifest(v)["summary"]["operation"]
+        for v in range(2, job.table.current_version() + 1)
+    ]
+    assert "merge-mor" in ops and "compact" in ops and "merge" not in ops
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+    assert dict(job.table.read(spark).dtypes)["score"] == "bigint"
+
+
+def test_mor_kill_restart_converges(spark, wire_stream, tmp_path):
+    """Exactly-once under MOR: the watermark rides each adopt_delta
+    commit, so a killed-and-restarted run skips committed batches and
+    converges to the same state."""
+    d, ev = wire_stream
+    kw = dict(
+        n_buckets=8, source_format="wire", write_mode="mor", mor_compact_threshold=3
+    )
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    CdcApplyJob(spark, d, p1, **kw).run()
+    CdcApplyJob(spark, d, p2, **kw).run(max_batches=2)
+    resumed = CdcApplyJob(spark, d, p2, **kw)
+    stats = resumed.run()
+    assert [s.skipped for s in stats[:2]] == [True, True]
+    a = normalize(LakeTable.load(p1).read(spark).toPandas())
+    b = normalize(resumed.table.read(spark).toPandas())
+    pd.testing.assert_frame_equal(a[CMP], b[CMP])
+
+
+def test_mor_read_changes_across_deltas(spark, tmp_path):
+    """Changelog between two MOR snapshots diffs RESOLVED states:
+    superseded delta rows and tombstones never leak as phantom ops."""
+    t = _mk(tmp_path / "t")
+    t.merge_mor(spark, spark.createDataFrame(B1, CH_SCHEMA))
+    v1 = t.current_version()
+    t.merge_mor(spark, spark.createDataFrame(B2, CH_SCHEMA))
+    got = {
+        (r["op"], r["k"], r["i"]): r["v"]
+        for r in t.read_changes(spark, v1).collect()
+    }
+    assert got == {
+        ("update", "a", 1): "x2",
+        ("delete", "b", 1): "z",
+        ("insert", "c", 5): "w",
+    }
