@@ -1677,6 +1677,51 @@ def q_cdc_apply_transcripts_final(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_apply_mor_final_state(spark, sf_dir):
+    """The flagship replay under the MERGE-ON-READ sink
+    (write_mode='mor'): batches commit as bucket delta files (the
+    staged delta dir is ADOPTED — zero-job merges), a threshold of 2
+    forces auto-compaction mid-run, and the final read LWW-resolves
+    base+deltas. The oracle is byte-identical to
+    cdc_apply_transcripts_final's — the sink mode must never change
+    the table state (lakestore/table.py merge_mor/compact)."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_mor_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_wire_batches(ev, in_dir, n_batches=3)
+    job = CdcApplyJob(
+        spark,
+        in_dir,
+        tbl_dir,
+        n_buckets=8,
+        source_format="wire",
+        write_mode="mor",
+        mor_compact_threshold=2,
+    )
+    stats = job.run()
+    assert any(s.compacted_buckets for s in stats), "auto-compaction must fire"
+    out = job.table.read(spark)
+    result = out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+        "score",
+    ).orderBy("conv_id", "turn_idx")
+    rows = result.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_conv_dedup_applied(spark, sf_dir):
     """End-to-end COMPOSITION of the two layers: the flagship fenced
     replay -> lakestore MERGE produces the transcripts table, and the
@@ -1896,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_summary": q_media_summary,
         "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
+        "cdc_apply_mor_final_state": q_cdc_apply_mor_final_state,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
         "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
@@ -2685,6 +2731,28 @@ def oracle_sql() -> dict[str, str]:
         # DELETE winners drop out). Must equal the engine's replayed
         # lakestore table byte-for-byte.
         "cdc_apply_transcripts_final": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """,
+        # MOR-sink oracle: the sink mode must not change the state —
+        # same LWW recomputation as cdc_apply_transcripts_final.
+        "cdc_apply_mor_final_state": f"""
             WITH e AS (
                 SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
                 WHERE op IN ('INSERT','UPDATE','DELETE')
