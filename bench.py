@@ -57,15 +57,26 @@ def ensure_input(spark, n_events: int, cache_root: str) -> str:
     return d
 
 
-def run_apply(spark, in_dir: str, tbl_dir: str, files_per_batch: int = FILES_PER_BATCH):
+def run_apply(
+    spark,
+    in_dir: str,
+    tbl_dir: str,
+    files_per_batch: int = FILES_PER_BATCH,
+    write_mode: str = "cow",
+):
     from mysql_tracker_spark.runner import CdcApplyJob
 
     t0 = time.time()
     job = CdcApplyJob(
         spark, in_dir, tbl_dir, n_buckets=64,
         files_per_batch=files_per_batch, source_format="wire",
+        write_mode=write_mode,
     )
     stats = job.run()
+    if write_mode == "mor":
+        # fold any remaining deltas: the honest MOR wall includes
+        # leaving the table fully read-optimized
+        job.table.compact(spark)
     wall = time.time() - t0
     return wall, sum(s.rows_in for s in stats), stats
 
@@ -127,6 +138,21 @@ def main() -> None:
     results["cdc_apply"] = round(apply_sec, 3)
     events_per_sec = round(applied_events / apply_sec, 1)
 
+    # merge-on-read twin of the headline (write_mode="mor" + final full
+    # compaction in the wall): same input, same fresh-table protocol.
+    # cdc_apply stays the COW number for cross-round comparability.
+    mor_reps = int(os.environ.get("BENCH_MOR_REPS", "2"))
+    mor_walls = []
+    for r in range(mor_reps):
+        base = os.environ.get("BENCH_TABLE_DIR")
+        tbl_dir = f"{base}_mor{r}" if base else os.path.join(work, f"tbl_mor_{r}")
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+        sec, _, _ = run_apply(spark, in_dir, tbl_dir, write_mode="mor")
+        mor_walls.append(sec)
+        print(f"apply(mor) rep {r}: {sec:.1f}s", file=sys.stderr)
+    if mor_walls:
+        results["cdc_apply_mor"] = round(min(mor_walls), 3)
+
     # ---- contract query suite ------------------------------------------
     if run_queries:
         import __spark_entry__ as entrymod
@@ -151,6 +177,10 @@ def main() -> None:
         "sf": sf,
         "apply_events": applied_events,
         "apply_sec": round(apply_sec, 3),
+        "apply_mor_sec": round(min(mor_walls), 3) if mor_walls else None,
+        "mor_events_per_sec": round(applied_events / min(mor_walls), 1)
+        if mor_walls
+        else None,
         "suite_total_sec": total,
         "cores": cpus,
     }

@@ -174,6 +174,32 @@ def test_mor_kill_restart_converges(spark, wire_stream, tmp_path):
     pd.testing.assert_frame_equal(a[CMP], b[CMP])
 
 
+def test_mor_streaming_matches_oracle(spark, wire_stream, tmp_path):
+    """The Structured Streaming front-end inherits the sink mode: a
+    wire tail under write_mode='mor' drains to the oracle state, with
+    MOR commits and auto-compaction visible in the stats."""
+    from mysql_tracker_spark.streaming import CdcStreamJob
+
+    d, ev = wire_stream
+    job = CdcStreamJob(
+        spark,
+        d,
+        str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="wire",
+        n_buckets=8,
+        write_mode="mor",
+        mor_compact_threshold=2,
+    )
+    stats = job.run_available()
+    applied = [s for s in stats if not s.skipped]
+    assert applied and all(s.write_mode == "mor" for s in applied)
+    assert any(s.compacted_buckets for s in applied)
+    got = normalize(job.job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
 def test_mor_read_changes_across_deltas(spark, tmp_path):
     """Changelog between two MOR snapshots diffs RESOLVED states:
     superseded delta rows and tombstones never leak as phantom ops."""
