@@ -1574,6 +1574,40 @@ def q_cdc_eventlog_append(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_eventlog_range_read(spark, sf_dir):
+    """Segment-skipping range scan over the append-only event log:
+    manifest stats (analytic seq range + footer-derived ts range per
+    segment) let read_range open only the segments overlapping the
+    window — asserted inside the query via inputFiles. Oracle: the
+    same rank-the-distinct-total-order CTE restricted to the seq
+    window."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.eventlog import EventLogJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    ev = _flagship_events()
+    _write_eventlog_dump(ev)
+    work = tempfile.mkdtemp(prefix="mts_entry_evrange_")
+    try:
+        in_dir = os.path.join(work, "in")
+        write_batches(ev, in_dir, n_batches=3)
+        job = EventLogJob(spark, in_dir, os.path.join(work, "log"))
+        job.run()
+        pruned = job.read_range(seq_from=1000, seq_to=1400)
+        n_all = len(job.read().inputFiles())
+        n_pruned = len(pruned.inputFiles())
+        assert 0 < n_pruned < n_all, (n_pruned, n_all)
+        result = pruned.select(
+            "seq", "file", "pos", "row_idx", "op"
+        ).orderBy("seq")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def _write_changelog_cut(ev=None) -> None:
     """The (file,pos) watermark the engine commits after batch 1 of 3 —
     derived from the SAME frame-split authority write_batches uses
@@ -1947,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
         "cdc_eventlog_append": q_cdc_eventlog_append,
+        "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
     }
 
 
@@ -2933,5 +2968,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(row_number() OVER (ORDER BY file, pos, row_idx) - 1 AS BIGINT) AS seq,
                    file, pos, CAST(row_idx AS INT) AS row_idx, op
             FROM d ORDER BY seq
+        """,
+        # Range-read oracle: identical rank CTE, windowed on seq — the
+        # engine's segment skipping must be invisible in the result.
+        "cdc_eventlog_range_read": f"""
+            WITH d AS (
+                SELECT DISTINCT file, pos, row_idx, op
+                FROM read_parquet('{EVENTLOG_DUMP}')
+            ), r AS (
+                SELECT CAST(row_number() OVER (ORDER BY file, pos, row_idx) - 1 AS BIGINT) AS seq,
+                       file, pos, CAST(row_idx AS INT) AS row_idx, op
+                FROM d
+            )
+            SELECT * FROM r WHERE seq BETWEEN 1000 AND 1400 ORDER BY seq
         """,
     }

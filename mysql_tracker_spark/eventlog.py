@@ -38,6 +38,42 @@ from .runner import _parquet_dir_rows
 from .schema import CHANGE_EVENT_SCHEMA, LOG_ORDER
 
 
+def _dir_stats(d: str, ts_col: str = "ts") -> dict:
+    """Segment-level statistics from the parquet FILE FOOTERS only
+    (pyarrow row-group metadata; no Spark job, no data read): row count
+    plus the min/max of ``ts_col`` — the Iceberg manifest-stats model,
+    computed once at write time so range reads can skip whole segments
+    without opening them. Timestamps serialize as ISO strings (JSON
+    manifest); a column with no usable stats yields ``ts: None``."""
+    import pyarrow.parquet as pq
+
+    rows, lo, hi = 0, None, None
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            rows += md.num_rows
+            try:
+                idx = md.schema.names.index(ts_col)
+            except ValueError:
+                continue
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if lo is None or st.min < lo:
+                    lo = st.min
+                if hi is None or st.max > hi:
+                    hi = st.max
+    ts = (
+        [lo.isoformat(sep=" "), hi.isoformat(sep=" ")]
+        if lo is not None
+        else None
+    )
+    return {"rows": rows, "ts": ts}
+
+
 @dataclass
 class EventLogStats:
     batch_id: int
@@ -202,13 +238,22 @@ class EventLogJob:
         sub = f"batch-{batch_id:05d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.data_dir, sub)
         seqd.write.parquet(out_dir)
-        appended = _parquet_dir_rows(out_dir)
+        # one footer pass yields the row count AND the segment's ts
+        # min/max; the seq range is analytic (dense, offset by
+        # next_seq) — together the manifest stats that let range reads
+        # skip whole segments (read_range)
+        seg = _dir_stats(out_dir)
+        appended = seg["rows"]
 
         m = self.manifest()
         new = {
             "version": m["version"] + 1,
             "parent": m["version"] or None,
             "files": m["files"] + [sub],
+            "segments": {
+                **m.get("segments", {}),
+                sub: {**seg, "seq": [next_seq, next_seq + appended - 1]},
+            },
             "properties": {
                 "offset_file": stats.file_end,
                 "offset_pos": str(stats.pos_end),
@@ -249,10 +294,29 @@ class EventLogJob:
         sub = f"compact-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.data_dir, sub)
         live.repartitionByRange(n_out_parts, "seq").write.parquet(out_dir)
+        # merged stats for the single output segment: fold the input
+        # segments' manifest stats when complete, else one footer pass
+        olds = [m.get("segments", {}).get(f) for f in m["files"]]
+        if all(o and o.get("ts") and o.get("seq") for o in olds):
+            seg = {
+                "rows": sum(o["rows"] for o in olds),
+                "ts": [
+                    min(o["ts"][0] for o in olds),
+                    max(o["ts"][1] for o in olds),
+                ],
+                "seq": [
+                    min(o["seq"][0] for o in olds),
+                    max(o["seq"][1] for o in olds),
+                ],
+            }
+        else:
+            seg = _dir_stats(out_dir)
+            seg["seq"] = [0, int(m["properties"].get("next_seq", "1")) - 1]
         new = {
             "version": m["version"] + 1,
             "parent": m["version"],
             "files": [sub],
+            "segments": {sub: seg},
             "properties": dict(m["properties"]),
             "summary": {
                 "operation": "compact",
@@ -274,3 +338,64 @@ class EventLogJob:
         return spark.read.parquet(
             *[os.path.join(self.data_dir, f) for f in m["files"]]
         )
+
+    def read_range(
+        self,
+        seq_from: int | None = None,
+        seq_to: int | None = None,
+        ts_from=None,
+        ts_to=None,
+        spark: SparkSession | None = None,
+    ) -> DataFrame:
+        """Range scan with SEGMENT SKIPPING (Iceberg manifest-stats
+        pruning): only segments whose recorded ``seq``/``ts`` range
+        overlaps the requested window are opened; the residual filter
+        still applies (and pushes into parquet row-group stats inside
+        kept segments). Bounds are inclusive; ``None`` leaves a side
+        open. At 10^10 appended events a consumer replaying "yesterday
+        16:00-17:00" or "seq 5M..6M" must touch the handful of
+        segments covering it, not the whole log — without this, the
+        append-only design's many-small-segments shape makes every
+        range read a full scan. Segments without recorded stats (older
+        manifests) are kept conservatively."""
+        spark = spark or self.spark
+        m = self.manifest()
+        segs = m.get("segments", {})
+        tf = str(ts_from) if ts_from is not None else None
+        tt = str(ts_to) if ts_to is not None else None
+
+        def keep(sub: str) -> bool:
+            st = segs.get(sub)
+            if not st:
+                return True  # no stats -> cannot prune
+            sq = st.get("seq")
+            if sq and (
+                (seq_to is not None and sq[0] > seq_to)
+                or (seq_from is not None and sq[1] < seq_from)
+            ):
+                return False
+            ts = st.get("ts")
+            if ts and (
+                (tt is not None and ts[0] > tt)
+                or (tf is not None and ts[1] < tf)
+            ):
+                return False
+            return True
+
+        kept = [f for f in m["files"] if keep(f)]
+        if not kept:
+            schema = CHANGE_EVENT_SCHEMA.add("seq", "long")
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.parquet(
+                *[os.path.join(self.data_dir, f) for f in kept]
+            )
+        if seq_from is not None:
+            df = df.filter(F.col("seq") >= seq_from)
+        if seq_to is not None:
+            df = df.filter(F.col("seq") <= seq_to)
+        if ts_from is not None:
+            df = df.filter(F.col("ts") >= F.lit(ts_from))
+        if ts_to is not None:
+            df = df.filter(F.col("ts") <= F.lit(ts_to))
+        return df

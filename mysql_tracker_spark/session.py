@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # TIMESTAMP_MICROS, not the legacy INT96 default: INT96 is
+        # deprecated in parquet AND carries no row-group min/max
+        # statistics, which kills both parquet predicate pushdown on
+        # ts and the eventlog's footer-derived segment stats
+        # (eventlog._dir_stats / read_range pruning)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

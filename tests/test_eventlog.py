@@ -136,3 +136,65 @@ def test_eventlog_auto_compaction_in_run_loop(spark, tmp_path):
     assert list(log["seq"]) == list(range(n_unique))
     # replay after compaction is still fenced to a no-op
     assert all(s.skipped for s in job.run())
+
+
+def test_eventlog_segment_stats_and_range_read_prunes(spark, tmp_path):
+    """Manifest stats (seq range analytic, ts range from footers) let
+    read_range open only overlapping segments; results always equal
+    the full-scan filter."""
+    ev, job = _mk(spark, tmp_path)
+    stats = [s for s in job.run() if not s.skipped]
+    m = job.manifest()
+    # every live segment has stats; seq ranges match the batch stats
+    assert set(m["segments"]) == set(m["files"])
+    recorded = sorted(tuple(m["segments"][f]["seq"]) for f in m["files"])
+    assert recorded == sorted((s.seq_start, s.seq_end) for s in stats)
+    assert all(m["segments"][f]["ts"] for f in m["files"])
+
+    full = job.read()
+    # seq window inside ONE batch -> exactly one segment opened
+    lo, hi = stats[1].seq_start, stats[1].seq_start + 50
+    pruned = job.read_range(seq_from=lo, seq_to=hi)
+    assert len({p.split("/")[-2] for p in pruned.inputFiles()}) == 1
+    assert len(full.inputFiles()) > len(pruned.inputFiles())
+    want = sorted(
+        map(tuple, full.filter(F.col("seq").between(lo, hi)).select("seq").collect())
+    )
+    assert sorted(map(tuple, pruned.select("seq").collect())) == want
+
+    # ts window: batches are time-ordered, so a window inside batch 0's
+    # ts range must not open the later batches' segments
+    t0 = m["segments"][m["files"][0]]["ts"]
+    pruned_ts = job.read_range(ts_from=t0[0], ts_to=t0[1])
+    assert len(pruned_ts.inputFiles()) <= len(full.inputFiles())
+    want_ts = full.filter(
+        (F.col("ts") >= F.lit(t0[0])) & (F.col("ts") <= F.lit(t0[1]))
+    ).count()
+    assert pruned_ts.count() == want_ts
+
+    # disjoint seq window -> zero segments, empty result, same schema
+    empty = job.read_range(seq_from=10**9)
+    assert empty.count() == 0 and empty.schema == full.schema
+
+
+def test_eventlog_range_read_after_compaction_and_without_stats(spark, tmp_path):
+    ev, job = _mk(spark, tmp_path, files_per_batch=1)
+    job.run()
+    before = job.read_range(seq_from=100, seq_to=200).orderBy("seq").collect()
+    v = job.compact(max_segments=1)
+    assert v is not None
+    m = job.manifest()
+    assert len(m["files"]) == 1 and set(m["segments"]) == set(m["files"])
+    seg = m["segments"][m["files"][0]]
+    total = job.read().count()
+    assert seg["rows"] == total and tuple(seg["seq"]) == (0, total - 1)
+    after = job.read_range(seq_from=100, seq_to=200).orderBy("seq").collect()
+    assert after == before
+    # stats-free manifest (pre-feature snapshot shape): conservative
+    # full keep, identical results
+    m2 = job.manifest()
+    m2.pop("segments")
+    m2["version"] += 1
+    job._commit(m2)
+    again = job.read_range(seq_from=100, seq_to=200).orderBy("seq").collect()
+    assert again == before
