@@ -998,7 +998,13 @@ class CdcApplyJob:
             b for b, n in counts.items() if n >= self.mor_compact_threshold
         )
         if todo:
-            _, done = self.table.compact(self.spark, todo)
+            try:
+                _, done = self.table.compact(self.spark, todo)
+            except FileExistsError:
+                # optimistic-commit collision with a concurrent writer:
+                # compaction is maintenance, not correctness — the data
+                # is already committed, so just compact on a later batch
+                return
             stats.compacted_buckets = done
 
     def _gate_expectations(self, changes, stats: ApplyStats) -> None:

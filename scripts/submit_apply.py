@@ -110,6 +110,12 @@ def main() -> None:
         "replays the rolled-back range through the fenced MERGE)",
     )
     ap.add_argument(
+        "--compact", action="store_true",
+        help="before applying, fold any merge-on-read delta files back "
+        "into base files (all buckets holding deltas) — standalone "
+        "maintenance entry point; content and watermark unchanged",
+    )
+    ap.add_argument(
         "--rescale-buckets", type=int, default=None, metavar="N",
         help="before applying, re-hash the table into N buckets "
         "(bucket-count evolution for table growth; one full-table "
@@ -143,6 +149,15 @@ def main() -> None:
         v = LakeTable.load(args.table).rollback(args.rollback_to)
         print(
             json.dumps({"rollback_to": args.rollback_to, "new_version": v}),
+            file=sys.stderr,
+        )
+
+    if args.compact:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        v, done = LakeTable.load(args.table).compact(spark)
+        print(
+            json.dumps({"compact_version": v, "compacted_buckets": done}),
             file=sys.stderr,
         )
 

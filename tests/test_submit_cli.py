@@ -154,3 +154,67 @@ def test_spark_submit_expect_gate_blocks(tmp_path):
             m = json.load(open(os.path.join(snaps, f)))
             assert "offset_file" not in m.get("properties", {})  # no watermark
             assert all(not v for v in m.get("buckets", {}).values())  # no data
+
+
+def test_spark_submit_mor_apply_and_compact_maintenance(tmp_path):
+    """--write-mode mor end-to-end through real spark-submit, then a
+    second invocation as pure maintenance: --compact --max-batches 0
+    folds the deltas (manifest op 'compact', no delta entries left)
+    without applying anything, and the raw live files equal the oracle."""
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        expected_final_state,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=80, seed=19))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+    tbl = str(tmp_path / "tbl")
+    z = _zip_pkg(tmp_path)
+
+    res = _spark_submit(
+        ["--py-files", z, os.path.join(REPO, "scripts", "submit_apply.py"),
+         "--input", in_dir, "--table", tbl, "--buckets", "8",
+         "--write-mode", "mor", "--mor-compact-threshold", "16"],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    snaps = os.path.join(tbl, "snapshots")
+    with open(os.path.join(snaps, sorted(os.listdir(snaps))[-1])) as f:
+        m = json.load(f)
+    assert any(
+        fe.get("delta") for fs in m["buckets"].values() for fe in fs
+    ), "threshold 16 over 3 batches must leave deltas"
+
+    res2 = _spark_submit(
+        ["--py-files", z, os.path.join(REPO, "scripts", "submit_apply.py"),
+         "--input", in_dir, "--table", tbl, "--compact", "--max-batches", "0"],
+        cwd=str(tmp_path),
+    )
+    assert res2.returncode == 0, res2.stderr[-4000:]
+    with open(os.path.join(snaps, sorted(os.listdir(snaps))[-1])) as f:
+        m2 = json.load(f)
+    assert m2["summary"]["operation"] == "compact"
+    assert not any(
+        fe.get("delta") for fs in m2["buckets"].values() for fe in fs
+    )
+
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    t = LakeTable.load(tbl)
+    files = [os.path.join(tbl, p) for p in t.live_files()]
+    flist = ", ".join(f"'{f}'" for f in files)
+    got = (
+        duckdb.connect()
+        .execute(
+            f"SELECT text FROM read_parquet([{flist}], union_by_name=true) ORDER BY conv_id, turn_idx"
+        )
+        .df()
+    )
+    exp = expected_final_state(ev).sort_values(["conv_id", "turn_idx"])
+    assert got["text"].tolist() == exp["text"].tolist()
