@@ -327,6 +327,50 @@ class EventLogJob:
         self._commit(new)
         return new["version"]
 
+    # ------------------------------------------------------------ retention
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Bound the log's METADATA + superseded-segment storage (the
+        lakestore's expiry, mirrored): drop all but the newest
+        ``keep_last`` manifest versions, then delete segment dirs no
+        surviving manifest references — i.e. pre-compaction segment
+        sets, which otherwise accumulate forever (compaction leaves old
+        dirs on disk for history). The LIVE log is untouched: every
+        event stays (append-only content never expires — this reaps
+        superseded *copies*, not data). Returns expired version count."""
+        if not os.path.isdir(self.snap_dir):
+            return 0
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        to_drop = versions[:-keep_last] if keep_last > 0 else []
+        for v in to_drop:
+            os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
+        if to_drop:
+            self.gc_orphans()
+        return len(to_drop)
+
+    def gc_orphans(self) -> int:
+        """Delete segment dirs referenced by NO surviving manifest
+        (crash debris and expired pre-compaction copies)."""
+        import shutil
+
+        live: set[str] = set()
+        for fn in os.listdir(self.snap_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(self.snap_dir, fn)) as f:
+                    live.update(json.load(f)["files"])
+        removed = 0
+        if not os.path.isdir(self.data_dir):
+            return 0
+        for sub in os.listdir(self.data_dir):
+            if sub not in live:
+                shutil.rmtree(os.path.join(self.data_dir, sub), ignore_errors=True)
+                removed += 1
+        return removed
+
     # ---------------------------------------------------------------- read
 
     def read(self, spark: SparkSession | None = None) -> DataFrame:

@@ -198,3 +198,30 @@ def test_eventlog_range_read_after_compaction_and_without_stats(spark, tmp_path)
     job._commit(m2)
     again = job.read_range(seq_from=100, seq_to=200).orderBy("seq").collect()
     assert again == before
+
+
+def test_eventlog_expiry_reaps_superseded_segments_keeps_log_intact(spark, tmp_path):
+    """Retention: compaction supersedes the original segment dirs but
+    leaves them for history; expire_snapshots bounds that — old
+    manifests drop, orphaned pre-compaction dirs are reaped, and the
+    LIVE log (content, seq order, stats, range reads) is untouched."""
+    import os as _os
+
+    ev, job = _mk(spark, tmp_path, files_per_batch=1)
+    job.run()
+    want = sorted(map(tuple, job.read().select("seq", "file", "pos").collect()))
+    assert job.compact(max_segments=1) is not None
+    data_dir = job.data_dir
+    n_dirs_before = len(_os.listdir(data_dir))
+    assert n_dirs_before > 1  # originals + compacted copy coexist
+    expired = job.expire_snapshots(keep_last=1)
+    assert expired > 0
+    n_dirs_after = len(_os.listdir(data_dir))
+    assert n_dirs_after == 1  # only the live compacted segment remains
+    got = sorted(map(tuple, job.read().select("seq", "file", "pos").collect()))
+    assert got == want
+    # stats + pruning still work off the surviving manifest
+    assert job.read_range(seq_from=0, seq_to=10).count() == 11
+    # appends continue normally after expiry (watermark intact: rerun
+    # of the same input is fenced to a no-op)
+    assert all(s.skipped for s in job.run())
