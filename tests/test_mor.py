@@ -200,6 +200,20 @@ def test_mor_streaming_matches_oracle(spark, wire_stream, tmp_path):
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
 
 
+def test_mor_snapshot_expiry_keeps_live_deltas(spark, tmp_path):
+    """expire_snapshots during MOR operation must never reap a delta
+    file the current manifest references; state survives expiry and a
+    later compaction."""
+    t = _mk(tmp_path / "t")
+    for b in (B1, B2, B3):
+        t.merge_mor(spark, spark.createDataFrame(b, CH_SCHEMA))
+    want = _state(spark, t)
+    assert t.expire_snapshots(keep_last=1) > 0
+    assert _state(spark, t) == want
+    t.compact(spark)
+    assert _state(spark, t) == want
+
+
 def test_mor_read_changes_across_deltas(spark, tmp_path):
     """Changelog between two MOR snapshots diffs RESOLVED states:
     superseded delta rows and tombstones never leak as phantom ops."""
