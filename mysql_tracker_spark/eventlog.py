@@ -34,7 +34,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators.parse import global_sequence
-from .runner import _parquet_dir_rows
 from .schema import CHANGE_EVENT_SCHEMA, LOG_ORDER
 
 
@@ -66,12 +65,24 @@ def _dir_stats(d: str, ts_col: str = "ts") -> dict:
                     lo = st.min
                 if hi is None or st.max > hi:
                     hi = st.max
-    ts = (
-        [lo.isoformat(sep=" "), hi.isoformat(sep=" ")]
-        if lo is not None
-        else None
-    )
+    ts = [_ts_key(lo), _ts_key(hi)] if lo is not None else None
     return {"rows": rows, "ts": ts}
+
+
+def _ts_key(x) -> str:
+    """Canonical, fixed-width, tz-stripped timestamp string
+    ``YYYY-MM-DD HH:MM:SS.ffffff`` — the ONE format both the manifest
+    stats and read_range's bounds go through, so lexicographic
+    comparison is chronological comparison. Without this, a caller
+    passing ISO-8601 ``2026-08-01T00:00:00`` against stats stored with
+    a space separator would mis-prune at the ``T`` vs `` `` byte and
+    silently drop matching segments."""
+    import pandas as pd
+
+    t = pd.Timestamp(x)
+    if t.tzinfo is not None:
+        t = t.tz_convert("UTC").tz_localize(None)
+    return t.strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
 @dataclass
@@ -338,6 +349,8 @@ class EventLogJob:
         dirs on disk for history). The LIVE log is untouched: every
         event stays (append-only content never expires — this reaps
         superseded *copies*, not data). Returns expired version count."""
+        import shutil
+
         if not os.path.isdir(self.snap_dir):
             return 0
         versions = sorted(
@@ -346,15 +359,35 @@ class EventLogJob:
             if f.startswith("v") and f.endswith(".json")
         )
         to_drop = versions[:-keep_last] if keep_last > 0 else []
+        if not to_drop:
+            return 0
+        # collect the DROPPED manifests' segment refs BEFORE deleting
+        # them, and reap exactly (dropped - surviving): a directory
+        # walk here would race a concurrent appender's written-but-
+        # not-yet-committed segment dir (it appears in no manifest yet
+        # and must NOT be treated as garbage)
+        dropped_refs: set[str] = set()
+        for v in to_drop:
+            with open(os.path.join(self.snap_dir, f"v{v:08d}.json")) as f:
+                dropped_refs.update(json.load(f)["files"])
         for v in to_drop:
             os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
-        if to_drop:
-            self.gc_orphans()
+        live: set[str] = set()
+        for fn in os.listdir(self.snap_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(self.snap_dir, fn)) as f:
+                    live.update(json.load(f)["files"])
+        for sub in dropped_refs - live:
+            shutil.rmtree(os.path.join(self.data_dir, sub), ignore_errors=True)
         return len(to_drop)
 
-    def gc_orphans(self) -> int:
-        """Delete segment dirs referenced by NO surviving manifest
-        (crash debris and expired pre-compaction copies)."""
+    def gc_orphans(self, min_age_s: float = 600.0) -> int:
+        """Delete segment dirs referenced by NO surviving manifest —
+        crash debris cleanup. ``min_age_s`` guards the race with a
+        concurrent appender whose segment dir exists but whose commit
+        has not landed yet: only dirs untouched for that long are
+        reaped (an in-flight write is always younger; real debris is
+        not)."""
         import shutil
 
         live: set[str] = set()
@@ -365,9 +398,11 @@ class EventLogJob:
         removed = 0
         if not os.path.isdir(self.data_dir):
             return 0
+        now = time.time()
         for sub in os.listdir(self.data_dir):
-            if sub not in live:
-                shutil.rmtree(os.path.join(self.data_dir, sub), ignore_errors=True)
+            p = os.path.join(self.data_dir, sub)
+            if sub not in live and now - os.path.getmtime(p) >= min_age_s:
+                shutil.rmtree(p, ignore_errors=True)
                 removed += 1
         return removed
 
@@ -405,8 +440,8 @@ class EventLogJob:
         spark = spark or self.spark
         m = self.manifest()
         segs = m.get("segments", {})
-        tf = str(ts_from) if ts_from is not None else None
-        tt = str(ts_to) if ts_to is not None else None
+        tf = _ts_key(ts_from) if ts_from is not None else None
+        tt = _ts_key(ts_to) if ts_to is not None else None
 
         def keep(sub: str) -> bool:
             st = segs.get(sub)
@@ -420,8 +455,10 @@ class EventLogJob:
                 return False
             ts = st.get("ts")
             if ts and (
-                (tt is not None and ts[0] > tt)
-                or (tf is not None and ts[1] < tf)
+                # both sides canonicalized by _ts_key (stats at write,
+                # bounds here) -> lexicographic == chronological
+                (tt is not None and _ts_key(ts[0]) > tt)
+                or (tf is not None and _ts_key(ts[1]) < tf)
             ):
                 return False
             return True

@@ -194,19 +194,41 @@ class LakeTable:
         parts = []
         for sid, paths in sorted(groups.items()):
             old = T.StructType.fromJson(schemas[str(sid)])
-            df = spark.read.schema(old).parquet(*paths)
-            cols = []
-            old_names = {f.name for f in old.fields}
-            for fld in target.fields:
-                if fld.name in old_names:
-                    cols.append(F.col(fld.name).cast(fld.dataType).alias(fld.name))
-                else:
-                    cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+            df, cols = self._aligned_scan(spark, paths, old, target)
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _aligned_scan(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        old: T.StructType,
+        target: T.StructType,
+        extra_fields: list[T.StructField] | None = None,
+    ):
+        """One schema-group parquet scan plus the column list aligning
+        it to ``target`` (missing columns null, widened columns cast) —
+        the single align implementation shared by the base read and the
+        MOR resolution path. ``extra_fields`` extends the READ schema
+        (e.g. the tombstone column); the caller appends its own extra
+        output columns to the returned list."""
+        read_schema = (
+            T.StructType(list(old.fields) + list(extra_fields))
+            if extra_fields
+            else old
+        )
+        df = spark.read.schema(read_schema).parquet(*paths)
+        old_names = {f.name for f in old.fields}
+        cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in old_names
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+        return df, cols
 
     def _read_state(
         self,
@@ -241,38 +263,32 @@ class LakeTable:
             else T.StructType.fromJson(schemas[str(m["schema_id"])])
         )
         if bucket_ids is None:
-            entries = [fe for files in m["buckets"].values() for fe in files]
-        else:
-            entries = [
-                fe for b in bucket_ids for fe in m["buckets"].get(str(b), [])
-            ]
-        if not _has_delta(entries):
-            return self._read_aligned(spark, entries, schemas, target)
+            bucket_ids = sorted(int(b) for b in m["buckets"])
+        # split PER BUCKET: only buckets actually holding deltas pay
+        # the resolution aggregation; delta-free buckets keep the plain
+        # aligned scan (a lone delta in one bucket must not drag the
+        # whole table through a key shuffle)
+        clean_entries: list[dict] = []
+        delta_entries: list[dict] = []
+        for b in bucket_ids:
+            files = m["buckets"].get(str(b), [])
+            (delta_entries if _has_delta(files) else clean_entries).extend(files)
+        if not delta_entries:
+            return self._read_aligned(spark, clean_entries, schemas, target)
 
         # group files by (schema_id, seq): every file in a group shares
         # one parquet schema and one commit precedence level
         groups: dict[tuple[int, int, bool], list[str]] = {}
-        for fe in entries:
+        for fe in delta_entries:
             k = (fe["schema_id"], fe.get("seq", 0), bool(fe.get("delta")))
             groups.setdefault(k, []).append(os.path.join(self.path, fe["path"]))
         parts = []
         for (sid, seq, is_delta), paths in sorted(groups.items()):
             old = T.StructType.fromJson(schemas[str(sid)])
-            read_schema = (
-                T.StructType(
-                    list(old.fields) + [T.StructField(_TOMBSTONE, T.BooleanType())]
-                )
-                if is_delta
-                else old
+            extra = (
+                [T.StructField(_TOMBSTONE, T.BooleanType())] if is_delta else None
             )
-            df = spark.read.schema(read_schema).parquet(*paths)
-            old_names = {f.name for f in old.fields}
-            cols = [
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in old_names
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in target.fields
-            ]
+            df, cols = self._aligned_scan(spark, paths, old, target, extra)
             tomb = (
                 F.coalesce(F.col(_TOMBSTONE), F.lit(False))
                 if is_delta
@@ -292,9 +308,14 @@ class LakeTable:
             F.struct(*payload, "__is_del"), F.col("__seq")
         ).alias("__w")
         agg = u.groupBy(*key).agg(winner)
-        return agg.filter(~F.col("__w.__is_del")).select(
+        resolved = agg.filter(~F.col("__w.__is_del")).select(
             *key, *[F.col(f"__w.{c}").alias(c) for c in payload]
         ).select(*[f.name for f in target.fields])
+        if not clean_entries:
+            return resolved
+        return self._read_aligned(
+            spark, clean_entries, schemas, target
+        ).unionByName(resolved)
 
     def delta_counts(self, version: int | None = None) -> dict[int, int]:
         """Bucket id -> number of live merge-on-read delta files (the
@@ -902,14 +923,38 @@ class LakeTable:
             v for v in (versions[:-keep_last] if keep_last > 0 else [])
             if v not in protected  # tagged snapshots survive expiry
         ]
+        if not to_drop:
+            return 0
+        # reap exactly (dropped manifests' refs - surviving refs),
+        # collected BEFORE deletion: a directory walk here would race a
+        # concurrent writer's staged-but-not-yet-committed files (they
+        # appear in no manifest yet and must NOT be treated as garbage)
+        dropped_refs: set[str] = set()
+        for v in to_drop:
+            for files in self.manifest(v)["buckets"].values():
+                dropped_refs.update(fe["path"] for fe in files)
         for v in to_drop:
             os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
-        if to_drop:
-            self.gc_orphans()
+        live: set[str] = set()
+        for fn in os.listdir(self.snap_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(self.snap_dir, fn)) as f:
+                    man = json.load(f)
+                for files in man["buckets"].values():
+                    live.update(fe["path"] for fe in files)
+        for rel in dropped_refs - live:
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
         return len(to_drop)
 
-    def gc_orphans(self) -> int:
-        """Delete data files not referenced by any snapshot (crash debris)."""
+    def gc_orphans(self, min_age_s: float = 600.0) -> int:
+        """Delete data files not referenced by any snapshot — crash
+        debris cleanup. ``min_age_s`` guards the race with a concurrent
+        writer whose staged files exist but whose commit has not landed
+        yet (an in-flight write is always younger than the guard; real
+        debris is not)."""
         live: set[str] = set()
         for fn in os.listdir(self.snap_dir):
             if fn.startswith("v") and fn.endswith(".json"):
@@ -918,11 +963,16 @@ class LakeTable:
                 for files in man["buckets"].values():
                     live.update(fe["path"] for fe in files)
         removed = 0
+        now = time.time()
         for root, _dirs, files in os.walk(self.data_dir):
             for fn in files:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, self.path)
-                if fn.endswith(".parquet") and rel not in live:
+                if (
+                    fn.endswith(".parquet")
+                    and rel not in live
+                    and now - os.path.getmtime(full) >= min_age_s
+                ):
                     os.remove(full)
                     removed += 1
         return removed

@@ -200,6 +200,31 @@ def test_eventlog_range_read_after_compaction_and_without_stats(spark, tmp_path)
     assert again == before
 
 
+def test_eventlog_range_read_ts_format_insensitive(spark, tmp_path):
+    """Pruning must be keyed on canonical timestamps, not raw string
+    bytes: an ISO-8601 'T'-separated bound and pandas/py datetime
+    objects must prune identically to the space-separated form (a
+    lexicographic compare of mixed formats would silently drop
+    matching segments)."""
+    import pandas as pd
+
+    ev, job = _mk(spark, tmp_path)
+    job.run()
+    m = job.manifest()
+    t0 = m["segments"][m["files"][0]]["ts"]
+    base = job.read_range(ts_from=t0[0], ts_to=t0[1])
+    n_base, files_base = base.count(), set(base.inputFiles())
+    variants = [
+        (t0[0].replace(" ", "T"), t0[1].replace(" ", "T")),  # ISO-8601
+        (pd.Timestamp(t0[0]), pd.Timestamp(t0[1])),  # pandas
+        (pd.Timestamp(t0[0]).to_pydatetime(), pd.Timestamp(t0[1]).to_pydatetime()),
+    ]
+    for tf, tt in variants:
+        df = job.read_range(ts_from=tf, ts_to=tt)
+        assert set(df.inputFiles()) == files_base
+        assert df.count() == n_base
+
+
 def test_eventlog_expiry_reaps_superseded_segments_keeps_log_intact(spark, tmp_path):
     """Retention: compaction supersedes the original segment dirs but
     leaves them for history; expire_snapshots bounds that — old

@@ -199,7 +199,10 @@ def test_gc_orphans(spark, tmp_table_dir):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "junk.parquet"), "w") as f:
         f.write("x")
-    assert t.gc_orphans() == 1
+    # young debris survives the in-flight-writer guard; aged debris
+    # (min_age_s=0 simulates age) is reaped
+    assert t.gc_orphans() == 0
+    assert t.gc_orphans(min_age_s=0) == 1
     assert t.read(spark).count() == 3  # table unharmed
 
 

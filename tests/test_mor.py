@@ -200,6 +200,26 @@ def test_mor_streaming_matches_oracle(spark, wire_stream, tmp_path):
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
 
 
+def test_mor_single_delta_bucket_keeps_other_buckets_on_fast_path(spark, tmp_path):
+    """A lone delta in one bucket must not drag the whole table through
+    the key-agg resolution: delta-free buckets stay on the plain
+    aligned scan (no Aggregate over their rows) and the union result
+    is exact."""
+    t = _mk(tmp_path / "t")
+    t.merge(spark, spark.createDataFrame(B1 + [("z", 7, "q", False)], CH_SCHEMA))
+    # touch ONLY key "a" via MOR -> exactly one bucket holds deltas
+    t.merge_mor(
+        spark, spark.createDataFrame([("a", 1, "x9", False)], CH_SCHEMA)
+    )
+    assert len(t.delta_counts()) == 1
+    got = _state(spark, t)
+    assert ("a", 1, "x9") in got and ("z", 7, "q") in got
+    # plan shape: rows from clean buckets reach the result without an
+    # aggregate — the resolved side is one small union branch
+    plan = t.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan
+
+
 def test_mor_snapshot_expiry_keeps_live_deltas(spark, tmp_path):
     """expire_snapshots during MOR operation must never reap a delta
     file the current manifest references; state survives expiry and a

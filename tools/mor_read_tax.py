@@ -53,10 +53,13 @@ def main() -> None:
 
     def ch(seed: int, n: int):
         # deterministic batch of updates over existing keys
+        # bijective key map for ANY n_rows: shift, never multiply (a
+        # multiplier not coprime with n_rows would collide keys within
+        # one batch and violate merge_mor's one-row-per-key contract)
         return (
             spark.range(n)
             .select(
-                F.concat(F.lit("c"), ((F.col("id") * (seed * 2 + 1)) % n_rows).cast("string")).alias("k"),
+                F.concat(F.lit("c"), ((F.col("id") + seed * 137) % n_rows).cast("string")).alias("k"),
                 F.lit(0).alias("i"),
                 (F.col("id") + seed * 10_000_000).alias("v"),
                 F.lit(False).alias("__delete"),
