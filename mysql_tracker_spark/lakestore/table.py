@@ -890,6 +890,82 @@ class LakeTable:
 
     # ------------------------------------------------------------- utilities
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history as a DataFrame (Iceberg ``table.history``
+        metadata-table analogue): one row per retained version with its
+        operation, commit timestamp, parent, and the replay watermark
+        it carried — the audit surface for "which batch produced which
+        snapshot". Driver-side manifest reads only; no data touched."""
+        rows = []
+        for fn in sorted(os.listdir(self.snap_dir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.snap_dir, fn)) as f:
+                m = json.load(f)
+            s, p = m.get("summary", {}), m.get("properties", {})
+            rows.append(
+                (
+                    m["version"],
+                    m.get("parent"),
+                    s.get("operation"),
+                    s.get("ts_ms"),
+                    p.get("offset_file"),
+                    int(p["offset_pos"]) if p.get("offset_pos") else None,
+                    p.get("batch_seq"),
+                    m.get("schema_id"),
+                )
+            )
+        schema = T.StructType(
+            [
+                T.StructField("version", T.IntegerType()),
+                T.StructField("parent", T.IntegerType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("ts_ms", T.LongType()),
+                T.StructField("offset_file", T.StringType()),
+                T.StructField("offset_pos", T.LongType()),
+                T.StructField("batch_seq", T.StringType()),
+                T.StructField("schema_id", T.IntegerType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def files(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Data-file inventory of a snapshot (Iceberg ``table.files``
+        analogue): one row per live file with its bucket, schema_id,
+        delta flag + commit seq, and on-disk size — what a maintenance
+        planner (compaction, rescale, GC audit) reads instead of
+        listing directories. Driver-side only."""
+        m = self.manifest(version)
+        rows = []
+        for b_str, files in m["buckets"].items():
+            for fe in files:
+                full = os.path.join(self.path, fe["path"])
+                try:
+                    size = os.path.getsize(full)
+                except OSError:
+                    size = None
+                rows.append(
+                    (
+                        int(b_str),
+                        fe["path"],
+                        fe["schema_id"],
+                        bool(fe.get("delta")),
+                        fe.get("seq"),
+                        size,
+                    )
+                )
+        schema = T.StructType(
+            [
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("schema_id", T.IntegerType()),
+                T.StructField("is_delta", T.BooleanType()),
+                T.StructField("seq", T.IntegerType()),
+                T.StructField("size_bytes", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
     def set_properties(self, properties: dict[str, str]) -> int:
         m = self.manifest()
         new = dict(m)

@@ -433,3 +433,29 @@ def test_tags_pin_survive_expiry_and_read(spark, tmp_table_dir):
     t.expire_snapshots(keep_last=1)
     left = [int(f[1:-5]) for f in __import__("os").listdir(t.snap_dir) if f.endswith(".json")]
     assert v1 not in left  # released
+
+
+def test_history_and_files_metadata_tables(spark, tmp_table_dir):
+    """Iceberg metadata-table analogues: history() rows mirror the
+    snapshot chain (operations, watermarks), files() inventories live
+    files with bucket/delta/seq — both driver-side only."""
+    t = _mk(spark, tmp_table_dir)
+    t.merge(
+        spark,
+        spark.createDataFrame([("c1", 0, "u", False)], CH_SCHEMA),
+        properties={"offset_file": "bin.000002", "offset_pos": "77", "batch_seq": "4"},
+    )
+    t.merge_mor(spark, spark.createDataFrame([("c2", 0, "m", False)], CH_SCHEMA))
+    h = {r["version"]: r for r in t.history(spark).collect()}
+    assert h[1]["operation"] == "create" and h[1]["parent"] is None
+    assert h[max(h)]["operation"] == "merge-mor"
+    merge_row = h[max(h) - 1]
+    assert (merge_row["operation"], merge_row["offset_file"], merge_row["offset_pos"]) == (
+        "merge", "bin.000002", 77,
+    )
+    assert [h[v]["parent"] for v in sorted(h)][1:] == sorted(h)[:-1]
+    f = t.files(spark).collect()
+    assert all(r["size_bytes"] > 0 for r in f)
+    deltas = [r for r in f if r["is_delta"]]
+    assert deltas and all(r["seq"] == max(h) for r in deltas)
+    assert {r["path"] for r in f} == set(t.live_files())
