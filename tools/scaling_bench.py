@@ -83,6 +83,11 @@ def level_main(cores: int, in_dir: str, tbl_dir: str) -> None:
     from mysql_tracker_spark.runner import CdcApplyJob
     from mysql_tracker_spark.session import get_spark
 
+    # SCALE_WRITE_MODE=mor measures the merge-on-read sink at each
+    # level (final full compaction INSIDE the timed wall — same honest
+    # protocol as bench.py's cdc_apply_mor — which also keeps the
+    # raw-file digest valid)
+    mode = os.environ.get("SCALE_WRITE_MODE", "cow")
     spark = get_spark(
         app_name=f"scale{cores}", cores=cores, shuffle_partitions=cores,
         extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
@@ -91,17 +96,20 @@ def level_main(cores: int, in_dir: str, tbl_dir: str) -> None:
     t0 = time.time()
     CdcApplyJob(
         spark, in_dir, tbl_dir + "_warm", n_buckets=64,
-        files_per_batch=FILES_PER_BATCH, source_format="wire",
+        files_per_batch=FILES_PER_BATCH, source_format="wire", write_mode=mode,
     ).run()
     warm = time.time() - t0
     walls, events = [], 0
     for rep in range(REPS):
         tgt = tbl_dir if rep == REPS - 1 else tbl_dir + f"_r{rep}"
         t0 = time.time()
-        stats = CdcApplyJob(
+        job = CdcApplyJob(
             spark, in_dir, tgt, n_buckets=64,
-            files_per_batch=FILES_PER_BATCH, source_format="wire",
-        ).run()
+            files_per_batch=FILES_PER_BATCH, source_format="wire", write_mode=mode,
+        )
+        stats = job.run()
+        if mode == "mor":
+            job.table.compact(spark)
         walls.append(time.time() - t0)
         events = sum(s.rows_in for s in stats)
     spark.stop()
@@ -139,9 +147,10 @@ def main():
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     n_high = n_low * 4
     levels = [n_low, n_high]
-    for extra in (8, 32):  # context datapoints (shared-DRAM regime)
-        if extra not in levels:
-            levels.append(extra)
+    if os.environ.get("SCALE_SKIP_EXTRA") != "1":
+        for extra in (8, 32):  # context datapoints (shared-DRAM regime)
+            if extra not in levels:
+                levels.append(extra)
 
     from mysql_tracker_spark.session import get_spark
     from mysql_tracker_spark.sources.wire import write_wire_distributed
@@ -233,7 +242,14 @@ Reference single-JVM baseline (BASELINE.md): ~543 events/s sustained,
     # SCALING.md, not BASELINE.md: the curated BASELINE.md carries
     # hand-written sections (attribution, flood, sustained volume)
     # that a raw re-run must never clobber — merge by hand from here
-    with open(os.path.join(REPO, "BENCH", "SCALING.md"), "w") as f:
+    mode = os.environ.get("SCALE_WRITE_MODE", "cow")
+    out_name = "SCALING.md" if mode == "cow" else f"SCALING_{mode.upper()}.md"
+    if mode != "cow":
+        md = md.replace(
+            "# BENCH — scaling evidence",
+            f"# BENCH — scaling evidence (write_mode={mode}, final compaction in-wall)",
+        )
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write(md)
     summary = {
         "n_events": n_events,
