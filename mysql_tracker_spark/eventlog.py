@@ -169,14 +169,28 @@ class EventLogJob:
     # --------------------------------------------------------------- input
 
     def batch_files(self) -> list[list[str]]:
+        """Pending input files grouped into micro-batches — same
+        authority rules as the keyed apply job: an input-side
+        ``_batches.json`` manifest, when present, governs membership
+        and order (object-store listings are slow/unordered/racy at
+        scale); otherwise a sorted directory listing (file names are
+        offset-ordered by construction)."""
+        from .runner import CdcApplyJob
+
+        man = os.path.join(self.input_dir, CdcApplyJob.INPUT_MANIFEST)
         ext = {"jsonl": ".jsonl", "typed": ".parquet", "wire": ".parquet"}[
             self.source_format
         ]
-        files = sorted(
-            os.path.join(self.input_dir, f)
-            for f in os.listdir(self.input_dir)
-            if f.endswith(ext)
-        )
+        if os.path.exists(man):
+            with open(man) as f:
+                names = json.load(f)["files"]
+            files = [os.path.join(self.input_dir, p) for p in names]
+        else:
+            files = sorted(
+                os.path.join(self.input_dir, f)
+                for f in os.listdir(self.input_dir)
+                if f.endswith(ext)
+            )
         k = self.files_per_batch
         return [files[i : i + k] for i in range(0, len(files), k)]
 

@@ -664,12 +664,11 @@ class LakeTable:
         m = self.manifest()
         schema = self.schema()
         nb = m["n_buckets"]
-        new_version = m["version"] + 1
         ch = changes.withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], nb)
         ).withColumn(_TOMBSTONE, F.col(delete_col).cast("boolean"))
         new_files = self._write_buckets(ch, schema, extra_cols=[_TOMBSTONE])
-        return self._commit_delta(m, new_version, new_files, properties)
+        return self._commit_delta(new_files, properties)
 
     def adopt_delta(
         self,
@@ -686,7 +685,6 @@ class LakeTable:
         (moved); crash between move and commit leaves an orphan dir
         that :meth:`gc_orphans` reaps."""
         m = self.manifest()
-        new_version = m["version"] + 1
         dest = f"mor-{uuid.uuid4().hex[:12]}"
         os.replace(staged_dir, os.path.join(self.data_dir, dest))
         sid = m["schema_id"]
@@ -703,37 +701,50 @@ class LakeTable:
                     new_files.setdefault(b, []).append(
                         {"path": rel, "schema_id": sid}
                     )
-        return self._commit_delta(m, new_version, new_files, properties)
+        return self._commit_delta(new_files, properties)
 
     def _commit_delta(
         self,
-        m: dict,
-        new_version: int,
         new_files: dict[int, list[dict]],
         properties: dict[str, str] | None,
+        max_retries: int = 5,
     ) -> tuple[int, dict]:
         """Append delta entries (stamped ``delta=True, seq=version``) to
-        their buckets and commit."""
-        new_buckets = {b: list(files) for b, files in m["buckets"].items()}
-        n_delta = 0
-        for b, files in new_files.items():
-            lst = new_buckets.setdefault(str(b), [])
-            for fe in files:
-                lst.append({**fe, "delta": True, "seq": new_version})
-                n_delta += 1
-        new = dict(m)
-        new["version"] = new_version
-        new["parent"] = m["version"]
-        new["buckets"] = new_buckets
-        new["properties"] = {**m["properties"], **(properties or {})}
-        new["summary"] = {
-            "operation": "merge-mor",
-            "ts_ms": int(time.time() * 1000),
-            "affected_buckets": len(new_files),
-            "delta_files": n_delta,
-        }
-        v = self._commit(new)
-        return v, new["summary"]
+        their buckets and commit — WITH optimistic-conflict retry
+        (Iceberg commit semantics): on a version collision the manifest
+        is re-read and the append replayed against it. Safe because a
+        delta append composes with ANY concurrent commit: a concurrent
+        compaction/COW rewrite leaves our entries strictly newer (seq =
+        latest version + 1 > any base seq), and a concurrent delta
+        append just interleaves at commit order — the same ordering an
+        Iceberg equality-delete append gets."""
+        last: FileExistsError | None = None
+        for _ in range(max_retries):
+            m = self.manifest()
+            new_version = m["version"] + 1
+            new_buckets = {b: list(files) for b, files in m["buckets"].items()}
+            n_delta = 0
+            for b, files in new_files.items():
+                lst = new_buckets.setdefault(str(b), [])
+                for fe in files:
+                    lst.append({**fe, "delta": True, "seq": new_version})
+                    n_delta += 1
+            new = dict(m)
+            new["version"] = new_version
+            new["parent"] = m["version"]
+            new["buckets"] = new_buckets
+            new["properties"] = {**m["properties"], **(properties or {})}
+            new["summary"] = {
+                "operation": "merge-mor",
+                "ts_ms": int(time.time() * 1000),
+                "affected_buckets": len(new_files),
+                "delta_files": n_delta,
+            }
+            try:
+                return self._commit(new), new["summary"]
+            except FileExistsError as e:
+                last = e
+        raise last
 
     def compact(
         self,

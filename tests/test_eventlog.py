@@ -250,3 +250,25 @@ def test_eventlog_expiry_reaps_superseded_segments_keeps_log_intact(spark, tmp_p
     # appends continue normally after expiry (watermark intact: rerun
     # of the same input is fenced to a no-op)
     assert all(s.skipped for s in job.run())
+
+
+def test_eventlog_honors_input_manifest(spark, tmp_path):
+    """Input-side manifest authority (parity with the keyed apply
+    job): when _batches.json exists, membership and order come from it
+    — unreferenced files are invisible to the log."""
+    from mysql_tracker_spark.runner import write_input_manifest
+
+    ev, job = _mk(spark, tmp_path, files_per_batch=1)
+    all_groups = job.batch_files()
+    assert len(all_groups) == 3
+    # manifest referencing only the first two files
+    import os as _os
+
+    names = [_os.path.basename(g[0]) for g in all_groups[:2]]
+    write_input_manifest(job.input_dir, names)
+    vis = job.batch_files()
+    assert [
+        _os.path.basename(g[0]) for g in vis
+    ] == names
+    stats = job.run()
+    assert len([s for s in stats if not s.skipped]) == 2

@@ -234,6 +234,44 @@ def test_mor_snapshot_expiry_keeps_live_deltas(spark, tmp_path):
     assert _state(spark, t) == want
 
 
+def test_mor_commit_retries_on_version_collision(spark, tmp_path):
+    """Optimistic-conflict retry (Iceberg commit semantics): a delta
+    append that collides with a concurrently-committed version re-reads
+    the manifest and lands on the next one, never losing either
+    commit's content."""
+    import json
+    import os
+
+    t = _mk(tmp_path / "t")
+    t.merge_mor(spark, spark.createDataFrame(B1, CH_SCHEMA))
+    head = t.current_version()
+    # force a real collision: the first manifest() read inside
+    # _commit_delta sees a STALE version (as if a concurrent writer
+    # committed between our read and our commit), so the first
+    # _commit targets an existing file and must retry
+    real = t.manifest
+    calls = {"n": 0}
+
+    def stale(version=None):
+        m = real(version)
+        if version is None and calls["n"] == 0:
+            calls["n"] += 1
+            m = dict(m)
+            m["version"] -= 1
+        return m
+
+    t.manifest = stale
+    try:
+        fake_entry = {0: [{"path": t.live_files()[0], "schema_id": 0}]}
+        v, summary = t._commit_delta(fake_entry, None)
+    finally:
+        t.manifest = real
+    assert calls["n"] == 1  # the stale read really happened
+    assert v == head + 1 and summary["operation"] == "merge-mor"
+    with open(os.path.join(t.snap_dir, f"v{v:08d}.json")) as f:
+        assert json.load(f)["version"] == v
+
+
 def test_mor_read_changes_across_deltas(spark, tmp_path):
     """Changelog between two MOR snapshots diffs RESOLVED states:
     superseded delta rows and tombstones never leak as phantom ops."""
