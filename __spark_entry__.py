@@ -1671,6 +1671,62 @@ def q_cdc_changelog_snapshot_diff(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_changelog_stream(spark, sf_dir):
+    """STREAMING CDC-out (S6's streaming twin): the same snapshot-diff
+    as cdc_changelog_snapshot_diff, but consumed through the Spark 4
+    Python Data Source (`spark.readStream.format("lakestore_changes")`)
+    — offsets are table versions, one partition per changed bucket,
+    executor-side pyarrow/pandas diff. Same DuckDB oracle: the sink
+    transport must be invisible in the rows."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.lakestore.changes_source import (
+        LakeChangesDataSource,
+    )
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    _write_changelog_cut(ev)
+    work = tempfile.mkdtemp(prefix="mts_entry_chstream_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    try:
+        write_batches(ev, in_dir, n_batches=3)
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run(max_batches=1)
+        v1 = job.table.current_version()
+        job.run()
+        spark.dataSource.register(LakeChangesDataSource)
+        name = "mts_chg_stream"
+        q = (
+            spark.readStream.format("lakestore_changes")
+            .option("path", tbl_dir)
+            .option("fromVersion", v1)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        result = spark.table(name).select(
+            "op",
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            "score",
+        ).orderBy("conv_id", "turn_idx")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_apply_transcripts_final(spark, sf_dir):
     """The flagship engine path end-to-end, DRIVER-ORACLED: generate the
     deterministic synthetic binlog, dump the raw change events flat to
@@ -1977,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
         "cdc_apply_mor_final_state": q_cdc_apply_mor_final_state,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
+        "cdc_changelog_stream": q_cdc_changelog_stream,
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
         "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
@@ -2867,6 +2924,55 @@ def oracle_sql() -> dict[str, str]:
         # (pre-image, earlier state only), update (post-image, any
         # column differs null-safely).
         "cdc_changelog_snapshot_diff": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), cut AS (SELECT bf, bp FROM read_parquet('{CHANGELOG_CUT_DUMP}')),
+            s1 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                    WHERE file < (SELECT bf FROM cut)
+                       OR (file = (SELECT bf FROM cut) AND pos <= (SELECT bp FROM cut))
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            ), sf AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            )
+            SELECT CASE WHEN s1.conv_id IS NULL THEN 'insert'
+                        WHEN sf.conv_id IS NULL THEN 'delete'
+                        ELSE 'update' END AS op,
+                   COALESCE(sf.conv_id, s1.conv_id) AS conv_id,
+                   CAST(COALESCE(sf.turn_idx, s1.turn_idx) AS INT) AS turn_idx,
+                   CASE WHEN sf.conv_id IS NULL THEN s1.role ELSE sf.role END AS role,
+                   CASE WHEN sf.conv_id IS NULL THEN s1.text ELSE sf.text END AS text,
+                   CASE WHEN sf.conv_id IS NULL THEN s1.tool ELSE sf.tool END AS tool,
+                   CASE WHEN sf.conv_id IS NULL THEN s1.ts_text ELSE sf.ts_text END AS ts_text,
+                   CAST(CASE WHEN sf.conv_id IS NULL THEN s1.score ELSE sf.score END AS BIGINT) AS score
+            FROM s1 FULL OUTER JOIN sf
+              ON s1.conv_id = sf.conv_id AND s1.turn_idx = sf.turn_idx
+            WHERE s1.conv_id IS NULL OR sf.conv_id IS NULL
+               OR s1.role IS DISTINCT FROM sf.role
+               OR s1.text IS DISTINCT FROM sf.text
+               OR s1.tool IS DISTINCT FROM sf.tool
+               OR s1.ts_text IS DISTINCT FROM sf.ts_text
+               OR s1.score IS DISTINCT FROM sf.score
+            ORDER BY conv_id, turn_idx
+        """,
+        # Streaming twin: identical oracle — the transport (readStream
+        # data source vs batch scan) must be invisible in the rows.
+        "cdc_changelog_stream": f"""
             WITH e AS (
                 SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
                 WHERE op IN ('INSERT','UPDATE','DELETE')
