@@ -234,6 +234,17 @@ def test_mor_snapshot_expiry_keeps_live_deltas(spark, tmp_path):
     assert _state(spark, t) == want
 
 
+def test_pure_cow_table_read_plan_has_no_resolution_agg(spark, tmp_path):
+    """Tables that never used MOR pay nothing: the read plan is the
+    plain aligned scan — no Aggregate, no Union — byte-for-byte the
+    pre-MOR plan shape."""
+    t = _mk(tmp_path / "t")
+    for b in (B1, B2):
+        t.merge(spark, spark.createDataFrame(b, CH_SCHEMA))
+    plan = t.read(spark)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan and "Union" not in plan
+
+
 def test_mor_commit_retries_on_version_collision(spark, tmp_path):
     """Optimistic-conflict retry (Iceberg commit semantics): a delta
     append that collides with a concurrently-committed version re-reads
