@@ -977,6 +977,66 @@ class LakeTable:
         )
         return spark.createDataFrame(rows, schema)
 
+    def validate(self, spark: SparkSession | None = None, deep: bool = False) -> dict:
+        """Table fsck (Iceberg verify-procedure analogue). Shallow
+        (driver-only, metadata): every referenced file exists on disk,
+        every schema_id resolves, delta entries carry a commit seq no
+        newer than the snapshot, the bucket-hash stamp matches this
+        engine. ``deep=True`` adds two Spark checks a 10^10-row
+        deployment runs before trusting a restored/migrated table:
+        per-bucket PLACEMENT (every row's ``pmod(hash(key), B)`` equals
+        the bucket its file is filed under — a mis-placed row silently
+        escapes future merges' anti-join) and resolved-state KEY
+        UNIQUENESS (one live row per key). Returns
+        ``{"ok": bool, "issues": [...]}`` — never raises."""
+        m = self.manifest()
+        issues: list[str] = []
+        for b_str, files in m["buckets"].items():
+            for fe in files:
+                if not os.path.exists(os.path.join(self.path, fe["path"])):
+                    issues.append(f"missing file: {fe['path']}")
+                if str(fe["schema_id"]) not in m["schemas"]:
+                    issues.append(
+                        f"unresolvable schema_id {fe['schema_id']}: {fe['path']}"
+                    )
+                if fe.get("delta") and not (
+                    0 < fe.get("seq", 0) <= m["version"]
+                ):
+                    issues.append(
+                        f"delta entry with bad seq {fe.get('seq')}: {fe['path']}"
+                    )
+        if m.get("bucket_hash") != _BUCKET_HASH_ID:
+            issues.append(f"bucket hash mismatch: {m.get('bucket_hash')!r}")
+        if deep and not issues and spark is not None:
+            nb = m["n_buckets"]
+            misplaced = 0
+            for b_str, files in m["buckets"].items():
+                if not files:
+                    continue
+                df = self._read_aligned(
+                    spark,
+                    [fe for fe in files if not fe.get("delta")],
+                    m["schemas"],
+                    self.schema(),
+                )
+                n = df.filter(
+                    _bucket_expr(m["bucket_by"], nb) != int(b_str)
+                ).count()
+                if n:
+                    misplaced += n
+                    issues.append(f"bucket {b_str}: {n} misplaced rows")
+            key = m["key_cols"]
+            dups = (
+                self._read_state(spark, m)
+                .groupBy(*key)
+                .count()
+                .filter(F.col("count") > 1)
+                .count()
+            )
+            if dups:
+                issues.append(f"{dups} duplicate keys in resolved state")
+        return {"ok": not issues, "issues": issues}
+
     def set_properties(self, properties: dict[str, str]) -> int:
         m = self.manifest()
         new = dict(m)

@@ -110,6 +110,13 @@ def main() -> None:
         "replays the rolled-back range through the fenced MERGE)",
     )
     ap.add_argument(
+        "--fsck", choices=["shallow", "deep"], default=None,
+        help="before applying, validate table integrity (shallow = "
+        "metadata: files exist, schema ids resolve, delta seqs sane; "
+        "deep = + per-bucket placement and resolved-key uniqueness "
+        "Spark checks) and exit non-zero on issues",
+    )
+    ap.add_argument(
         "--compact", action="store_true",
         help="before applying, fold any merge-on-read delta files back "
         "into base files (all buckets holding deltas) — standalone "
@@ -151,6 +158,14 @@ def main() -> None:
             json.dumps({"rollback_to": args.rollback_to, "new_version": v}),
             file=sys.stderr,
         )
+
+    if args.fsck:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        r = LakeTable.load(args.table).validate(spark, deep=args.fsck == "deep")
+        print(json.dumps({"fsck": r}), file=sys.stderr)
+        if not r["ok"]:
+            sys.exit(3)
 
     if args.compact:
         from mysql_tracker_spark.lakestore import LakeTable

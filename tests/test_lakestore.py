@@ -459,3 +459,33 @@ def test_history_and_files_metadata_tables(spark, tmp_table_dir):
     deltas = [r for r in f if r["is_delta"]]
     assert deltas and all(r["seq"] == max(h) for r in deltas)
     assert {r["path"] for r in f} == set(t.live_files())
+
+
+def test_validate_fsck_detects_corruption(spark, tmp_table_dir):
+    """Table fsck: healthy tables pass shallow+deep; a deleted data
+    file and a tampered (misplaced) bucket are each detected."""
+    import json as _json
+    import os as _os
+
+    t = _mk(spark, tmp_table_dir)
+    t.merge_mor(spark, spark.createDataFrame([("c9", 5, "m", False)], CH_SCHEMA))
+    assert t.validate() == {"ok": True, "issues": []}
+    assert t.validate(spark, deep=True)["ok"]
+
+    # corruption 1: a referenced file vanishes
+    victim = _os.path.join(t.path, t.live_files()[0])
+    _os.rename(victim, victim + ".gone")
+    r = t.validate()
+    assert not r["ok"] and any("missing file" in i for i in r["issues"])
+    _os.rename(victim + ".gone", victim)
+
+    # corruption 2: swap two buckets' file lists -> rows misplaced
+    m = t.manifest()
+    bks = [b for b, fs in m["buckets"].items() if fs]
+    assert len(bks) >= 2
+    a, b = bks[0], bks[1]
+    m["buckets"][a], m["buckets"][b] = m["buckets"][b], m["buckets"][a]
+    m["version"] += 1
+    t._commit(m)
+    r = t.validate(spark, deep=True)
+    assert not r["ok"] and any("misplaced" in i for i in r["issues"])
