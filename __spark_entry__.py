@@ -596,6 +596,175 @@ def q_tpch_q18_large_orders(spark, sf_dir):
     )
 
 
+def q_tpch_q7_volume_shipping(spark, sf_dir):
+    """Volume shipping (TPC-H Q7 flavor): the two-dimension-role join —
+    nation joins BOTH the supplier side and the customer side under
+    different aliases, with a symmetric (A,B)|(B,A) pair predicate and
+    a per-year rollup. Both nation copies broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == n1.__sn_key)
+        .join(F.broadcast(n2), c.c_nationkey == n2.__cn_key)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(
+                _dec("l_extendedprice", 28, 6)
+                * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount", 18, 6))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q10_returned_items(spark, sf_dir):
+    """Returned-item reporting (TPC-H Q10 flavor): fact join restricted
+    to returns, customer-grain revenue agg over four grouping columns,
+    top-20 — the wide-group top-k reporting shape."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice", 28, 6)
+                * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount", 18, 6))
+            ).cast("double").alias("revenue"),
+            F.max(_dec("c_acctbal")).cast("double").alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q13_order_distribution(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 flavor): LEFT OUTER
+    join (customers with zero orders must appear with c_count=0), then
+    an aggregation OVER an aggregation — the two-level groupBy shape."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """Top supplier (TPC-H Q15 flavor): aggregate, then join back to
+    the aggregate's own MAX — the argmax-over-agg shape (the reference
+    view + scalar subquery). Exact DECIMAL revenue so the equality join
+    is deterministic; the max side is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _dec("l_extendedprice", 28, 6)
+            * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount", 18, 6))
+        ).alias("__rev")
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.__rev == mx.__mx)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("__rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q17_small_qty_avg(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 flavor): correlated
+    per-part average threshold — lines whose quantity is below 20% of
+    their part's average quantity. The threshold compare is done in
+    EXACT integer/decimal form (qty*count*5 < sum) so Spark and DuckDB
+    classify borderline rows identically; the per-part agg is a
+    broadcast-joined dimension."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("__sq"),
+        F.count(F.lit(1)).alias("__cq"),
+    )
+    return (
+        li.join(per_part.withColumnRenamed("l_partkey", "__pk"),
+                F.col("l_partkey") == F.col("__pk"))
+        .filter(_dec("l_quantity") * F.col("__cq") * 5 < F.col("__sq"))
+        .agg(
+            (F.sum(_dec("l_extendedprice", 28, 6)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q19_disjunctive(spark, sf_dir):
+    """Discounted revenue (TPC-H Q19 flavor): OR-of-conjunctions join
+    predicate over part attributes and line quantity — the disjunctive
+    pushdown shape (each disjunct pins a different brand/size/quantity
+    band)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    d1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    d2 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    d3 = (
+        (F.col("p_brand") == "Brand#33")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(d1 | d2 | d3).agg(
+        F.sum(
+            _dec("l_extendedprice", 28, 6)
+            * (F.lit(1).cast("decimal(18,6)") - _dec("l_discount", 18, 6))
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
 def q_cdc_cube_type_hour(spark, sf_dir):
     """CUBE coverage (all four grouping sets — rollup's column-order
     subtotals plus the (NULL, hour) slice): monitor counters at every
@@ -1992,6 +2161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_conditional": q_tpch_q12_conditional,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q7_volume_shipping": q_tpch_q7_volume_shipping,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_avg": q_tpch_q17_small_qty_avg,
+        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
         "cdc_cube_type_hour": q_cdc_cube_type_hour,
         "cdc_moving_sum_per_user": q_cdc_moving_sum_per_user,
         "cdc_json_props_sum": q_cdc_json_props_sum,
@@ -2325,6 +2500,86 @@ def oracle_sql() -> dict[str, str]:
             FROM big JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_price DESC, o_orderkey ASC LIMIT 10
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) *
+                            (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) *
+                            (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+                   CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "tpch_q13_order_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(28,6)) *
+                           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS r
+                FROM lineitem
+                WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r = (SELECT max(r) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17_small_qty_avg": """
+            WITH brand_lines AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#11'
+            ), per_part AS (
+                SELECT l_partkey AS pk,
+                       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+                       count(*) AS cq
+                FROM brand_lines GROUP BY l_partkey
+            )
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+            FROM brand_lines JOIN per_part ON l_partkey = pk
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * cq * 5 < sq
+        """,
+        "tpch_q19_disjunctive": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) *
+                            (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue,
+                   count(*) AS line_count
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
         """,
         "cdc_cube_type_hour": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
