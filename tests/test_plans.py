@@ -86,6 +86,25 @@ def test_new_relational_queries_plan_shape(spark):
         assert python_stage_count(df) == 0, name
 
 
+def test_round3_tpch_queries_plan_shape(spark):
+    """Q7/Q10/Q15/Q17/Q19 broadcast their dimension sides and stay pure
+    JVM; the date/flag filters reach the parquet scan."""
+    df7 = entrymod.q_tpch_q7_volume_shipping(spark, SF)
+    assert has_broadcast_join(df7) and python_stage_count(df7) == 0
+    assert any("l_shipdate" in p for p in pushed_filters(df7))
+    df10 = entrymod.q_tpch_q10_returned_items(spark, SF)
+    assert has_broadcast_join(df10) and python_stage_count(df10) == 0
+    assert any("l_returnflag" in p for p in pushed_filters(df10))
+    df15 = entrymod.q_tpch_q15_top_supplier(spark, SF)
+    assert has_broadcast_join(df15) and python_stage_count(df15) == 0
+    df17 = entrymod.q_tpch_q17_small_qty_avg(spark, SF)
+    assert has_broadcast_join(df17) and python_stage_count(df17) == 0
+    df19 = entrymod.q_tpch_q19_disjunctive(spark, SF)
+    assert has_broadcast_join(df19) and python_stage_count(df19) == 0
+    df13 = entrymod.q_tpch_q13_order_distribution(spark, SF)
+    assert python_stage_count(df13) == 0
+
+
 def test_seq_numbering_has_no_global_single_task_sort(spark):
     """B3 two-phase sequencing: the main data path must be a parallel
     range-repartition + within-partition sort, never a row_number over
