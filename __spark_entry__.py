@@ -765,6 +765,170 @@ def q_tpch_q19_disjunctive(spark, sf_dir):
     )
 
 
+def q_tpch_q8_market_share(spark, sf_dir):
+    """National market share (TPC-H Q8 flavor): conditional-share
+    aggregation — one nation's fraction of total discounted volume per
+    order year. Exercises the region->nation dim chain on the CUSTOMER
+    side, a second independent nation role on the SUPPLIER side
+    feeding the CASE, and a part-type filter. Every dimension
+    broadcasts; the exact-decimal sums divide as doubles only at the
+    end (same stability contract as tpch_q14)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_regionkey").alias("__cn_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _dec("l_extendedprice", 28, 6) * (
+        F.lit(1).cast("decimal(18,6)") - _dec("l_discount", 18, 6)
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("__cn_key"))
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("__cn_rkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n2), s.s_nationkey == F.col("__sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(28,6)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark, sf_dir):
+    """Parts/supplier relationship (TPC-H Q16 flavor): COUNT(DISTINCT)
+    per part-attribute group with a NOT-IN blacklist subquery — a
+    broadcast LEFT ANTI join against negative-balance suppliers.
+    lineitem is the part<->supplier bridge (this corpus has no
+    partsupp table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+def q_tpch_q20_part_promotion(spark, sf_dir):
+    """Potential part promotion (TPC-H Q20 flavor): the nested
+    semi-join chain — suppliers IN (heavy shippers of parts IN
+    (name-prefix parts)) within a nation set. Spark plan: broadcast
+    left-semi on the part list, grouped HAVING on (suppkey, partkey),
+    then two more left-semi joins; no DISTINCT explosion, no
+    correlated re-scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("blue"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    heavy = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__sq"))
+        .filter(F.col("__sq") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(n.select("n_nationkey")),
+            s.s_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+def q_tpch_q21_waiting_supplier(spark, sf_dir):
+    """Suppliers who kept orders waiting (TPC-H Q21 flavor): the
+    EXISTS + NOT-EXISTS double lineitem self-join, rewritten as the
+    classic single-pass per-order aggregation — per order, count
+    DISTINCT suppliers and DISTINCT *late* suppliers; a late line
+    counts iff its 'F'-status order is multi-supplier and its supplier
+    is the ONLY late one. One shuffle on l_orderkey instead of two
+    full lineitem self-joins (the 100TB-safe form); the DuckDB oracle
+    keeps the literal EXISTS / NOT EXISTS SQL, so the rewrite itself
+    is what the contract row verifies. Late = shipped >365 days after
+    order date (this corpus has no l_receiptdate/l_commitdate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    lo = li.join(
+        o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey")
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 365
+    per_order = (
+        lo.withColumn("__late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("__n_supp"),
+            F.countDistinct(
+                F.when(F.col("__late"), F.col("l_suppkey"))
+            ).alias("__n_late_supp"),
+            F.max(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__late_supp"),
+            F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("__n_late_lines"),
+        )
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1))
+    )
+    s_n = s.join(
+        F.broadcast(n.select("n_nationkey")),
+        s.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    )
+    return (
+        per_order.join(s_n, per_order.__late_supp == s_n.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("__n_late_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def q_cdc_cube_type_hour(spark, sf_dir):
     """CUBE coverage (all four grouping sets — rollup's column-order
     subtotals plus the (NULL, hour) slice): monitor counters at every
@@ -2167,6 +2331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q17_small_qty_avg": q_tpch_q17_small_qty_avg,
         "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q20_part_promotion": q_tpch_q20_part_promotion,
+        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
         "cdc_cube_type_hour": q_cdc_cube_type_hour,
         "cdc_moving_sum_per_user": q_cdc_moving_sum_per_user,
         "cdc_json_props_sum": q_cdc_json_props_sum,
@@ -2580,6 +2748,68 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
                OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                            THEN CAST(l_extendedprice AS DECIMAL(28,6)) *
+                                 (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))
+                            ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)) *
+                              (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE)
+                   AS mkt_share
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q16_supplier_cnt": """
+            SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 45)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+        """,
+        "tpch_q20_part_promotion": """
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2')
+              AND s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+                  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 40)
+            ORDER BY s_name
+        """,
+        "tpch_q21_waiting_supplier": """
+            SELECT s_name, count(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F'
+              AND datediff('day', o_orderdate, l1.l_shipdate) > 365
+              AND n_name = 'NATION_1'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND datediff('day', o_orderdate, l3.l_shipdate) > 365)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
         """,
         "cdc_cube_type_hour": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n

@@ -105,6 +105,29 @@ def test_round3_tpch_queries_plan_shape(spark):
     assert python_stage_count(df13) == 0
 
 
+def test_round3b_tpch_queries_plan_shape(spark):
+    """Q8/Q16/Q20/Q21: broadcast dims, pure JVM, filters at the scan;
+    Q21's agg rewrite must not contain a lineitem self-join (one scan
+    of lineitem, not three)."""
+    from mysql_tracker_spark.plans.checks import explain_str
+
+    df8 = entrymod.q_tpch_q8_market_share(spark, SF)
+    assert has_broadcast_join(df8) and python_stage_count(df8) == 0
+    assert any("o_orderdate" in p for p in pushed_filters(df8))
+    df16 = entrymod.q_tpch_q16_supplier_cnt(spark, SF)
+    assert has_broadcast_join(df16) and python_stage_count(df16) == 0
+    df20 = entrymod.q_tpch_q20_part_promotion(spark, SF)
+    assert has_broadcast_join(df20) and python_stage_count(df20) == 0
+    assert any("l_shipdate" in p for p in pushed_filters(df20))
+    df21 = entrymod.q_tpch_q21_waiting_supplier(spark, SF)
+    assert has_broadcast_join(df21) and python_stage_count(df21) == 0
+    txt = explain_str(df21, mode="formatted")
+    assert txt.count("lineitem.parquet") == 1, (
+        "Q21 rewrite must scan lineitem exactly once (EXISTS/NOT-EXISTS "
+        "self-joins belong only in the DuckDB oracle)"
+    )
+
+
 def test_seq_numbering_has_no_global_single_task_sort(spark):
     """B3 two-phase sequencing: the main data path must be a parallel
     range-repartition + within-partition sort, never a row_number over
