@@ -1,0 +1,121 @@
+"""SQL catalog surface: temp-view registration over lake tables and
+event logs (Iceberg SQL-UX analogue)."""
+
+import os
+
+from pyspark.sql import types as T
+
+from mysql_tracker_spark.catalog import register_eventlog, register_table
+from mysql_tracker_spark.lakestore import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+CH_SCHEMA = T.StructType(SCHEMA.fields + [T.StructField("__delete", T.BooleanType())])
+
+
+def _mk(spark, path):
+    t = LakeTable.create(path, SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4)
+    t.overwrite(
+        spark.createDataFrame([("c1", 0, "a"), ("c1", 1, "b"), ("c2", 0, "c")], SCHEMA)
+    )
+    return t
+
+
+def test_register_table_sql_roundtrip(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.tag("audit")
+    created = register_table(spark, t, "transcripts")
+    assert "transcripts" in created and "transcripts__at_audit" in created
+
+    assert spark.sql("SELECT count(*) AS n FROM transcripts").first().n == 3
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in spark.sql(
+            "SELECT conv_id, turn_idx, text FROM transcripts ORDER BY 1, 2"
+        ).collect()
+    }
+    assert got == {("c1", 0): "a", ("c1", 1): "b", ("c2", 0): "c"}
+
+    # metadata tables answer through SQL
+    hist = spark.sql("SELECT version, operation FROM `transcripts__history`").collect()
+    assert {r.operation for r in hist} >= {"overwrite"}
+    nfiles = spark.sql("SELECT count(*) AS n FROM `transcripts__files`").first().n
+    assert nfiles >= 1
+    tags = dict(
+        (r.tag, r.version)
+        for r in spark.sql("SELECT tag, version FROM `transcripts__tags`").collect()
+    )
+    assert tags == {"audit": t.current_version()}
+
+
+def test_register_table_pins_snapshot_until_reregistered(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.tag("before")
+    register_table(spark, t, "pinned")
+    ch = spark.createDataFrame([("c1", 0, "UPDATED", False)], CH_SCHEMA)
+    t.merge(spark, ch)
+
+    # the registered view still reads the snapshot current at
+    # registration (reader isolation), and the tag view stays pinned
+    assert (
+        spark.sql("SELECT text FROM pinned WHERE conv_id='c1' AND turn_idx=0")
+        .first()
+        .text
+        == "a"
+    )
+    assert (
+        spark.sql("SELECT text FROM `pinned__at_before` WHERE conv_id='c1' AND turn_idx=0")
+        .first()
+        .text
+        == "a"
+    )
+    # re-registration advances to the new commit
+    register_table(spark, t, "pinned")
+    assert (
+        spark.sql("SELECT text FROM pinned WHERE conv_id='c1' AND turn_idx=0")
+        .first()
+        .text
+        == "UPDATED"
+    )
+
+
+def test_register_table_by_path_and_defaults(spark, tmp_table_dir):
+    _mk(spark, tmp_table_dir)
+    created = register_table(spark, tmp_table_dir)
+    name = created[0]
+    assert spark.sql(f"SELECT count(*) AS n FROM {name}").first().n == 3
+
+
+def test_register_eventlog_sql(spark, tmp_path):
+    from mysql_tracker_spark.eventlog import EventLogJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=2000, n_conversations=50, seed=11))
+    inp = os.path.join(str(tmp_path), "in")
+    write_batches(ev, inp, n_batches=4)
+    log = EventLogJob(spark, inp, os.path.join(str(tmp_path), "log"), files_per_batch=2)
+    log.run()
+
+    created = register_eventlog(spark, log, "evlog")
+    assert created == ["evlog", "evlog__segments"]
+    n = spark.sql("SELECT count(*) AS n FROM evlog").first().n
+    # the log collapses producer replay duplicates on (file, pos, row_idx)
+    expected = len(ev.drop_duplicates(subset=["file", "pos", "row_idx"]))
+    assert n == expected
+    # seq is dense 0..n-1 and SQL-visible
+    mx = spark.sql("SELECT max(seq) AS m, min(seq) AS lo FROM evlog").first()
+    assert (mx.lo, mx.m) == (0, n - 1)
+    segs = spark.sql(
+        "SELECT segment, rows, seq_min, seq_max FROM `evlog__segments` ORDER BY seq_min"
+    ).collect()
+    assert sum(r.rows for r in segs) == n
+    assert segs[0].seq_min == 0 and segs[-1].seq_max == n - 1
