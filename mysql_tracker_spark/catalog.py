@@ -24,6 +24,8 @@ registration for the same reason.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from .lakestore.table import LakeTable
@@ -59,6 +61,14 @@ def register_table(
         t.history(spark).createOrReplaceTempView(f"{name}__history")
         t.files(spark).createOrReplaceTempView(f"{name}__files")
         created += [f"{name}__history", f"{name}__files"]
+        # per-batch lineage/metrics the apply job appends next to the
+        # table (offset ranges, row counts, commit snapshot ids —
+        # FIXTURES.md §3): the audit stream, queryable alongside the
+        # data it produced
+        lineage = os.path.join(t.path, "lineage.jsonl")
+        if os.path.exists(lineage):
+            spark.read.json(lineage).createOrReplaceTempView(f"{name}__lineage")
+            created.append(f"{name}__lineage")
 
     if include_tags:
         tags = t.tags()

@@ -84,6 +84,36 @@ def test_register_table_pins_snapshot_until_reregistered(spark, tmp_table_dir):
     )
 
 
+def test_register_lineage_view_after_apply(spark, tmp_path):
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=40, seed=5))
+    inp = os.path.join(str(tmp_path), "in")
+    tbl = os.path.join(str(tmp_path), "tbl")
+    write_batches(ev, inp, n_batches=3)
+    CdcApplyJob(spark, inp, tbl, n_buckets=4, files_per_batch=1).run()
+
+    created = register_table(spark, tbl, "applied")
+    assert "applied__lineage" in created
+    rows = spark.sql(
+        "SELECT batch_id, rows_in, file_end, pos_end FROM `applied__lineage` "
+        "ORDER BY batch_id"
+    ).collect()
+    assert len(rows) == 3 and all(r.rows_in > 0 for r in rows)
+    # the lineage's last committed offset equals the table watermark
+    hi = rows[-1]
+    props = spark.sql(
+        "SELECT offset_file, offset_pos FROM `applied__history` "
+        "ORDER BY version DESC LIMIT 1"
+    ).first()
+    assert (props.offset_file, props.offset_pos) == (hi.file_end, hi.pos_end)
+
+
 def test_register_table_by_path_and_defaults(spark, tmp_table_dir):
     _mk(spark, tmp_table_dir)
     created = register_table(spark, tmp_table_dir)
