@@ -59,6 +59,22 @@ _TOMBSTONE = "__delete"
 _BUCKET_HASH_ID = "murmur3_42"
 
 
+def _footer_rows(full_path: str) -> int:
+    """Record count from the parquet file footer — metadata only."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(full_path).metadata.num_rows
+
+
+def _bucket_rows(new_files: dict[int, list[dict]]) -> dict[str, int]:
+    """Per-bucket rows written by a commit, folded from the entries'
+    footer stats (the per-partition lineage payload)."""
+    return {
+        str(b): sum(int(e.get("rows") or 0) for e in files)
+        for b, files in new_files.items()
+    }
+
+
 def _has_delta(entries: list[dict]) -> bool:
     return any(fe.get("delta") for fe in entries)
 
@@ -484,7 +500,18 @@ class LakeTable:
             for fn in os.listdir(bdir):
                 if fn.endswith(".parquet"):
                     rel = os.path.join("data", stage, entry, fn)
-                    out.setdefault(b, []).append({"path": rel, "schema_id": sid})
+                    out.setdefault(b, []).append(
+                        {
+                            "path": rel,
+                            "schema_id": sid,
+                            # per-file record count from the parquet
+                            # FOOTER (Iceberg manifest file-stats model;
+                            # one driver-side metadata read per written
+                            # file, no Spark job) — powers per-partition
+                            # lineage and the files() metadata table
+                            "rows": _footer_rows(os.path.join(bdir, fn)),
+                        }
+                    )
         return out
 
     def overwrite(self, df: DataFrame, properties: dict[str, str] | None = None) -> int:
@@ -632,6 +659,10 @@ class LakeTable:
             "ts_ms": int(time.time() * 1000),
             "affected_buckets": len(affected),
             "upserts": n_upserts,
+            # per-partition commit footprint: live rows written into
+            # each rewritten bucket (survivors + upserts), from footer
+            # stats — north_star's per-partition lineage row counts
+            "bucket_rows": _bucket_rows(new_files),
         }
         v = self._commit(new)
         return v, new["summary"]
@@ -699,7 +730,11 @@ class LakeTable:
                 if fn.endswith(".parquet"):
                     rel = os.path.join("data", dest, entry, fn)
                     new_files.setdefault(b, []).append(
-                        {"path": rel, "schema_id": sid}
+                        {
+                            "path": rel,
+                            "schema_id": sid,
+                            "rows": _footer_rows(os.path.join(bdir, fn)),
+                        }
                     )
         return self._commit_delta(new_files, properties)
 
@@ -739,6 +774,9 @@ class LakeTable:
                 "ts_ms": int(time.time() * 1000),
                 "affected_buckets": len(new_files),
                 "delta_files": n_delta,
+                # per-partition commit footprint: delta rows (LWW
+                # winners incl. tombstones) appended to each bucket
+                "bucket_rows": _bucket_rows(new_files),
             }
             try:
                 return self._commit(new), new["summary"]
@@ -963,6 +1001,7 @@ class LakeTable:
                         bool(fe.get("delta")),
                         fe.get("seq"),
                         size,
+                        fe.get("rows"),
                     )
                 )
         schema = T.StructType(
@@ -973,6 +1012,9 @@ class LakeTable:
                 T.StructField("is_delta", T.BooleanType()),
                 T.StructField("seq", T.IntegerType()),
                 T.StructField("size_bytes", T.LongType()),
+                # footer record count stamped at write; None on files
+                # committed before the stat existed
+                T.StructField("record_count", T.LongType()),
             ]
         )
         return spark.createDataFrame(rows, schema)
@@ -993,8 +1035,23 @@ class LakeTable:
         issues: list[str] = []
         for b_str, files in m["buckets"].items():
             for fe in files:
-                if not os.path.exists(os.path.join(self.path, fe["path"])):
+                full = os.path.join(self.path, fe["path"])
+                if not os.path.exists(full):
                     issues.append(f"missing file: {fe['path']}")
+                elif fe.get("rows") is not None:
+                    # manifest record-count stat vs the actual footer:
+                    # a mismatch means the file was replaced/truncated
+                    # after commit (still metadata-only — footer read)
+                    try:
+                        actual = _footer_rows(full)
+                    except Exception as e:  # unreadable footer
+                        actual = None
+                        issues.append(f"unreadable footer: {fe['path']} ({e})")
+                    if actual is not None and actual != fe["rows"]:
+                        issues.append(
+                            f"record_count drift: {fe['path']} manifest="
+                            f"{fe['rows']} footer={actual}"
+                        )
                 if str(fe["schema_id"]) not in m["schemas"]:
                     issues.append(
                         f"unresolvable schema_id {fe['schema_id']}: {fe['path']}"

@@ -107,6 +107,12 @@ class ApplyStats:
     # no compaction ran)
     write_mode: str | None = None
     compacted_buckets: list | None = None
+    # per-PARTITION lineage (north_star: offset ranges, row counts,
+    # snapshot ids per partition): rows this commit wrote into each
+    # affected bucket, from parquet footer stats — delta rows (LWW
+    # winners incl. tombstones) under mor, the rewritten buckets'
+    # live rows (survivors + upserts) under cow
+    bucket_rows: dict | None = None
 
 
 class CdcApplyJob:
@@ -813,12 +819,13 @@ class CdcApplyJob:
             # commit — one rename + manifest append, zero Spark jobs
             # (lakestore.adopt_delta); per-batch cost never sees the
             # table size. Compaction below bounds read amplification.
-            version, _ = self.table.adopt_delta(delta_dir, properties=props)
+            version, summary = self.table.adopt_delta(delta_dir, properties=props)
             stats.snapshot_version = version
+            stats.bucket_rows = summary.get("bucket_rows")
             self._maybe_compact(stats)
         elif affected:
             delta = self.spark.read.parquet(delta_dir).drop("__bucket")
-            version, _ = self.table.merge(
+            version, summary = self.table.merge(
                 self.spark,
                 delta,
                 properties=props,
@@ -826,6 +833,7 @@ class CdcApplyJob:
                 count_upserts=False,
             )
             stats.snapshot_version = version
+            stats.bucket_rows = summary.get("bucket_rows")
         else:
             stats.snapshot_version = self.table.set_properties(props)
         shutil.rmtree(delta_dir, ignore_errors=True)
@@ -961,10 +969,11 @@ class CdcApplyJob:
         self._gate_expectations(changes, stats)
         stats.write_mode = self.write_mode
         if self.write_mode == "mor":
-            version, _ = self.table.merge_mor(
+            version, summary = self.table.merge_mor(
                 self.spark, changes, properties=props
             )
             stats.snapshot_version = version
+            stats.bucket_rows = summary.get("bucket_rows")
             self._maybe_compact(stats)
         else:
             version, summary = self.table.merge(
@@ -975,6 +984,7 @@ class CdcApplyJob:
                 count_upserts=False,
             )
             stats.snapshot_version = version
+            stats.bucket_rows = summary.get("bucket_rows")
         stats.rows_applied = rng["n_dml"]
         stats.wall_ms = int((time.time() - t0) * 1000)
         if rng["max_ts"] is not None:
@@ -1058,6 +1068,7 @@ class CdcApplyJob:
             "expectation_violations": stats.expectation_violations,
             "write_mode": stats.write_mode,
             "compacted_buckets": stats.compacted_buckets,
+            "bucket_rows": stats.bucket_rows,
             "ts_ms": int(time.time() * 1000),
         }
         with open(path, "a") as f:

@@ -461,6 +461,79 @@ def test_history_and_files_metadata_tables(spark, tmp_table_dir):
     assert {r["path"] for r in f} == set(t.live_files())
 
 
+def test_file_record_counts_and_bucket_rows(spark, tmp_table_dir):
+    """Per-file footer record counts stamped at write (Iceberg file
+    stats) and the per-bucket commit footprint in merge summaries —
+    the per-partition row counts the lineage carries."""
+    t = _mk(spark, tmp_table_dir)
+
+    # every live file's stamped record_count equals its actual rows
+    for r in t.files(spark).collect():
+        actual = spark.read.parquet(
+            str(tmp_table_dir) + "/" + r["path"]
+        ).count()
+        assert r["record_count"] == actual, r["path"]
+
+    # COW merge: bucket_rows = live rows written per rewritten bucket
+    v, s = t.merge(
+        spark, spark.createDataFrame([("c1", 1, "B", False), ("c9", 0, "n", False)], CH_SCHEMA)
+    )
+    assert set(s["bucket_rows"]) == {
+        str(b) for b in t.buckets_for_keys(spark, ["c1", "c9"])
+    }
+    for b, n in s["bucket_rows"].items():
+        live = sum(
+            e["rows"] for e in t.manifest()["buckets"][b]
+        )
+        assert n == live
+
+    # MOR merge: bucket_rows = delta rows (winners + tombstones)
+    v, s = t.merge_mor(
+        spark,
+        spark.createDataFrame([("c1", 0, None, True), ("c2", 0, "m2", False)], CH_SCHEMA),
+    )
+    assert sum(s["bucket_rows"].values()) == 2
+    f = t.files(spark).collect()
+    assert all(r["record_count"] is not None and r["record_count"] >= 0 for r in f)
+
+
+def test_apply_lineage_carries_bucket_rows(spark, tmp_path):
+    """The apply job's lineage rows carry the per-partition commit
+    footprint on BOTH sink modes (north_star per-partition lineage)."""
+    import json
+    import os
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=30, seed=3))
+    inp = os.path.join(str(tmp_path), "in")
+    write_batches(ev, inp, n_batches=2)
+    for mode in ("cow", "mor"):
+        tbl = os.path.join(str(tmp_path), f"tbl_{mode}")
+        stats = CdcApplyJob(
+            spark, inp, tbl, n_buckets=4, files_per_batch=1, write_mode=mode
+        ).run()
+        assert all(
+            s.bucket_rows and all(v > 0 for v in s.bucket_rows.values())
+            for s in stats
+            if not s.skipped
+        ), mode
+        with open(os.path.join(tbl, "lineage.jsonl")) as f:
+            recs = [json.loads(line) for line in f]
+        assert all(r["bucket_rows"] for r in recs), mode
+        if mode == "mor":
+            # delta-rows semantics: per-batch sum equals the LWW winner
+            # count the runner derived from the same footers
+            for s in stats:
+                if not s.skipped and s.rows_winners is not None:
+                    assert sum(s.bucket_rows.values()) == s.rows_winners
+
+
 def test_validate_fsck_detects_corruption(spark, tmp_table_dir):
     """Table fsck: healthy tables pass shallow+deep; a deleted data
     file and a tampered (misplaced) bucket are each detected."""
@@ -479,7 +552,27 @@ def test_validate_fsck_detects_corruption(spark, tmp_table_dir):
     assert not r["ok"] and any("missing file" in i for i in r["issues"])
     _os.rename(victim + ".gone", victim)
 
-    # corruption 2: swap two buckets' file lists -> rows misplaced
+    # corruption 2: a live file silently replaced by one with a
+    # DIFFERENT row count -> the manifest record-count stat catches it
+    # shallow (pick a pair whose stamped counts differ: c1's bucket
+    # file holds 2 rows, the others 1)
+    import shutil as _shutil
+
+    entries = [fe for fs in t.manifest()["buckets"].values() for fe in fs]
+    by_rows = sorted(entries, key=lambda fe: fe["rows"])
+    lo, hi = by_rows[0], by_rows[-1]
+    assert lo["rows"] != hi["rows"]
+    v_path = _os.path.join(t.path, lo["path"])
+    backup = v_path + ".bak"
+    _shutil.copyfile(v_path, backup)
+    _shutil.copyfile(_os.path.join(t.path, hi["path"]), v_path)
+    r = t.validate()
+    assert not r["ok"] and any("record_count drift" in i for i in r["issues"])
+    _shutil.copyfile(backup, v_path)
+    _os.remove(backup)
+    assert t.validate()["ok"]
+
+    # corruption 3: swap two buckets' file lists -> rows misplaced
     m = t.manifest()
     bks = [b for b, fs in m["buckets"].items() if fs]
     assert len(bks) >= 2
