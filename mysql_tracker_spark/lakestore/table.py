@@ -353,6 +353,30 @@ class LakeTable:
         m = self.manifest(version)
         return self._read_state(spark, m)
 
+    def row_count(
+        self, spark: SparkSession | None = None, version: int | None = None
+    ) -> int:
+        """Live row count. When the snapshot is DELTA-FREE the answer
+        folds straight out of the manifest's per-file record-count
+        stats — zero Spark jobs, zero data reads (Iceberg's
+        count(*)-from-manifests optimization): base files hold exactly
+        one live row per key by the COW merge invariant. With
+        merge-on-read deltas present the count requires LWW resolution
+        (deltas supersede and tombstone base rows), so it falls back to
+        counting the resolved read — pass ``spark`` for that case.
+        Files committed before record counts were stamped (``rows``
+        missing) also force the fallback rather than undercounting."""
+        m = self.manifest(version)
+        entries = [fe for fs in m["buckets"].values() for fe in fs]
+        if all(not fe.get("delta") and fe.get("rows") is not None for fe in entries):
+            return sum(fe["rows"] for fe in entries)
+        if spark is None:
+            raise ValueError(
+                "row_count over merge-on-read deltas (or pre-stats files) "
+                "needs a SparkSession to resolve"
+            )
+        return self._read_state(spark, m).count()
+
     def buckets_for_keys(self, spark: SparkSession, keys: list) -> list[int]:
         """Bucket ids owning ``keys`` — computed by Spark's own
         ``hash()`` (one tiny single-partition job), never a Python

@@ -497,6 +497,30 @@ def test_file_record_counts_and_bucket_rows(spark, tmp_table_dir):
     assert all(r["record_count"] is not None and r["record_count"] >= 0 for r in f)
 
 
+def test_row_count_from_manifest_stats(spark, tmp_table_dir):
+    """count(*) from manifest stats: exact with zero Spark jobs on a
+    delta-free snapshot; falls back to the resolved read under MOR
+    deltas (tombstones must subtract)."""
+    t = _mk(spark, tmp_table_dir)
+    assert t.row_count() == 3  # no spark needed
+    t.merge(spark, spark.createDataFrame([("c7", 0, "x", False)], CH_SCHEMA))
+    assert t.row_count() == 4
+
+    # MOR delta with one tombstone: stats alone can't answer
+    t.merge_mor(
+        spark,
+        spark.createDataFrame([("c1", 0, None, True), ("c8", 0, "y", False)], CH_SCHEMA),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.row_count()
+    assert t.row_count(spark) == 4  # +c8, -c1/0
+    # compaction folds deltas away -> stats path is exact again
+    t.compact(spark)
+    assert t.row_count() == 4
+
+
 def test_apply_lineage_carries_bucket_rows(spark, tmp_path):
     """The apply job's lineage rows carry the per-partition commit
     footprint on BOTH sink modes (north_star per-partition lineage)."""
