@@ -929,6 +929,181 @@ def q_tpch_q21_waiting_supplier(spark, sf_dir):
     )
 
 
+def q_tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Minimum-cost supplier (TPC-H Q2 flavor): the correlated
+    MIN-subquery — for each qualifying part, the EUROPE supplier(s)
+    whose supply cost equals the per-part minimum. This corpus has no
+    partsupp, so supply cost is derived over the lineitem bridge as
+    min(l_extendedprice) per (part, supplier) — exact DECIMAL, no
+    division. Spark plan: one grouped cost table, a window MIN over
+    p_partkey *after* the region semi-join (the correlation is against
+    the Europe-restricted cost set, exactly as the literal correlated
+    SQL scopes it), filter cost == min. One extra window shuffle
+    instead of a correlated re-scan per part — the 100TB-safe form;
+    dimensions broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.select("r_regionkey")), n.n_regionkey == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("__cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.join(F.broadcast(euro_supp), cost.l_suppkey == euro_supp.s_suppkey)
+        .withColumn("__min_cost", F.min("__cost").over(w))
+        .filter(F.col("__cost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("__cost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q9_product_profit(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 flavor): profit per supplier
+    nation per order year over a part-name pattern. No partsupp, so
+    unit cost is flavored as half the part's retail price
+    (p_retailprice * qty * 0.5), keeping Q9's shape — a 5-way join
+    where the measure mixes lineitem and part columns — with every
+    term exact DECIMAL until the final double cast. Dimensions
+    broadcast; the single shuffle is the (nation, year) aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    # the corpus carries exactly 2 decimal places on prices/discounts
+    # and integer quantities, so these narrow scales are lossless and
+    # every product stays far inside 38 digits — exact in BOTH engines
+    # (wider casts overflow Spark's decimal width and truncate
+    # differently than DuckDB)
+    vol = _dec("l_extendedprice", 18, 2) * (
+        F.lit(1).cast("decimal(4,2)") - _dec("l_discount", 4, 2)
+    )
+    # qty*0.5 is exact in double (power-of-two factor)
+    cost = _dec("p_retailprice", 18, 2) * (
+        F.col("l_quantity") * F.lit(0.5)
+    ).cast("decimal(12,1)")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(vol).cast("double") - F.sum(cost).cast("double")).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q11_important_stock(spark, sf_dir):
+    """Important stock identification (TPC-H Q11 flavor): per-part
+    value held by one nation's suppliers, kept only where it exceeds a
+    fraction of the GLOBAL total — the scalar-subquery HAVING. Value
+    is flavored over the lineitem bridge as sum(extendedprice ×
+    quantity) for NATION_9 suppliers. Spark plan: one grouped agg,
+    then a broadcast cross-join of the single-row global total (the
+    scalar subquery) — no correlated re-scan, no second pass over
+    lineitem (the global total reuses the per-part aggregate). Both
+    sides exact DECIMAL; the threshold compare runs in double, both
+    engines deriving it from the identical exact sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    nat_supp = s.join(
+        F.broadcast(n.select("n_nationkey")),
+        s.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey")
+    # price has 2 decimals, quantity is integer-valued: (18,2)x(12,0)
+    # stays well inside 38 digits, so the product is exact in BOTH
+    # engines (a (28,6)x(18,6) product would overflow Spark's decimal
+    # width and truncate differently than DuckDB)
+    value = F.sum(_dec("l_extendedprice", 18, 2) * _dec("l_quantity", 12, 0)).alias(
+        "__value_dec"
+    )
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(value)
+    )
+    total = per_part.agg(
+        F.sum("__value_dec").cast("double").alias("__total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("__value_dec").cast("double")
+            > F.col("__total") * F.lit(0.002)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("__value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q_tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """Global sales opportunity (TPC-H Q22 flavor): per-nation count
+    and balance of above-average-balance customers with NO recent
+    orders — the scalar AVG subquery plus NOT EXISTS anti-join. This
+    corpus has every customer ordering at least once, so 'dormant' is
+    flavored as no orders since 2000-01-01 (the anti-join input is
+    date-pruned BEFORE the shuffle — at 100TB that predicate reaches
+    the parquet scan). The average is derived as an exact DECIMAL sum
+    over the positive-balance pool divided once in double, so both
+    engines compute the identical threshold."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 5, 8, 12, 17, 20, 24)
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 def q_cdc_cube_type_hour(spark, sf_dir):
     """CUBE coverage (all four grouping sets — rollup's column-order
     subtotals plus the (NULL, hour) slice): monitor counters at every
@@ -2335,6 +2510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q20_part_promotion": q_tpch_q20_part_promotion,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+        "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+        "tpch_q9_product_profit": q_tpch_q9_product_profit,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q22_global_sales_opportunity": q_tpch_q22_global_sales_opportunity,
         "cdc_cube_type_hour": q_cdc_cube_type_hour,
         "cdc_moving_sum_per_user": q_cdc_moving_sum_per_user,
         "cdc_json_props_sum": q_cdc_json_props_sum,
@@ -2810,6 +2989,79 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC
             LIMIT 20
+        """,
+        "tpch_q2_min_cost_supplier": """
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                   CAST(supplycost AS DOUBLE) AS supplycost
+            FROM part
+            JOIN cost     ON p_partkey = l_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+              AND supplycost = (
+                SELECT min(c2.supplycost) FROM cost c2
+                JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey
+                JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                WHERE r2.r_name = 'EUROPE' AND c2.l_partkey = p_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "tpch_q9_product_profit": """
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   - CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) *
+                              CAST(l_quantity * 0.5 AS DECIMAL(12,1))) AS DOUBLE)
+                   AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11_important_stock": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           CAST(l_quantity AS DECIMAL(12,0))) AS value_dec
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_9')
+                GROUP BY l_partkey)
+            SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE CAST(value_dec AS DOUBLE) >
+                  (SELECT CAST(sum(value_dec) AS DOUBLE) FROM per_part) * 0.002
+            ORDER BY part_value DESC, p_partkey
+        """,
+        "tpch_q22_global_sales_opportunity": """
+            WITH pool AS (
+                SELECT * FROM customer
+                WHERE c_nationkey IN (1, 5, 8, 12, 17, 20, 24)),
+            thr AS (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS avg_bal
+                FROM pool WHERE c_acctbal > 0)
+            SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM pool, thr
+            WHERE c_acctbal > avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= '2000-01-01')
+            GROUP BY cntrycode ORDER BY cntrycode
         """,
         "cdc_cube_type_hour": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n

@@ -128,6 +128,36 @@ def test_round3b_tpch_queries_plan_shape(spark):
     )
 
 
+def test_round3c_tpch_queries_plan_shape(spark):
+    """Q2/Q9/Q11/Q22 (completing the 22-query set): broadcast dims,
+    pure JVM; Q2's correlated-MIN rewrite must scan lineitem exactly
+    once (the window MIN replaces the correlated re-scan) and Q11's
+    scalar-subquery HAVING must likewise not rescan lineitem for the
+    global total (it reuses the per-part aggregate)."""
+    from mysql_tracker_spark.plans.checks import explain_str
+
+    df2 = entrymod.q_tpch_q2_min_cost_supplier(spark, SF)
+    assert has_broadcast_join(df2) and python_stage_count(df2) == 0
+    assert explain_str(df2, mode="formatted").count("lineitem.parquet") == 1
+    df9 = entrymod.q_tpch_q9_product_profit(spark, SF)
+    assert has_broadcast_join(df9) and python_stage_count(df9) == 0
+    df11 = entrymod.q_tpch_q11_important_stock(spark, SF)
+    assert has_broadcast_join(df11) and python_stage_count(df11) == 0
+    # the global-total branch must ReuseExchange the per-part
+    # aggregate, not rescan lineitem (AQE hides the reuse pre-exec)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        txt11 = explain_str(
+            entrymod.q_tpch_q11_important_stock(spark, SF), mode="formatted"
+        )
+        assert txt11.count("lineitem.parquet") == 1 and "ReusedExchange" in txt11
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    df22 = entrymod.q_tpch_q22_global_sales_opportunity(spark, SF)
+    assert has_broadcast_join(df22) and python_stage_count(df22) == 0
+    assert any("o_orderdate" in p for p in pushed_filters(df22))
+
+
 def test_seq_numbering_has_no_global_single_task_sort(spark):
     """B3 two-phase sequencing: the main data path must be a parallel
     range-repartition + within-partition sort, never a row_number over
