@@ -66,6 +66,113 @@ def _footer_rows(full_path: str) -> int:
     return pq.ParquetFile(full_path).metadata.num_rows
 
 
+def _stat_safe(v):
+    """JSON-encodable form of a footer min/max value. Timestamps/dates
+    become ISO strings (decoded back by :func:`_stat_bounds`); types
+    with no faithful JSON form return None (column gets no stats —
+    never skipped, always safe)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # footers hand back UTC-adjusted (aware) instants; store them
+        # naive-UTC so bounds compare cleanly with session-naive probes
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _footer_stats(full_path: str, cols: list[str]) -> dict | None:
+    """Per-column [min, max] bounds from the parquet footer's row-group
+    statistics — metadata only, no data read (the Iceberg manifest
+    lower/upper-bounds model). A column missing statistics in ANY row
+    group gets no entry (pruning then never skips on it). Parquet may
+    store truncated string bounds; they are still valid lower/upper
+    bounds, which is all range pruning needs."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    idx = {}
+    for i in range(md.num_columns):
+        idx[md.schema.column(i).name] = i
+    out = {}
+    for c in cols:
+        ci = idx.get(c)
+        if ci is None:
+            continue
+        lo = hi = None
+        ok = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if not ok or lo is None:
+            continue
+        slo, shi = _stat_safe(lo), _stat_safe(hi)
+        if slo is not None and shi is not None:
+            out[c] = [slo, shi]
+    return out or None
+
+
+def _stat_bounds(fe: dict, col: str, probe):
+    """Decoded (min, max) bounds of ``col`` for a file entry, or None
+    when the entry carries no stats for it (pre-stats files, all-null
+    or unencodable columns — caller must keep the file). ``probe`` is
+    any value of the query's domain: a datetime/date probe re-parses
+    the ISO-encoded bounds."""
+    import datetime as _dt
+
+    st = (fe.get("stats") or {}).get(col)
+    if not st:
+        return None
+    lo, hi = st
+    if isinstance(probe, _dt.datetime):
+        plo = _dt.datetime.fromisoformat(lo)
+        phi = _dt.datetime.fromisoformat(hi)
+        if probe.tzinfo is not None:  # bounds are stored naive-UTC
+            plo = plo.replace(tzinfo=_dt.timezone.utc)
+            phi = phi.replace(tzinfo=_dt.timezone.utc)
+        return plo, phi
+    if isinstance(probe, _dt.date):
+        return _dt.date.fromisoformat(lo[:10]), _dt.date.fromisoformat(hi[:10])
+    return lo, hi
+
+
+def _stats_keep_range(fe: dict, col: str, lo, hi) -> bool:
+    """True unless the file's stats PROVE no row can satisfy
+    ``lo <= col <= hi`` (either bound may be None = unbounded).
+    Missing stats keep the file — skipping is only ever an
+    optimization, never a semantic filter."""
+    b = _stat_bounds(fe, col, lo if lo is not None else hi)
+    if b is None:
+        return True
+    fmin, fmax = b
+    if lo is not None and fmax < lo:
+        return False
+    if hi is not None and fmin > hi:
+        return False
+    return True
+
+
+def _stats_keep_keys(fe: dict, col: str, keys: list) -> bool:
+    """True unless the file's stats prove NONE of ``keys`` can be
+    present (point-read delta skipping)."""
+    if not keys:
+        return True
+    b = _stat_bounds(fe, col, keys[0])
+    if b is None:
+        return True
+    fmin, fmax = b
+    return any(fmin <= k <= fmax for k in keys)
+
+
 def _bucket_rows(new_files: dict[int, list[dict]]) -> dict[str, int]:
     """Per-bucket rows written by a commit, folded from the entries'
     footer stats (the per-partition lineage payload)."""
@@ -253,6 +360,7 @@ class LakeTable:
         bucket_ids: list[int] | None = None,
         target: T.StructType | None = None,
         schemas: dict | None = None,
+        file_filter=None,
     ) -> DataFrame:
         """Live one-row-per-key state of a snapshot's buckets, with any
         merge-on-read DELTA files resolved: for every key the entry
@@ -271,7 +379,13 @@ class LakeTable:
         aggregation on the key with ``max_by(payload_struct, seq)``.
         max_by is a declarative aggregate, so hot keys collapse
         map-side before the shuffle, and the shuffle moves only the
-        buckets in scope (point reads stay bucket-pruned)."""
+        buckets in scope (point reads stay bucket-pruned).
+
+        ``file_filter(entry) -> bool`` drops individual files BEFORE
+        the scan. Only sound for filters that prove the file holds no
+        row of the keys in question (manifest min/max stats on a KEY
+        column): excluding a file with no rows for a key cannot change
+        that key's ``max_by`` winner."""
         schemas = schemas if schemas is not None else m["schemas"]
         target = (
             target
@@ -288,6 +402,8 @@ class LakeTable:
         delta_entries: list[dict] = []
         for b in bucket_ids:
             files = m["buckets"].get(str(b), [])
+            if file_filter is not None:
+                files = [fe for fe in files if file_filter(fe)]
             (delta_entries if _has_delta(files) else clean_entries).extend(files)
         if not delta_entries:
             return self._read_aligned(spark, clean_entries, schemas, target)
@@ -400,12 +516,82 @@ class LakeTable:
         scans every live file; at 10^10 rows fetching one conversation
         must touch 1/n_buckets of the table, not all of it — the same
         pruning a bucket-partitioned Iceberg scan gets from its
-        partition spec. The residual ``isin`` filter is pushed to the
-        parquet scan (hash collisions share a bucket)."""
+        partition spec. Within the bucket, manifest min/max key stats
+        skip files whose key range excludes every requested key — under
+        merge-on-read that drops the delta files of unrelated batches,
+        so the point-read tax is the base file + only the deltas that
+        actually touched the key (skipping is LWW-sound: a skipped file
+        provably holds no row of these keys). The residual ``isin``
+        filter is pushed to the parquet scan (hash collisions share a
+        bucket)."""
         m = self.manifest(version)
         bks = self.buckets_for_keys(spark, keys)
-        df = self._read_state(spark, m, bucket_ids=bks)
-        return df.filter(F.col(m["bucket_by"]).isin(list(keys)))
+        col = m["bucket_by"]
+        klist = list(keys)
+        df = self._read_state(
+            spark,
+            m,
+            bucket_ids=bks,
+            file_filter=lambda fe: _stats_keep_keys(fe, col, klist),
+        )
+        return df.filter(F.col(col).isin(klist))
+
+    def live_files_where(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[str]:
+        """Relative paths of live files that MAY hold rows with
+        ``lo <= col <= hi``, per manifest min/max stats (driver-only;
+        the planning half of :meth:`read_where`, exposed for tests and
+        maintenance tooling)."""
+        m = self.manifest(version)
+        return [
+            fe["path"]
+            for files in m["buckets"].values()
+            for fe in files
+            if _stats_keep_range(fe, col, lo, hi)
+        ]
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range-predicate read ``lo <= col <= hi`` (either bound may
+        be None) with manifest-level FILE SKIPPING — the Iceberg
+        data-skipping model: files whose stamped min/max bounds exclude
+        the range are never opened, and the exact residual predicate
+        still applies to whatever is read.
+
+        Skipping soundness depends on what ``col`` is:
+
+        - a KEY column: rows of a key never move between files except
+          by commits that rewrite both, so skipping applies even with
+          merge-on-read deltas in scope (same argument as
+          :meth:`read_for_keys`).
+        - a PAYLOAD column (e.g. ``ts``): an update can change the
+          value, so under deltas a key's live row may pass the filter
+          while sitting in a file whose OLD version dominates another
+          file's range. Payload-column skipping therefore only engages
+          on delta-free scopes (the common steady state after
+          compaction); with deltas present the read falls back to full
+          LWW resolution, filtered afterwards — always correct.
+        """
+        m = self.manifest(version)
+        key_like = col == m["bucket_by"] or col in m["key_cols"]
+        entries = [fe for fs in m["buckets"].values() for fe in fs]
+        ff = lambda fe: _stats_keep_range(fe, col, lo, hi)  # noqa: E731
+        if key_like or not any(fe.get("delta") for fe in entries):
+            df = self._read_state(spark, m, file_filter=ff)
+        else:
+            df = self._read_state(spark, m)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
         """Buckets whose file lists differ between the two snapshots.
@@ -503,6 +689,7 @@ class LakeTable:
         m0 = self.manifest()
         cols = [f.name for f in schema.fields] + list(extra_cols or [])
         nb = n_buckets if n_buckets is not None else m0["n_buckets"]
+        stat_cols = self._stat_cols(m0, schema)
         (
             df.select(_BUCKET_COL, *cols)
             # repartition by the BUCKETING KEY with numPartitions =
@@ -524,18 +711,42 @@ class LakeTable:
             for fn in os.listdir(bdir):
                 if fn.endswith(".parquet"):
                     rel = os.path.join("data", stage, entry, fn)
+                    full = os.path.join(bdir, fn)
                     out.setdefault(b, []).append(
                         {
                             "path": rel,
                             "schema_id": sid,
-                            # per-file record count from the parquet
-                            # FOOTER (Iceberg manifest file-stats model;
-                            # one driver-side metadata read per written
-                            # file, no Spark job) — powers per-partition
-                            # lineage and the files() metadata table
-                            "rows": _footer_rows(os.path.join(bdir, fn)),
+                            # per-file record count + column min/max
+                            # bounds from the parquet FOOTER (Iceberg
+                            # manifest file-stats model; one driver-side
+                            # metadata read per written file, no Spark
+                            # job) — powers per-partition lineage, the
+                            # files() metadata table, manifest-only
+                            # row_count, and read-path file skipping
+                            "rows": _footer_rows(full),
+                            **(
+                                {"stats": s}
+                                if (s := _footer_stats(full, stat_cols))
+                                else {}
+                            ),
                         }
                     )
+        return out
+
+    def _stat_cols(self, m: dict, schema: T.StructType) -> list[str]:
+        """Columns worth min/max bounds in the manifest: the bucket key
+        and key columns (point-read/delta skipping) plus every
+        timestamp/date column (time-range scans). Bounding every column
+        would bloat manifests at 10^10-row scale for predicates nobody
+        pushes; these are the ones the engine's read paths prune on."""
+        out: list[str] = []
+        for c in [m["bucket_by"], *m["key_cols"]]:
+            if c not in out:
+                out.append(c)
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.TimestampType, T.DateType)):
+                if f.name not in out:
+                    out.append(f.name)
         return out
 
     def overwrite(self, df: DataFrame, properties: dict[str, str] | None = None) -> int:
@@ -743,6 +954,7 @@ class LakeTable:
         dest = f"mor-{uuid.uuid4().hex[:12]}"
         os.replace(staged_dir, os.path.join(self.data_dir, dest))
         sid = m["schema_id"]
+        stat_cols = self._stat_cols(m, self.schema())
         new_files: dict[int, list[dict]] = {}
         dest_dir = os.path.join(self.data_dir, dest)
         for entry in sorted(os.listdir(dest_dir)):
@@ -753,11 +965,17 @@ class LakeTable:
             for fn in sorted(os.listdir(bdir)):
                 if fn.endswith(".parquet"):
                     rel = os.path.join("data", dest, entry, fn)
+                    full = os.path.join(bdir, fn)
                     new_files.setdefault(b, []).append(
                         {
                             "path": rel,
                             "schema_id": sid,
-                            "rows": _footer_rows(os.path.join(bdir, fn)),
+                            "rows": _footer_rows(full),
+                            **(
+                                {"stats": s}
+                                if (s := _footer_stats(full, stat_cols))
+                                else {}
+                            ),
                         }
                     )
         return self._commit_delta(new_files, properties)
@@ -1017,6 +1235,7 @@ class LakeTable:
                     size = os.path.getsize(full)
                 except OSError:
                     size = None
+                st = fe.get("stats") or {}
                 rows.append(
                     (
                         int(b_str),
@@ -1026,6 +1245,8 @@ class LakeTable:
                         fe.get("seq"),
                         size,
                         fe.get("rows"),
+                        {c: str(v[0]) for c, v in st.items()} or None,
+                        {c: str(v[1]) for c, v in st.items()} or None,
                     )
                 )
         schema = T.StructType(
@@ -1039,6 +1260,14 @@ class LakeTable:
                 # footer record count stamped at write; None on files
                 # committed before the stat existed
                 T.StructField("record_count", T.LongType()),
+                # column min/max bounds stamped at write (Iceberg
+                # lower_bounds/upper_bounds analogue), stringified
+                T.StructField(
+                    "lower_bounds", T.MapType(T.StringType(), T.StringType())
+                ),
+                T.StructField(
+                    "upper_bounds", T.MapType(T.StringType(), T.StringType())
+                ),
             ]
         )
         return spark.createDataFrame(rows, schema)

@@ -521,6 +521,88 @@ def test_row_count_from_manifest_stats(spark, tmp_table_dir):
     assert t.row_count() == 4
 
 
+def test_file_stats_stamped_and_point_read_skips_deltas(spark, tmp_table_dir):
+    """Manifest entries carry column min/max bounds from the parquet
+    footer (Iceberg lower/upper-bounds analogue); point reads use the
+    KEY bounds to skip merge-on-read delta files of unrelated batches
+    — LWW-sound because a skipped file provably has no rows of the
+    requested keys."""
+    from mysql_tracker_spark.lakestore.table import _stats_keep_keys
+
+    t = _mk(spark, tmp_table_dir)
+    entries = [fe for fs in t.manifest()["buckets"].values() for fe in fs]
+    assert all("conv_id" in fe.get("stats", {}) for fe in entries)
+    assert all("turn_idx" in fe.get("stats", {}) for fe in entries)
+
+    # two MOR batches with disjoint key ranges -> two delta files
+    t.merge_mor(spark, spark.createDataFrame([("a1", 0, "x", False)], CH_SCHEMA))
+    t.merge_mor(spark, spark.createDataFrame([("z1", 0, "y", False)], CH_SCHEMA))
+    deltas = [
+        fe for fs in t.manifest()["buckets"].values() for fe in fs if fe.get("delta")
+    ]
+    assert len(deltas) == 2
+    kept = [fe for fe in deltas if _stats_keep_keys(fe, "conv_id", ["z1"])]
+    assert [fe["stats"]["conv_id"] for fe in kept] == [["z1", "z1"]]
+    # the pruned point read stays exact
+    rows = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in t.read_for_keys(spark, ["z1", "c1"]).collect()
+    }
+    assert rows == {("z1", 0): "y", ("c1", 0): "a", ("c1", 1): "b"}
+    # files() surfaces the bounds
+    f = t.files(spark).collect()
+    assert any(r.lower_bounds and "conv_id" in r.lower_bounds for r in f)
+
+
+def test_read_where_ts_range_skips_files(spark, tmp_table_dir):
+    """Payload-column (ts) range read: on a delta-free snapshot the
+    manifest bounds skip files outside the window; the residual
+    predicate keeps semantics exact. Under MOR deltas the payload-
+    column fast path disengages (updates can move values) and the read
+    falls back to full LWW resolution + filter."""
+    import datetime as dt
+
+    sch = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    chs = T.StructType(sch.fields + [T.StructField("__delete", T.BooleanType())])
+    jan = dt.datetime(2026, 1, 1)
+    mar = dt.datetime(2026, 3, 1)
+    t = LakeTable.create(
+        tmp_table_dir, sch, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(f"k{i}", 0, "old", jan) for i in range(8)], sch
+        )
+    )
+    t.merge(spark, spark.createDataFrame([("m1", 0, "new", mar, False)], chs))
+    all_live = t.live_files(t.current_version())
+    kept = t.live_files_where("ts", lo=dt.datetime(2026, 2, 1))
+    # only the bucket file rewritten by the March merge can match
+    assert len(kept) == 1 and len(all_live) > 1
+    got = t.read_where(spark, "ts", lo=dt.datetime(2026, 2, 1)).collect()
+    assert [(r.conv_id, r.text) for r in got] == [("m1", "new")]
+    # exactness: no-bound read_where == read
+    assert t.read_where(spark, "ts").count() == t.read(spark).count()
+
+    # MOR delta updates k0 into the window: fallback must see it
+    t.merge_mor(
+        spark,
+        spark.createDataFrame([("k0", 0, "moved", mar, False)], chs),
+    )
+    got2 = {
+        r.conv_id: r.text
+        for r in t.read_where(spark, "ts", lo=dt.datetime(2026, 2, 1)).collect()
+    }
+    assert got2 == {"m1": "new", "k0": "moved"}
+
+
 def test_apply_lineage_carries_bucket_rows(spark, tmp_path):
     """The apply job's lineage rows carry the per-partition commit
     footprint on BOTH sink modes (north_star per-partition lineage)."""
