@@ -2462,6 +2462,58 @@ def q_cdc_point_read_pruned(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_ts_range_read_pruned(spark, sf_dir):
+    """Time-window serving path: engine apply -> ``LakeTable.read_where``
+    (manifest min/max file skipping on the ``ts`` column, engaged on
+    the delta-free post-apply snapshot) for the upper half of the
+    table's time range. The cutoff is the integer-second midpoint of
+    the final state's [min(ts), max(ts)], derived identically from the
+    deterministic dump on BOTH sides, so the window CONTENT is fully
+    SQL-oracled; skipping EFFECTIVENESS (files actually pruned) is
+    asserted by tests/test_lakestore.py::test_read_where_ts_range_skips_files."""
+    import calendar
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_tsrange_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run()
+        mm = job.table.read(spark).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        lo_e = calendar.timegm(mm["lo"].timetuple())
+        hi_e = calendar.timegm(mm["hi"].timetuple())
+        cut = dt.datetime.fromtimestamp(
+            (lo_e + hi_e) // 2, dt.timezone.utc
+        ).replace(tzinfo=None)
+        result = (
+            job.table.read_where(spark, "ts", lo=cut)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "text",
+                "tool",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+                "score",
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2559,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
         "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
+        "cdc_ts_range_read_pruned": q_cdc_ts_range_read_pruned,
         "cdc_eventlog_append": q_cdc_eventlog_append,
         "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
     }
@@ -3625,6 +3678,38 @@ def oracle_sql() -> dict[str, str]:
                    ts_text, CAST(score AS BIGINT) AS score
             FROM r WHERE rn = 1 AND op <> 'DELETE'
               AND conv_id IN (SELECT conv_id FROM keys)
+            ORDER BY conv_id, turn_idx
+        """,
+        # Time-window oracle: LWW final state restricted to ts >= the
+        # integer-second midpoint of [min(ts), max(ts)] — the cutoff is
+        # derived from the dump on BOTH sides.
+        "cdc_ts_range_read_pruned": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            ), f AS (
+                SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text,
+                       tool, ts_text, CAST(score AS BIGINT) AS score,
+                       strptime(ts_text, '%Y-%m-%d %H:%M:%S') AS ts
+                FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ), cut AS (
+                SELECT to_timestamp(
+                    (CAST(epoch(min(ts)) AS BIGINT)
+                     + CAST(epoch(max(ts)) AS BIGINT)) // 2) AS c
+                FROM f
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts_text, score
+            FROM f, cut WHERE f.ts >= cut.c
             ORDER BY conv_id, turn_idx
         """,
         # Composition oracle: LWW final state (same CTE as above) ->
