@@ -1291,20 +1291,48 @@ class LakeTable:
                 full = os.path.join(self.path, fe["path"])
                 if not os.path.exists(full):
                     issues.append(f"missing file: {fe['path']}")
-                elif fe.get("rows") is not None:
-                    # manifest record-count stat vs the actual footer:
-                    # a mismatch means the file was replaced/truncated
-                    # after commit (still metadata-only — footer read)
-                    try:
-                        actual = _footer_rows(full)
-                    except Exception as e:  # unreadable footer
-                        actual = None
-                        issues.append(f"unreadable footer: {fe['path']} ({e})")
-                    if actual is not None and actual != fe["rows"]:
-                        issues.append(
-                            f"record_count drift: {fe['path']} manifest="
-                            f"{fe['rows']} footer={actual}"
-                        )
+                elif fe.get("rows") is not None or fe.get("stats"):
+                    # manifest stats vs the actual footer: a mismatch
+                    # means the file was replaced/truncated after commit
+                    # (still metadata-only — one footer read per file).
+                    # Stale record counts corrupt count(*) folding; stale
+                    # min/max bounds are worse — a stamped bound narrower
+                    # than the data silently prunes live rows on reads.
+                    footer_ok = True
+                    if fe.get("rows") is not None:
+                        try:
+                            actual = _footer_rows(full)
+                        except Exception as e:  # unreadable footer
+                            actual = None
+                            footer_ok = False
+                            issues.append(
+                                f"unreadable footer: {fe['path']} ({e})"
+                            )
+                        if actual is not None and actual != fe["rows"]:
+                            issues.append(
+                                f"record_count drift: {fe['path']} manifest="
+                                f"{fe['rows']} footer={actual}"
+                            )
+                    if fe.get("stats") and footer_ok:
+                        # stamped bounds were read from this footer at
+                        # commit time by the same code path, so a faithful
+                        # file reproduces them byte-for-byte
+                        try:
+                            now = _footer_stats(
+                                full, list(fe["stats"].keys())
+                            ) or {}
+                        except Exception as e:
+                            now = None
+                            issues.append(
+                                f"unreadable footer stats: {fe['path']} ({e})"
+                            )
+                        if now is not None:
+                            for c, b in fe["stats"].items():
+                                if now.get(c) != b:
+                                    issues.append(
+                                        f"stats drift [{c}]: {fe['path']} "
+                                        f"manifest={b} footer={now.get(c)}"
+                                    )
                 if str(fe["schema_id"]) not in m["schemas"]:
                     issues.append(
                         f"unresolvable schema_id {fe['schema_id']}: {fe['path']}"

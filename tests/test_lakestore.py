@@ -678,6 +678,30 @@ def test_validate_fsck_detects_corruption(spark, tmp_table_dir):
     _os.remove(backup)
     assert t.validate()["ok"]
 
+    # corruption 2b: stamped min/max bounds go stale while the row
+    # count still matches — record_count alone misses it, the stats
+    # check catches it (a narrower-than-data bound would silently
+    # prune live rows on point/range reads)
+    m = t.manifest()
+    stat_fe, col, bounds = next(
+        (fe, c, b)
+        for fs in m["buckets"].values()
+        for fe in fs
+        if fe.get("stats")
+        for c, b in fe["stats"].items()
+        if b[0] != b[1]  # a [x, x] bound can't be narrowed detectably
+    )
+    saved = list(bounds)
+    stat_fe["stats"][col] = [bounds[0], bounds[0]]  # narrow the bound
+    m["version"] += 1
+    t._commit(m)
+    r = t.validate()
+    assert not r["ok"] and any("stats drift" in i for i in r["issues"])
+    stat_fe["stats"][col] = saved
+    m["version"] += 1
+    t._commit(m)
+    assert t.validate()["ok"]
+
     # corruption 3: swap two buckets' file lists -> rows misplaced
     m = t.manifest()
     bks = [b for b, fs in m["buckets"].items() if fs]
