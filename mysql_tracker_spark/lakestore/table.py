@@ -679,23 +679,47 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int | None = None,
         extra_cols: list[str] | None = None,
+        sort_by: str | None = None,
+        files_per_bucket: int = 1,
     ) -> dict[int, list[dict]]:
         """Write rows (must carry __bucket) partitioned by bucket into the
         data dir; return bucket -> file entries. One Spark job; files land
         under a unique staging subdir so concurrent writers never collide.
-        ``n_buckets`` overrides the manifest's count (rescale path)."""
+        ``n_buckets`` overrides the manifest's count (rescale path).
+
+        ``sort_by`` switches to RANGE-CLUSTERED layout (Iceberg
+        sort-order analogue): rows are range-partitioned on
+        ``(__bucket, sort_by)`` into ~``files_per_bucket`` files per
+        bucket and sorted within each, so every output file covers a
+        tight ``sort_by`` interval — its stamped min/max bounds then
+        let :meth:`read_where` skip most of a bucket instead of opening
+        its whole live set. The range partitioner balances ROWS, so a
+        bucket with more data naturally gets more files (skew-adaptive
+        at 10^10 rows)."""
         stage = f"stage-{uuid.uuid4().hex[:12]}"
         stage_dir = os.path.join(self.data_dir, stage)
         m0 = self.manifest()
         cols = [f.name for f in schema.fields] + list(extra_cols or [])
         nb = n_buckets if n_buckets is not None else m0["n_buckets"]
         stat_cols = self._stat_cols(m0, schema)
-        (
-            df.select(_BUCKET_COL, *cols)
+        shaped = df.select(_BUCKET_COL, *cols)
+        if sort_by:
+            # contiguous (__bucket, sort_by) ranges: a partition holds
+            # one bucket's rows for one sort interval (boundaries may
+            # straddle two buckets; partitionBy below files each row
+            # into its own bucket dir regardless)
+            shaped = shaped.repartitionByRange(
+                nb * max(int(files_per_bucket), 1),
+                F.col(_BUCKET_COL),
+                F.col(sort_by),
+            ).sortWithinPartitions(_BUCKET_COL, sort_by)
+        else:
             # repartition by the BUCKETING KEY with numPartitions =
             # n_buckets: partition i == bucket i (see _bucket_expr), so
             # each task writes exactly one file into one bucket dir
-            .repartition(nb, F.col(m0["bucket_by"]))
+            shaped = shaped.repartition(nb, F.col(m0["bucket_by"]))
+        (
+            shaped
             .write.partitionBy(_BUCKET_COL)
             .mode("overwrite")
             .parquet(stage_dir)
@@ -1031,6 +1055,8 @@ class LakeTable:
         spark: SparkSession,
         bucket_ids: list[int] | None = None,
         properties: dict[str, str] | None = None,
+        sort_by: str | None = None,
+        files_per_bucket: int = 1,
     ) -> tuple[int, list[int]]:
         """Fold merge-on-read deltas back into base files (Iceberg
         ``rewrite_data_files`` analogue): LWW-resolve the listed
@@ -1042,7 +1068,15 @@ class LakeTable:
         boundary yields zero rows — and the replay watermark carries
         forward untouched, so compaction can run between any two
         applies (or concurrently, fenced by the optimistic commit).
-        Returns (version, compacted bucket ids)."""
+
+        ``sort_by`` (Iceberg rewrite-with-sort-order analogue) range-
+        clusters each compacted bucket into ~``files_per_bucket`` files
+        with tight stamped ``sort_by`` bounds, restoring the file
+        skipping that folding a bucket into ONE file would otherwise
+        destroy: per-batch delta files are naturally ts-clustered, a
+        monolithic compacted base spans the whole history. See
+        :meth:`_write_buckets`. Returns (version, compacted bucket
+        ids)."""
         m = self.manifest()
         if bucket_ids is None:
             todo = sorted(
@@ -1056,7 +1090,9 @@ class LakeTable:
         state = self._read_state(spark, m, bucket_ids=todo).withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"])
         )
-        new_files = self._write_buckets(state, schema)
+        new_files = self._write_buckets(
+            state, schema, sort_by=sort_by, files_per_bucket=files_per_bucket
+        )
         new_buckets = {
             b: list(files)
             for b, files in m["buckets"].items()
@@ -1075,6 +1111,8 @@ class LakeTable:
             "operation": "compact",
             "ts_ms": int(time.time() * 1000),
             "compacted_buckets": len(todo),
+            **({"sort_by": sort_by, "files_per_bucket": files_per_bucket}
+               if sort_by else {}),
         }
         return self._commit(new), todo
 

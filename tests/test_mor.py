@@ -299,3 +299,66 @@ def test_mor_read_changes_across_deltas(spark, tmp_path):
         ("delete", "b", 1): "z",
         ("insert", "c", 5): "w",
     }
+
+
+def test_compact_sort_by_range_clusters_and_prunes(spark, tmp_path):
+    """Range-clustered compaction (Iceberg rewrite-with-sort-order
+    analogue): compact(sort_by="ts", files_per_bucket=K) folds a
+    bucket's deltas into ~K files each covering a tight ts interval,
+    so read_where keeps SKIPPING files after compaction — a plain
+    compaction folds the bucket into one full-history file and a ts
+    window must open everything."""
+    import datetime as dt
+
+    ts_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    ch_schema = T.StructType(
+        list(ts_schema.fields) + [T.StructField("__delete", T.BooleanType())]
+    )
+    base = dt.datetime(2024, 1, 1)
+
+    def rows(day):
+        return [
+            (f"k{j % 16}", day * 1000 + j, base + dt.timedelta(days=day, minutes=j), f"v{day}.{j}", False)
+            for j in range(100)
+        ]
+
+    def build(path):
+        t = LakeTable.create(str(path), ts_schema, ["k", "i"], "k", n_buckets=2)
+        for day in range(8):
+            t.merge_mor(spark, spark.createDataFrame(rows(day), ch_schema))
+        return t
+
+    plain, sorted_t = build(tmp_path / "plain"), build(tmp_path / "sorted")
+    want = _state(spark, sorted_t)
+
+    plain.compact(spark)
+    v, compacted = sorted_t.compact(spark, sort_by="ts", files_per_bucket=4)
+    assert compacted and sorted_t.delta_counts() == {}
+    # content identical to the unsorted twin and to pre-compaction
+    assert _state(spark, sorted_t) == want == _state(spark, plain)
+
+    m = sorted_t.manifest()
+    live = [fe for fs in m["buckets"].values() for fe in fs]
+    # each bucket split into multiple ts-bounded files, all stat-stamped
+    for b, fs in m["buckets"].items():
+        assert len(fs) > 1, f"bucket {b} not split"
+        assert all("ts" in (fe.get("stats") or {}) for fe in fs)
+    # a 1-day window opens strictly fewer files than the live set...
+    lo, hi = base + dt.timedelta(days=6), base + dt.timedelta(days=6, hours=12)
+    pruned = sorted_t.read_where(spark, "ts", lo=lo, hi=hi)
+    opened = {os.path.basename(p) for p in pruned.inputFiles()}
+    assert 0 < len(opened) < len(live)
+    # ...while the unsorted twin must open its entire live set
+    full = plain.read_where(spark, "ts", lo=lo, hi=hi)
+    assert len(full.inputFiles()) == len(plain.live_files())
+    # and both return exactly the filtered truth
+    expect = sorted(r for r in want if lo <= r[2] <= hi)
+    assert sorted(map(tuple, pruned.collect())) == expect
+    assert sorted(map(tuple, full.collect())) == expect
