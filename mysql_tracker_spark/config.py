@@ -57,6 +57,13 @@ class JobConfig:
     # per bucket)
     write_mode: str = "cow"
     mor_compact_threshold: int = 8
+    # range-clustered compaction (Iceberg rewrite-with-sort-order
+    # analogue): when compact_sort_by is set, compaction folds each
+    # bucket into ~compact_files_per_bucket files sorted on that
+    # column, keeping stamped min/max bounds tight so time-travel /
+    # serving range reads keep skipping files after compaction
+    compact_sort_by: str | None = None
+    compact_files_per_bucket: int = 1
 
     @classmethod
     def load(cls, path: str) -> "JobConfig":

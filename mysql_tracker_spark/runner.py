@@ -160,6 +160,8 @@ class CdcApplyJob:
         expectations: list | None = None,
         write_mode: str = "cow",  # cow | mor
         mor_compact_threshold: int = 8,
+        compact_sort_by: str | None = None,
+        compact_files_per_bucket: int = 1,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -216,6 +218,14 @@ class CdcApplyJob:
             raise ValueError("mor_compact_threshold must be >= 1")
         self.write_mode = write_mode
         self.mor_compact_threshold = mor_compact_threshold
+        # range-clustered compaction (Iceberg rewrite-with-sort-order):
+        # when set, auto-compaction folds each bucket into
+        # ~compact_files_per_bucket files sorted on compact_sort_by,
+        # keeping the stamped min/max bounds tight so read_where's file
+        # skipping survives compaction (a monolithic compacted file
+        # spans the whole history and can never be skipped)
+        self.compact_sort_by = compact_sort_by
+        self.compact_files_per_bucket = compact_files_per_bucket
         # F1/F2 stream filters (reference filterRegex + filterMap,
         # TrackerConf.java:206-216). This job applies ONE target table,
         # so a filter that excludes the target is a misconfiguration:
@@ -265,6 +275,8 @@ class CdcApplyJob:
             quarantine_dir=getattr(cfg, "quarantine_dir", None),
             write_mode=getattr(cfg, "write_mode", "cow"),
             mor_compact_threshold=getattr(cfg, "mor_compact_threshold", 8),
+            compact_sort_by=getattr(cfg, "compact_sort_by", None),
+            compact_files_per_bucket=getattr(cfg, "compact_files_per_bucket", 1),
         )
 
     # ------------------------------------------------------------- lifecycle
@@ -1009,7 +1021,12 @@ class CdcApplyJob:
         )
         if todo:
             try:
-                _, done = self.table.compact(self.spark, todo)
+                _, done = self.table.compact(
+                    self.spark,
+                    todo,
+                    sort_by=self.compact_sort_by,
+                    files_per_bucket=self.compact_files_per_bucket,
+                )
             except FileExistsError:
                 # optimistic-commit collision with a concurrent writer:
                 # compaction is maintenance, not correctness — the data

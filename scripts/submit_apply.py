@@ -123,6 +123,21 @@ def main() -> None:
         "maintenance entry point; content and watermark unchanged",
     )
     ap.add_argument(
+        "--compact-sort-by", default=None, metavar="COL",
+        help="range-cluster compaction output on COL (Iceberg "
+        "rewrite-with-sort-order analogue): each compacted bucket is "
+        "split into ~--compact-files-per-bucket files sorted on COL "
+        "with tight stamped min/max bounds, so range reads keep "
+        "skipping files after compaction; applies to --compact and to "
+        "merge-on-read auto-compaction",
+    )
+    ap.add_argument(
+        "--compact-files-per-bucket", type=int, default=None, metavar="K",
+        help="with --compact-sort-by: target files per bucket "
+        "(default 1; the range partitioner balances rows, so skewed "
+        "buckets naturally get more files)",
+    )
+    ap.add_argument(
         "--rescale-buckets", type=int, default=None, metavar="N",
         help="before applying, re-hash the table into N buckets "
         "(bucket-count evolution for table growth; one full-table "
@@ -170,7 +185,11 @@ def main() -> None:
     if args.compact:
         from mysql_tracker_spark.lakestore import LakeTable
 
-        v, done = LakeTable.load(args.table).compact(spark)
+        v, done = LakeTable.load(args.table).compact(
+            spark,
+            sort_by=args.compact_sort_by,
+            files_per_bucket=args.compact_files_per_bucket or 1,
+        )
         print(
             json.dumps({"compact_version": v, "compacted_buckets": done}),
             file=sys.stderr,
@@ -222,6 +241,10 @@ def main() -> None:
                 cfg.write_mode = args.write_mode
             if args.mor_compact_threshold is not None:
                 cfg.mor_compact_threshold = args.mor_compact_threshold
+            if args.compact_sort_by is not None:
+                cfg.compact_sort_by = args.compact_sort_by
+            if args.compact_files_per_bucket is not None:
+                cfg.compact_files_per_bucket = args.compact_files_per_bucket
             job2 = CdcApplyJob.from_config(spark, cfg)
             job2.expectations = expectations or job2.expectations
         else:
@@ -240,6 +263,10 @@ def main() -> None:
                 mor_compact_threshold=args.mor_compact_threshold
                 if args.mor_compact_threshold is not None
                 else 8,
+                compact_sort_by=args.compact_sort_by,
+                compact_files_per_bucket=args.compact_files_per_bucket
+                if args.compact_files_per_bucket is not None
+                else 1,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last

@@ -362,3 +362,65 @@ def test_compact_sort_by_range_clusters_and_prunes(spark, tmp_path):
     expect = sorted(r for r in want if lo <= r[2] <= hi)
     assert sorted(map(tuple, pruned.collect())) == expect
     assert sorted(map(tuple, full.collect())) == expect
+
+
+def test_mor_auto_compaction_range_clusters_when_configured(
+    spark, wire_stream, tmp_path
+):
+    """Job-surface wiring: compact_sort_by='ts' makes threshold-
+    triggered MOR auto-compaction range-cluster each folded bucket
+    (multiple ts-bounded stat-stamped files), while the final state
+    still equals the sequential oracle."""
+    d, ev = wire_stream
+    job = CdcApplyJob(
+        spark,
+        d,
+        str(tmp_path / "t"),
+        n_buckets=4,
+        source_format="wire",
+        write_mode="mor",
+        mor_compact_threshold=2,
+        compact_sort_by="ts",
+        compact_files_per_bucket=3,
+    )
+    stats = job.run()
+    assert any(s.compacted_buckets for s in stats)
+    m = job.table.manifest()
+    # the last compact commit records its clustering
+    compacts = [
+        job.table.manifest(v)["summary"]
+        for v in range(2, job.table.current_version() + 1)
+        if job.table.manifest(v)["summary"]["operation"] == "compact"
+    ]
+    assert compacts and all(s["sort_by"] == "ts" for s in compacts)
+    # compacted buckets hold >1 BASE file (trailing post-compaction
+    # deltas are expected), every base ts-stat-stamped
+    bases = {
+        b: [fe for fe in fs if not fe.get("delta")]
+        for b, fs in m["buckets"].items()
+    }
+    assert any(len(fs) > 1 for fs in bases.values())
+    for fs in bases.values():
+        assert all("ts" in (fe.get("stats") or {}) for fe in fs)
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
+def test_compact_sort_by_roundtrips_through_config(spark, tmp_path):
+    """O3 wiring: compact_sort_by / compact_files_per_bucket survive a
+    JobConfig JSON dump/load and reach the job."""
+    from mysql_tracker_spark.config import JobConfig
+
+    cfg = JobConfig(
+        input_dir=str(tmp_path / "in"),
+        table_path=str(tmp_path / "t"),
+        write_mode="mor",
+        compact_sort_by="ts",
+        compact_files_per_bucket=4,
+    )
+    p = str(tmp_path / "cfg.json")
+    cfg.dump(p)
+    job = CdcApplyJob.from_config(spark, JobConfig.load(p))
+    assert job.compact_sort_by == "ts"
+    assert job.compact_files_per_bucket == 4
