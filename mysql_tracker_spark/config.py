@@ -61,8 +61,9 @@ class JobConfig:
     # analogue): when compact_sort_by is set, compaction folds each
     # bucket into ~compact_files_per_bucket files sorted on that
     # column, keeping stamped min/max bounds tight so time-travel /
-    # serving range reads keep skipping files after compaction
-    compact_sort_by: str | None = None
+    # serving range reads keep skipping files after compaction; a list
+    # of two+ columns switches to Z-ORDER clustering (prune on any)
+    compact_sort_by: str | list[str] | None = None
     compact_files_per_bucket: int = 1
 
     @classmethod

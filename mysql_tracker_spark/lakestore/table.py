@@ -173,6 +173,58 @@ def _stats_keep_keys(fe: dict, col: str, keys: list) -> bool:
     return any(fmin <= k <= fmax for k in keys)
 
 
+def _zvalue_expr(df: DataFrame, cols: list[str], n_codes: int = 64):
+    """Z-ORDER curve expression (Delta ``OPTIMIZE ZORDER BY`` / Iceberg
+    ``sort_order(zorder(...))`` analogue): map each column to a small
+    rank code via SAMPLED range boundaries (skew-proof, unlike linear
+    min/max scaling) and bit-interleave the codes into one long, so
+    rows close on the space-filling curve are close in EVERY clustered
+    column — files written in z-order carry tight min/max bounds on
+    all of them at once, and :meth:`LakeTable.read_where` can skip
+    files on any single one.
+
+    Scale shape: ONE bounded sampling job (hash-ordered top-N — a
+    per-partition heap, no full sort) computes the boundaries on the
+    driver (<= ``n_codes``-1 literals per column); the per-row code is
+    a pure Catalyst expression (array filter over the broadcast
+    boundary literals + shift/mask interleave), zero Python on the
+    data path."""
+    import math
+
+    samp = (
+        df.select(*cols)
+        .orderBy(F.xxhash64(*cols))  # deterministic pseudo-random top-N
+        .limit(n_codes * 64)
+        .collect()
+    )
+    codes = []
+    nbits = max(1, int(math.ceil(math.log2(n_codes))))
+    for i, c in enumerate(cols):
+        vals = sorted({r[i] for r in samp if r[i] is not None})
+        if len(vals) > 1:
+            step = max(1, len(vals) // n_codes)
+            bounds = vals[step::step][: n_codes - 1]
+        else:
+            bounds = []
+        if not bounds:
+            codes.append(F.lit(0))
+            continue
+        arr = F.array(*[F.lit(b) for b in bounds])
+        code = F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(arr, lambda b: b <= F.col(c)))
+        )
+        codes.append(code)
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for bit in range(nbits):
+        for j, code in enumerate(codes):
+            z = z + F.shiftleft(
+                F.shiftright(code, bit).bitwiseAND(F.lit(1)).cast("long"),
+                bit * k + j,
+            )
+    return z
+
+
 def _bucket_rows(new_files: dict[int, list[dict]]) -> dict[str, int]:
     """Per-bucket rows written by a commit, folded from the entries'
     footer stats (the per-partition lineage payload)."""
@@ -679,7 +731,7 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int | None = None,
         extra_cols: list[str] | None = None,
-        sort_by: str | None = None,
+        sort_by: str | list[str] | None = None,
         files_per_bucket: int = 1,
     ) -> dict[int, list[dict]]:
         """Write rows (must carry __bucket) partitioned by bucket into the
@@ -695,15 +747,41 @@ class LakeTable:
         let :meth:`read_where` skip most of a bucket instead of opening
         its whole live set. The range partitioner balances ROWS, so a
         bucket with more data naturally gets more files (skew-adaptive
-        at 10^10 rows)."""
+        at 10^10 rows).
+
+        A LIST of two+ columns switches to Z-ORDER clustering (Delta
+        ``OPTIMIZE ZORDER BY`` analogue): rows are clustered along the
+        interleaved-bit curve of the sampled rank codes
+        (:func:`_zvalue_expr`), so every file carries tight min/max
+        bounds on ALL the listed columns and range reads prune on any
+        one of them."""
         stage = f"stage-{uuid.uuid4().hex[:12]}"
         stage_dir = os.path.join(self.data_dir, stage)
         m0 = self.manifest()
         cols = [f.name for f in schema.fields] + list(extra_cols or [])
         nb = n_buckets if n_buckets is not None else m0["n_buckets"]
+        sort_cols = (
+            [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+        )
+        missing = [c for c in sort_cols if c not in cols]
+        if missing:
+            raise ValueError(f"sort_by columns not in schema: {missing}")
         stat_cols = self._stat_cols(m0, schema)
+        # clustered columns get bounds too — that's the point
+        stat_cols += [c for c in sort_cols if c not in stat_cols]
         shaped = df.select(_BUCKET_COL, *cols)
-        if sort_by:
+        if len(sort_cols) > 1:
+            shaped = (
+                shaped.withColumn("__zval", _zvalue_expr(shaped, sort_cols))
+                .repartitionByRange(
+                    nb * max(int(files_per_bucket), 1),
+                    F.col(_BUCKET_COL),
+                    F.col("__zval"),
+                )
+                .sortWithinPartitions(_BUCKET_COL, "__zval")
+                .drop("__zval")
+            )
+        elif sort_cols:
             # contiguous (__bucket, sort_by) ranges: a partition holds
             # one bucket's rows for one sort interval (boundaries may
             # straddle two buckets; partitionBy below files each row
@@ -711,8 +789,8 @@ class LakeTable:
             shaped = shaped.repartitionByRange(
                 nb * max(int(files_per_bucket), 1),
                 F.col(_BUCKET_COL),
-                F.col(sort_by),
-            ).sortWithinPartitions(_BUCKET_COL, sort_by)
+                F.col(sort_cols[0]),
+            ).sortWithinPartitions(_BUCKET_COL, sort_cols[0])
         else:
             # repartition by the BUCKETING KEY with numPartitions =
             # n_buckets: partition i == bucket i (see _bucket_expr), so
@@ -1055,7 +1133,7 @@ class LakeTable:
         spark: SparkSession,
         bucket_ids: list[int] | None = None,
         properties: dict[str, str] | None = None,
-        sort_by: str | None = None,
+        sort_by: str | list[str] | None = None,
         files_per_bucket: int = 1,
     ) -> tuple[int, list[int]]:
         """Fold merge-on-read deltas back into base files (Iceberg
@@ -1074,7 +1152,10 @@ class LakeTable:
         with tight stamped ``sort_by`` bounds, restoring the file
         skipping that folding a bucket into ONE file would otherwise
         destroy: per-batch delta files are naturally ts-clustered, a
-        monolithic compacted base spans the whole history. See
+        monolithic compacted base spans the whole history. A LIST of
+        two+ columns Z-ORDER-clusters instead (Delta ``OPTIMIZE ZORDER
+        BY`` analogue) — bounds stay tight on every listed column, so
+        range reads prune on any one of them. See
         :meth:`_write_buckets`. Returns (version, compacted bucket
         ids)."""
         m = self.manifest()

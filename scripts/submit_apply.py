@@ -123,13 +123,15 @@ def main() -> None:
         "maintenance entry point; content and watermark unchanged",
     )
     ap.add_argument(
-        "--compact-sort-by", default=None, metavar="COL",
+        "--compact-sort-by", default=None, metavar="COL[,COL2...]",
         help="range-cluster compaction output on COL (Iceberg "
         "rewrite-with-sort-order analogue): each compacted bucket is "
         "split into ~--compact-files-per-bucket files sorted on COL "
         "with tight stamped min/max bounds, so range reads keep "
-        "skipping files after compaction; applies to --compact and to "
-        "merge-on-read auto-compaction",
+        "skipping files after compaction; TWO+ comma-separated columns "
+        "switch to Z-ORDER clustering (Delta OPTIMIZE ZORDER BY "
+        "analogue — range reads prune on any listed column); applies "
+        "to --compact and to merge-on-read auto-compaction",
     )
     ap.add_argument(
         "--compact-files-per-bucket", type=int, default=None, metavar="K",
@@ -158,6 +160,11 @@ def main() -> None:
         "as JSON lines (downstream verification consumer)",
     )
     args = ap.parse_args()
+    if args.compact_sort_by and "," in args.compact_sort_by:
+        # two+ columns = z-order clustering
+        args.compact_sort_by = [
+            c.strip() for c in args.compact_sort_by.split(",") if c.strip()
+        ]
 
     expectations = [parse_expect(s) for s in (args.expect or [])]
 

@@ -424,3 +424,59 @@ def test_compact_sort_by_roundtrips_through_config(spark, tmp_path):
     job = CdcApplyJob.from_config(spark, JobConfig.load(p))
     assert job.compact_sort_by == "ts"
     assert job.compact_files_per_bucket == 4
+
+
+def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-order compaction (Delta OPTIMIZE ZORDER BY analogue):
+    compact(sort_by=["ts","score"]) clusters files along the
+    interleaved-bit curve, so a range read on EITHER column skips
+    files — the single-column sort twin prunes only on its own column
+    and must open every file for the other. Content identical in all
+    layouts."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("score", T.IntegerType()),
+        ]
+    )
+    ch = T.StructType(list(schema.fields) + [T.StructField("__delete", T.BooleanType())])
+    base = dt.datetime(2024, 1, 1)
+    # ts and score are independent permutations of each other
+    rows = [
+        (f"k{j % 16}", j, base + dt.timedelta(minutes=j), (j * 7919) % 1600, False)
+        for j in range(1600)
+    ]
+
+    def build(path):
+        t = LakeTable.create(str(path), schema, ["k", "i"], "k", n_buckets=2)
+        t.merge_mor(spark, spark.createDataFrame(rows, ch))
+        return t
+
+    zt, lin = build(tmp_path / "z"), build(tmp_path / "lin")
+    want = _state(spark, zt)
+
+    zt.compact(spark, sort_by=["ts", "score"], files_per_bucket=8)
+    lin.compact(spark, sort_by="ts", files_per_bucket=8)
+    assert _state(spark, zt) == want == _state(spark, lin)
+
+    n_z, n_lin = len(zt.live_files()), len(lin.live_files())
+    assert n_z > 2 and n_lin > 2
+
+    def opened(t, col, lo, hi):
+        df = t.read_where(spark, col, lo=lo, hi=hi)
+        got = sorted(map(tuple, df.collect()))
+        idx = [f.name for f in schema.fields].index(col)
+        assert got == [r for r in want if lo <= r[idx] <= hi]
+        return len(df.inputFiles())
+
+    # narrow ts window: both layouts prune
+    lo_ts, hi_ts = base + dt.timedelta(minutes=600), base + dt.timedelta(minutes=700)
+    assert opened(zt, "ts", lo_ts, hi_ts) < n_z
+    assert opened(lin, "ts", lo_ts, hi_ts) < n_lin
+    # narrow score range: ONLY the z-ordered layout prunes
+    assert opened(zt, "score", 100, 200) < n_z
+    assert opened(lin, "score", 100, 200) == n_lin
