@@ -2514,6 +2514,57 @@ def q_cdc_ts_range_read_pruned(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_zorder_read_pruned(spark, sf_dir):
+    """Z-ORDER serving path (Delta OPTIMIZE ZORDER BY analogue): MOR
+    apply -> ``compact(sort_by=["score", "ts"])`` clusters every bucket
+    along the interleaved-bit curve of BOTH columns -> ``read_where``
+    on ``score`` — a NON-time payload column the plain layout could
+    never prune — returns the upper half of the score range. The cut
+    is the integer midpoint of [min(score), max(score)], derived
+    identically on both sides, so content is fully SQL-oracled;
+    pruning EFFECTIVENESS (files skipped on either column) is asserted
+    by tests/test_mor.py::test_compact_zorder_prunes_on_both_columns."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_zorder_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        job = CdcApplyJob(
+            spark, in_dir, tbl_dir, n_buckets=8,
+            write_mode="mor", mor_compact_threshold=10**9,
+        )
+        job.run()
+        job.table.compact(spark, sort_by=["score", "ts"], files_per_bucket=4)
+        mm = job.table.read(spark).agg(
+            F.min("score").alias("lo"), F.max("score").alias("hi")
+        ).first()
+        cut = (mm["lo"] + mm["hi"]) // 2
+        result = (
+            job.table.read_where(spark, "score", lo=cut)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "text",
+                "tool",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+                "score",
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2612,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
         "cdc_ts_range_read_pruned": q_cdc_ts_range_read_pruned,
+        "cdc_zorder_read_pruned": q_cdc_zorder_read_pruned,
         "cdc_eventlog_append": q_cdc_eventlog_append,
         "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
     }
@@ -3710,6 +3762,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, role, text, tool, ts_text, score
             FROM f, cut WHERE f.ts >= cut.c
+            ORDER BY conv_id, turn_idx
+        """,
+        "cdc_zorder_read_pruned": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            ), f AS (
+                SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text,
+                       tool, ts_text, CAST(score AS BIGINT) AS score
+                FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ), cut AS (
+                SELECT (min(score) + max(score)) // 2 AS c FROM f
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts_text, score
+            FROM f, cut WHERE f.score >= cut.c
             ORDER BY conv_id, turn_idx
         """,
         # Composition oracle: LWW final state (same CTE as above) ->
