@@ -2038,6 +2038,54 @@ def _write_flagship_dump(ev=None) -> None:
 
 CHANGELOG_CUT_DUMP = "/tmp/mts_flagship_oracle/changelog_cut.parquet"
 EVENTLOG_DUMP = "/tmp/mts_flagship_oracle/eventlog_events.parquet"
+PKMOVE_ORACLE_DUMP = "/tmp/mts_flagship_oracle/pkmove_flat.parquet"
+
+
+def _pkmove_events():
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+    )
+
+    return gen_change_events(
+        GenConfig(n_events=3000, n_conversations=120, seed=13, pk_move_prob=0.5)
+    )
+
+
+def _write_pkmove_dump(ev=None) -> None:
+    """Flat dump for the PK-move SQL oracle: the flagship columns PLUS
+    the before-image key (prev_conv_id, prev_turn_idx) — the oracle
+    expands each moving UPDATE into tombstone + upsert in SQL."""
+    import pandas as pd
+
+    if ev is None:
+        ev = _pkmove_events()
+    dml = ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])]
+    amap, bmap = dml["after"], dml["before"]
+    flat = pd.DataFrame(
+        {
+            "file": dml["file"].to_numpy(),
+            "pos": dml["pos"].to_numpy(),
+            "row_idx": dml["row_idx"].to_numpy(),
+            "op": dml["op"].to_numpy(),
+            "schema_name": dml["schema_name"].to_numpy(),
+            "table_name": dml["table_name"].to_numpy(),
+            "conv_id": amap.map(lambda m: m.get("conv_id")).to_numpy(),
+            "turn_idx": amap.map(lambda m: int(m["turn_idx"])).astype("int32").to_numpy(),
+            "prev_conv_id": bmap.map(
+                lambda m: m.get("conv_id") if m else None
+            ).to_numpy(),
+            "prev_turn_idx": bmap.map(
+                lambda m: int(m["turn_idx"]) if m else None
+            ).astype("Int64").to_numpy(),
+            "role": amap.map(lambda m: m.get("role")).to_numpy(),
+            "text": amap.map(lambda m: m.get("text")).to_numpy(),
+            "tool": amap.map(lambda m: m.get("tool")).to_numpy(),
+            "ts_text": amap.map(lambda m: m.get("ts")).to_numpy(),
+            "score": amap.map(lambda m: m.get("score")).astype("Int64").to_numpy(),
+        }
+    )
+    _atomic_parquet_dump(flat, PKMOVE_ORACLE_DUMP)
 
 
 def _write_eventlog_dump(ev=None) -> None:
@@ -2565,6 +2613,47 @@ def q_cdc_zorder_read_pruned(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_pk_move_apply(spark, sf_dir):
+    """PK-MOVING UPDATEs (MySQL RBR row identity = before image): half
+    of the key chains end in an UPDATE that relocates the row to a new
+    turn_idx. The engine must tombstone the old key at the same log
+    position AND upsert the new one — or the old row survives as a
+    ghost. Oracle: SQL expands each moving UPDATE into DELETE(old key)
+    + upsert(new key), then the usual LWW rank. Both apply paths are
+    pinned by tests/test_pk_moves.py; this row drives the typed one."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_pkmove_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _pkmove_events()
+    _write_pkmove_dump(ev)
+    write_batches(ev, in_dir, n_batches=4)
+    try:
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run()
+        result = (
+            job.table.read(spark)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "text",
+                "tool",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+                "score",
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2664,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
         "cdc_ts_range_read_pruned": q_cdc_ts_range_read_pruned,
         "cdc_zorder_read_pruned": q_cdc_zorder_read_pruned,
+        "cdc_pk_move_apply": q_cdc_pk_move_apply,
         "cdc_eventlog_append": q_cdc_eventlog_append,
         "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
     }
@@ -3762,6 +3852,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, role, text, tool, ts_text, score
             FROM f, cut WHERE f.ts >= cut.c
+            ORDER BY conv_id, turn_idx
+        """,
+        "cdc_pk_move_apply": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{PKMOVE_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                prev_conv_id, prev_turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), x AS (
+                -- a PK-moving UPDATE applies as DELETE(before key) +
+                -- upsert(after key) at the same log position
+                SELECT file, pos, row_idx, 1 AS mv, op, conv_id, turn_idx,
+                       role, text, tool, ts_text, score
+                FROM d
+                UNION ALL
+                SELECT file, pos, row_idx, 0, 'DELETE',
+                       prev_conv_id, CAST(prev_turn_idx AS INT),
+                       NULL, NULL, NULL, NULL, NULL
+                FROM d
+                WHERE op = 'UPDATE' AND prev_conv_id IS NOT NULL
+                  AND (prev_conv_id <> conv_id OR prev_turn_idx <> turn_idx)
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC, mv DESC) AS rn
+                FROM x
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text,
+                   tool, ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
             ORDER BY conv_id, turn_idx
         """,
         "cdc_zorder_read_pruned": f"""

@@ -743,15 +743,57 @@ class CdcApplyJob:
         dec = decode_frames_kv(raw_dml)
         dml = dml_for_table(self._stream_filters(dec), self.schema_name, self.table_name)
         # keys from the tiny key_kv map (isKey columns), NOT the full
-        # row image — the full after map is built only for LWW winners
+        # row image — the full after map is built only for LWW winners.
+        # key_kv is the ROW IDENTITY (before-image key, MySQL RBR
+        # semantics) — equal to the after key for everything except a
+        # PK-MOVING UPDATE. The upsert key is always the AFTER key;
+        # `same_key` is a pure string test (after_kv packs the key
+        # columns first, encoder invariant), so the full after map is
+        # parsed pre-LWW only for the rare rows that actually moved —
+        # and even a false negative here only costs that parse, never
+        # correctness.
+        k0, k1 = self.key_cols
         key_map = kv_to_map("key_kv")
+        akey = kv_to_map("after_kv")
+        from .sources.wire import ENTRY_SEP
+
+        same_key = (F.col("after_kv") == F.col("key_kv")) | F.col(
+            "after_kv"
+        ).startswith(F.concat(F.col("key_kv"), F.lit(ENTRY_SEP)))
+        moved_row = (F.col("op") == "UPDATE") & ~same_key
         keyed = dml.select(
-            F.element_at(key_map, self.key_cols[0]).alias(self.key_cols[0]),
-            F.element_at(key_map, self.key_cols[1]).cast("int").alias(self.key_cols[1]),
+            F.when(moved_row, F.element_at(akey, k0))
+            .otherwise(F.element_at(key_map, k0))
+            .alias(k0),
+            F.when(moved_row, F.element_at(akey, k1))
+            .otherwise(F.element_at(key_map, k1))
+            .cast("int")
+            .alias(k1),
             *[F.col(c) for c in LOG_ORDER],
             "op",
             "after_kv",
         )
+        # tombstone the OLD key of each PK-moving UPDATE at the same
+        # log position (authoritative map comparison — the prefix test
+        # above only gates the fast path); payload = key_kv, enough for
+        # a delete (merge keys on key_cols, payload ignored)
+        moved = dml.filter(
+            moved_row
+            & (
+                (F.element_at(akey, k0) != F.element_at(key_map, k0))
+                | (
+                    F.element_at(akey, k1).cast("int")
+                    != F.element_at(key_map, k1).cast("int")
+                )
+            )
+        ).select(
+            F.element_at(key_map, k0).alias(k0),
+            F.element_at(key_map, k1).cast("int").alias(k1),
+            *[F.col(c) for c in LOG_ORDER],
+            F.lit("DELETE").alias("op"),
+            F.col("key_kv").alias("after_kv"),
+        )
+        keyed = keyed.unionByName(moved)
         if self.n_salts > 0:
             latest = self._lww(keyed, ["op", "after_kv"])
             stats.lww_variant = f"salted{self.n_salts}"
@@ -957,6 +999,30 @@ class CdcApplyJob:
             "op",
             "after",
         )
+        # PK-MOVING UPDATE (MySQL RBR row identity = before image): an
+        # UPDATE whose before-image key differs from the after key
+        # relocates the row, so the OLD key needs a tombstone at the
+        # same log position or it survives as a ghost. Rare by nature —
+        # the pushed-down filter makes the second batch scan ~free.
+        moved = dml.filter(
+            (F.col("op") == "UPDATE")
+            & F.col("before").isNotNull()
+            & (
+                (F.element_at("before", "conv_id")
+                 != F.element_at("after", "conv_id"))
+                | (F.element_at("before", "turn_idx").cast("int")
+                   != F.element_at("after", "turn_idx").cast("int"))
+            )
+        ).select(
+            F.element_at("before", "conv_id").alias("conv_id"),
+            F.element_at("before", "turn_idx").cast("int").alias("turn_idx"),
+            *[F.col(c) for c in LOG_ORDER],
+            F.lit("DELETE").alias("op"),
+            # payload irrelevant for deletes (merge keys on key_cols);
+            # the before map keeps the projection well-typed
+            F.col("before").alias("after"),
+        )
+        keyed = keyed.unionByName(moved)
         latest = self._lww(keyed, ["op", "after"])
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(

@@ -56,6 +56,13 @@ class GenConfig:
     rotate_every: int = 100_000
     multirow_prob: float = 0.10
     delete_prob: float = 0.30  # applied to last occurrence of a key
+    # PRIMARY-KEY-MOVING UPDATEs: fraction of key chains whose final
+    # UPDATE relocates the row to a new turn_idx (old + max_turns —
+    # collision-free by construction). MySQL RBR row identity is the
+    # BEFORE image, so the event carries before = old key, after = new
+    # key; a correct applier must tombstone the old key AND upsert the
+    # new one. 0.0 (default) keeps every existing stream byte-identical.
+    pk_move_prob: float = 0.0
     noise_prob: float = 0.02
     dup_frac: float = 0.01
     ddl_at: tuple = (0.4, 0.7)  # fractions of the stream where DDL lands
@@ -103,6 +110,19 @@ def gen_change_events(cfg: GenConfig | None = None) -> pd.DataFrame:
         ),
     )
     version = (k + 1).to_numpy()
+    # PK moves: the final UPDATE of a chain may relocate the row to
+    # turn_idx + max_turns (a key no base chain ever occupies, and each
+    # (c, t) has exactly one last event — collision-free). prev_turn
+    # keeps the before-image key. Guarded so pk_move_prob=0 draws no
+    # extra RNG and leaves historical streams byte-identical.
+    prev_turn = turn.copy()
+    if cfg.pk_move_prob > 0:
+        mv = (
+            (op == "UPDATE")
+            & is_last.to_numpy()
+            & (rng.random(n) < cfg.pk_move_prob)
+        )
+        turn = np.where(mv, turn + cfg.max_turns, turn).astype(turn.dtype)
     # conv ids via a cached map table (one python-format per conversation,
     # not per event)
     conv_tbl = pd.Series([f"conv_{i:06d}" for i in range(cfg.n_conversations)])
@@ -146,6 +166,7 @@ def gen_change_events(cfg: GenConfig | None = None) -> pd.DataFrame:
             "row_idx": row_idx.astype(np.int32),
             "conv_id": conv_id.to_numpy(),
             "turn_idx": turn.astype(np.int32),
+            "prev_turn_idx": prev_turn.astype(np.int32),
             "version": version,
             "text": text.to_numpy(),
             "role": roles,
@@ -284,6 +305,10 @@ def _build_maps(ev: pd.DataFrame):
     ops = ev["op"].to_numpy()
     conv = ev["conv_id"].to_numpy()
     turn = ev["turn_idx"].to_numpy()
+    # before-image key: differs from turn_idx only for PK-moving
+    # UPDATEs (pk_move_prob > 0); absent column = no moves
+    pturn = ev.get("prev_turn_idx")
+    pturn = pturn.to_numpy() if pturn is not None else turn
     ver = ev.get("version")
     ver = ver.to_numpy() if ver is not None else np.zeros(len(ev))
     text = ev["text"].to_numpy()
@@ -313,7 +338,8 @@ def _build_maps(ev: pd.DataFrame):
             after[i] = row
         elif o == "UPDATE":
             prev = dict(row)
-            prev["text"] = f"{conv[i]}:{turn[i]}:v{int(ver[i]) - 1}"
+            prev["turn_idx"] = str(int(pturn[i]))
+            prev["text"] = f"{conv[i]}:{int(pturn[i])}:v{int(ver[i]) - 1}"
             before[i] = prev
             after[i] = row
         else:  # DELETE
@@ -489,7 +515,24 @@ def expected_final_state(
         & (events["table_name"] == table_name)
     ].copy()
     e = e.drop_duplicates(subset=["file", "pos", "row_idx"], keep="first")
-    e = e.sort_values(["file", "pos", "row_idx"], kind="stable")
+    # PK-moving UPDATE (before-image key != after key) applies as
+    # DELETE(old key) + upsert(new key) at the same log position — the
+    # tombstone sorts immediately before its move (_mv = 0 < 1)
+    e["_mv"] = 1
+    bk = e["before"].map(
+        lambda m: (m.get("conv_id"), int(m.get("turn_idx"))) if m else None
+    )
+    ak = e["after"].map(lambda m: (m.get("conv_id"), int(m.get("turn_idx"))))
+    moved = e[(e["op"] == "UPDATE") & bk.notna() & (bk != ak)]
+    if len(moved):
+        tomb = moved.copy()
+        tomb["op"] = "DELETE"
+        tomb["after"] = tomb["before"].map(
+            lambda m: {"conv_id": m["conv_id"], "turn_idx": m["turn_idx"]}
+        )
+        tomb["_mv"] = 0
+        e = pd.concat([e, tomb], ignore_index=True)
+    e = e.sort_values(["file", "pos", "row_idx", "_mv"], kind="stable")
     key = e["after"].map(lambda m: (m.get("conv_id"), int(m.get("turn_idx"))))
     e["_k"] = key
     last = e.groupby("_k", sort=False).tail(1)

@@ -138,8 +138,21 @@ def encode_frames(
         + FIELD_SEP + ev["table_name"].fillna("").astype(str)
         + FIELD_SEP + ev["is_ddl"].map({True: "1", False: "0"}).astype(str)
         + FIELD_SEP + ev["ddl_sql"].fillna("").astype(str)
-        + FIELD_SEP + ev["after"].map(
-            lambda m: _kv_pack({k: m[k] for k in key_cols if k in m} if m else None)
+        + FIELD_SEP + pd.Series(
+            [
+                _kv_pack(
+                    {k: m[k] for k in key_cols if k in m} if m else None
+                )
+                # row IDENTITY = the before-image key when one exists
+                # (MySQL RBR identifies the row to change by its before
+                # image) — equal to the after key except for PK-moving
+                # UPDATEs, so historical streams stay byte-identical
+                for m in (
+                    b if isinstance(b, dict) and b else a
+                    for a, b in zip(ev["after"], ev["before"])
+                )
+            ],
+            index=ev.index,
         )
         + FIELD_SEP + ev["before"].map(_kv_pack)
         + FIELD_SEP + ev["after"].map(_kv_pack)
