@@ -593,6 +593,7 @@ class CdcApplyJob:
         import shutil
 
         from .sources.wire import (
+            ENTRY_SEP,
             FIELD_SEP,
             _decode_batch,
             decode_frames_kv,
@@ -618,6 +619,24 @@ class CdcApplyJob:
             r.startswith("INSERT" + FIELD_SEP)
             | r.startswith("UPDATE" + FIELD_SEP)
             | r.startswith("DELETE" + FIELD_SEP)
+        )
+        # PK-move candidate test on the RAW row text (body fields: op=0,
+        # …, key_kv=7, before_kv=8, after_kv=9; values never contain the
+        # separator bytes): an UPDATE row whose key_kv (= before-image
+        # key, the row identity) is not the entry-prefix of after_kv
+        # moved its key. Short-circuits after the op test, so the two
+        # substring_index scans run for UPDATE rows only; a batch with
+        # no moves then keeps the zero-overhead keyed plan below.
+        _kk = lambda r: F.substring_index(  # noqa: E731
+            F.substring_index(r, FIELD_SEP, 8), FIELD_SEP, -1
+        )
+        _ak = lambda r: F.substring_index(r, FIELD_SEP, -1)  # noqa: E731
+        mv_cand = lambda r: (  # noqa: E731
+            r.startswith("UPDATE" + FIELD_SEP)
+            & ~(
+                (_ak(r) == _kk(r))
+                | _ak(r).startswith(F.concat(_kk(r), F.lit(ENTRY_SEP)))
+            )
         )
         h = F.hex(F.expr("substring(payload, 1, 4)"))  # LE u32 ts
         ts_le = F.conv(
@@ -666,6 +685,7 @@ class CdcApplyJob:
             F.sum(F.length("payload")).alias("bytes_in"),
             F.max("ts_s").alias("max_ts_s"),
             F.sum(F.col("cand_ddl").cast("long")).alias("n_cand_ddl"),
+            F.max(F.exists("rows_arr", mv_cand).cast("int")).alias("has_moves"),
             F.slice(
                 F.collect_list(
                     F.when(F.col("cand_ddl"), F.struct("file", "pos", "payload"))
@@ -754,46 +774,66 @@ class CdcApplyJob:
         # correctness.
         k0, k1 = self.key_cols
         key_map = kv_to_map("key_kv")
-        akey = kv_to_map("after_kv")
-        from .sources.wire import ENTRY_SEP
-
-        same_key = (F.col("after_kv") == F.col("key_kv")) | F.col(
-            "after_kv"
-        ).startswith(F.concat(F.col("key_kv"), F.lit(ENTRY_SEP)))
-        moved_row = (F.col("op") == "UPDATE") & ~same_key
-        keyed = dml.select(
-            F.when(moved_row, F.element_at(akey, k0))
-            .otherwise(F.element_at(key_map, k0))
-            .alias(k0),
-            F.when(moved_row, F.element_at(akey, k1))
-            .otherwise(F.element_at(key_map, k1))
-            .cast("int")
-            .alias(k1),
-            *[F.col(c) for c in LOG_ORDER],
-            "op",
-            "after_kv",
-        )
-        # tombstone the OLD key of each PK-moving UPDATE at the same
-        # log position (authoritative map comparison — the prefix test
-        # above only gates the fast path); payload = key_kv, enough for
-        # a delete (merge keys on key_cols, payload ignored)
-        moved = dml.filter(
-            moved_row
-            & (
+        if not int(m["has_moves"] or 0):
+            # no PK-moving UPDATE in this batch (manifest-pass raw-text
+            # test above) — zero-overhead keyed plan, keys straight off
+            # the tiny key_kv map (row identity == upsert key)
+            keyed = dml.select(
+                F.element_at(key_map, k0).alias(k0),
+                F.element_at(key_map, k1).cast("int").alias(k1),
+                *[F.col(c) for c in LOG_ORDER],
+                "op",
+                "after_kv",
+            )
+        else:
+            akey = kv_to_map("after_kv")
+            same_key = (F.col("after_kv") == F.col("key_kv")) | F.col(
+                "after_kv"
+            ).startswith(F.concat(F.col("key_kv"), F.lit(ENTRY_SEP)))
+            maybe_moved = (F.col("op") == "UPDATE") & ~same_key
+            # authoritative map comparison, evaluated only under the
+            # rare maybe_moved branch (CASE WHEN short-circuits)
+            is_move = maybe_moved & (
                 (F.element_at(akey, k0) != F.element_at(key_map, k0))
                 | (
                     F.element_at(akey, k1).cast("int")
                     != F.element_at(key_map, k1).cast("int")
                 )
             )
-        ).select(
-            F.element_at(key_map, k0).alias(k0),
-            F.element_at(key_map, k1).cast("int").alias(k1),
-            *[F.col(c) for c in LOG_ORDER],
-            F.lit("DELETE").alias("op"),
-            F.col("key_kv").alias("after_kv"),
-        )
-        keyed = keyed.unionByName(moved)
+            upsert = F.struct(
+                F.when(maybe_moved, F.element_at(akey, k0))
+                .otherwise(F.element_at(key_map, k0))
+                .alias(k0),
+                F.when(maybe_moved, F.element_at(akey, k1))
+                .otherwise(F.element_at(key_map, k1))
+                .cast("int")
+                .alias(k1),
+                F.col("op").alias("op"),
+                F.col("after_kv").alias("after_kv"),
+            )
+            # tombstone the OLD key of a PK-moving UPDATE at the same
+            # log position; payload = key_kv, enough for a delete
+            # (merge keys on key_cols, payload ignored). Emitted via
+            # explode of a 1-2 element struct array so the Arrow decode
+            # runs ONCE per batch (a union of two selects over `dml`
+            # would decode twice).
+            tomb = F.struct(
+                F.element_at(key_map, k0).alias(k0),
+                F.element_at(key_map, k1).cast("int").alias(k1),
+                F.lit("DELETE").alias("op"),
+                F.col("key_kv").alias("after_kv"),
+            )
+            keyed = dml.select(
+                *[F.col(c) for c in LOG_ORDER],
+                F.explode(
+                    F.when(is_move, F.array(tomb, upsert)).otherwise(
+                        F.array(upsert)
+                    )
+                ).alias("__e"),
+            ).select(
+                f"__e.{k0}", f"__e.{k1}", *[F.col(c) for c in LOG_ORDER],
+                "__e.op", "__e.after_kv",
+            )
         if self.n_salts > 0:
             latest = self._lww(keyed, ["op", "after_kv"])
             stats.lww_variant = f"salted{self.n_salts}"
@@ -938,6 +978,20 @@ class CdcApplyJob:
             is_target_dml,
             _bucket_expr(F.element_at("after", "conv_id"), nb),
         )
+        # PK-moving UPDATE detector (before-image key != after key) —
+        # rides the same single observe pass; op test first so the
+        # before-map lookups run for target UPDATE rows only
+        is_move_row = (
+            (F.col("op") == "UPDATE")
+            & is_target_dml
+            & F.col("before").isNotNull()
+            & (
+                (F.element_at("before", "conv_id")
+                 != F.element_at("after", "conv_id"))
+                | (F.element_at("before", "turn_idx").cast("int")
+                   != F.element_at("after", "turn_idx").cast("int"))
+            )
+        )
         obs = Observation()
         ddl_rows = (
             batch.observe(
@@ -954,6 +1008,7 @@ class CdcApplyJob:
                 F.max("ts").alias("max_ts"),
                 F.collect_set(bucket_of_row).alias("buckets"),
                 F.count(F.when(is_target_dml, 1)).alias("n_dml"),
+                F.count(F.when(is_move_row, 1)).alias("n_moves"),
             )
             .filter(
                 F.col("is_ddl")
@@ -992,37 +1047,58 @@ class CdcApplyJob:
 
         # --- DML: filter -> LWW dedup on raw maps -> typed projection ---
         dml = dml_for_table(self._stream_filters(batch), self.schema_name, self.table_name)
-        keyed = dml.select(
-            F.element_at("after", "conv_id").alias("conv_id"),
-            F.element_at("after", "turn_idx").cast("int").alias("turn_idx"),
-            *[F.col(c) for c in LOG_ORDER],
-            "op",
-            "after",
-        )
-        # PK-MOVING UPDATE (MySQL RBR row identity = before image): an
-        # UPDATE whose before-image key differs from the after key
-        # relocates the row, so the OLD key needs a tombstone at the
-        # same log position or it survives as a ghost. Rare by nature —
-        # the pushed-down filter makes the second batch scan ~free.
-        moved = dml.filter(
-            (F.col("op") == "UPDATE")
-            & F.col("before").isNotNull()
-            & (
-                (F.element_at("before", "conv_id")
-                 != F.element_at("after", "conv_id"))
-                | (F.element_at("before", "turn_idx").cast("int")
-                   != F.element_at("after", "turn_idx").cast("int"))
+        if not int(rng["n_moves"] or 0):
+            # no PK-moving UPDATE in this batch (observe pass above) —
+            # zero-overhead keyed plan off the after image
+            keyed = dml.select(
+                F.element_at("after", "conv_id").alias("conv_id"),
+                F.element_at("after", "turn_idx").cast("int").alias("turn_idx"),
+                *[F.col(c) for c in LOG_ORDER],
+                "op",
+                "after",
             )
-        ).select(
-            F.element_at("before", "conv_id").alias("conv_id"),
-            F.element_at("before", "turn_idx").cast("int").alias("turn_idx"),
-            *[F.col(c) for c in LOG_ORDER],
-            F.lit("DELETE").alias("op"),
-            # payload irrelevant for deletes (merge keys on key_cols);
-            # the before map keeps the projection well-typed
-            F.col("before").alias("after"),
-        )
-        keyed = keyed.unionByName(moved)
+        else:
+            # PK-MOVING UPDATE (MySQL RBR row identity = before image):
+            # an UPDATE whose before-image key differs from the after
+            # key relocates the row, so the OLD key needs a tombstone
+            # at the same log position or it survives as a ghost.
+            # Emitted via explode of a 1-2 element struct array — one
+            # batch scan, no union branch. Tombstone payload = before
+            # map (deletes key on key_cols only; the map keeps the
+            # projection well-typed).
+            is_move = (
+                (F.col("op") == "UPDATE")
+                & F.col("before").isNotNull()
+                & (
+                    (F.element_at("before", "conv_id")
+                     != F.element_at("after", "conv_id"))
+                    | (F.element_at("before", "turn_idx").cast("int")
+                       != F.element_at("after", "turn_idx").cast("int"))
+                )
+            )
+            upsert = F.struct(
+                F.element_at("after", "conv_id").alias("conv_id"),
+                F.element_at("after", "turn_idx").cast("int").alias("turn_idx"),
+                F.col("op").alias("op"),
+                F.col("after").alias("after"),
+            )
+            tomb = F.struct(
+                F.element_at("before", "conv_id").alias("conv_id"),
+                F.element_at("before", "turn_idx").cast("int").alias("turn_idx"),
+                F.lit("DELETE").alias("op"),
+                F.col("before").alias("after"),
+            )
+            keyed = dml.select(
+                *[F.col(c) for c in LOG_ORDER],
+                F.explode(
+                    F.when(is_move, F.array(tomb, upsert)).otherwise(
+                        F.array(upsert)
+                    )
+                ).alias("__e"),
+            ).select(
+                "__e.conv_id", "__e.turn_idx", *[F.col(c) for c in LOG_ORDER],
+                "__e.op", "__e.after",
+            )
         latest = self._lww(keyed, ["op", "after"])
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
