@@ -645,6 +645,40 @@ class LakeTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
+    def read_where_all(
+        self,
+        spark: SparkSession,
+        preds: dict,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Conjunctive range read ``AND_i lo_i <= col_i <= hi_i`` with
+        manifest file skipping on EVERY predicate column — the natural
+        companion of Z-ORDER compaction (each file carries tight bounds
+        on all clustered columns, so a 2-D box touches only the curve
+        segments that intersect it). ``preds`` maps column -> (lo, hi),
+        either bound None = unbounded. Skipping soundness follows
+        :meth:`read_where`: payload-column skipping engages only on
+        delta-free scopes (all-key-column predicates always skip);
+        the exact residual predicate always applies."""
+        m = self.manifest(version)
+        key_like = all(
+            c == m["bucket_by"] or c in m["key_cols"] for c in preds
+        )
+        entries = [fe for fs in m["buckets"].values() for fe in fs]
+        ff = lambda fe: all(  # noqa: E731
+            _stats_keep_range(fe, c, lo, hi) for c, (lo, hi) in preds.items()
+        )
+        if key_like or not any(fe.get("delta") for fe in entries):
+            df = self._read_state(spark, m, file_filter=ff)
+        else:
+            df = self._read_state(spark, m)
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
         """Buckets whose file lists differ between the two snapshots.
         COW invariant: an untouched bucket carries the SAME file entries

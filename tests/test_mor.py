@@ -480,3 +480,41 @@ def test_compact_zorder_prunes_on_both_columns(spark, tmp_path):
     # narrow score range: ONLY the z-ordered layout prunes
     assert opened(zt, "score", 100, 200) < n_z
     assert opened(lin, "score", 100, 200) == n_lin
+
+
+def test_read_where_all_conjunction_prunes_harder_than_either(spark, tmp_path):
+    """Z-order + 2-D box read: read_where_all prunes on BOTH columns at
+    once — opens no more files than either single-column read, and
+    returns exactly the conjunctive truth."""
+    import datetime as dt
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("score", T.IntegerType()),
+        ]
+    )
+    ch = T.StructType(list(schema.fields) + [T.StructField("__delete", T.BooleanType())])
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"k{j % 16}", j, base + dt.timedelta(minutes=j), (j * 7919) % 1600, False)
+        for j in range(1600)
+    ]
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["k", "i"], "k", n_buckets=2)
+    t.merge_mor(spark, spark.createDataFrame(rows, ch))
+    t.compact(spark, sort_by=["ts", "score"], files_per_bucket=8)
+    want = _state(spark, t)
+
+    lo_ts, hi_ts = base + dt.timedelta(minutes=400), base + dt.timedelta(minutes=800)
+    lo_s, hi_s = 100, 500
+    both = t.read_where_all(spark, {"ts": (lo_ts, hi_ts), "score": (lo_s, hi_s)})
+    got = sorted(map(tuple, both.collect()))
+    assert got == [
+        r for r in want if lo_ts <= r[2] <= hi_ts and lo_s <= r[3] <= hi_s
+    ]
+    n_both = len(both.inputFiles())
+    n_ts = len(t.read_where(spark, "ts", lo=lo_ts, hi=hi_ts).inputFiles())
+    n_s = len(t.read_where(spark, "score", lo=lo_s, hi=hi_s).inputFiles())
+    assert 0 < n_both <= min(n_ts, n_s) < len(t.live_files())
