@@ -2654,6 +2654,64 @@ def q_cdc_pk_move_apply(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_zorder_box_read_pruned(spark, sf_dir):
+    """Conjunctive 2-D box serving path: MOR apply -> z-order compact
+    on (ts, score) -> ``read_where_all`` with range predicates on BOTH
+    columns (upper half of each domain, midpoints derived identically
+    on both sides). File skipping applies per predicate column at once
+    (tests/test_mor.py::test_read_where_all_conjunction_prunes_harder_
+    than_either asserts effectiveness); content fully SQL-oracled."""
+    import calendar
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_zbox_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        job = CdcApplyJob(
+            spark, in_dir, tbl_dir, n_buckets=8,
+            write_mode="mor", mor_compact_threshold=10**9,
+        )
+        job.run()
+        job.table.compact(spark, sort_by=["ts", "score"], files_per_bucket=4)
+        mm = job.table.read(spark).agg(
+            F.min("ts").alias("tlo"), F.max("ts").alias("thi"),
+            F.min("score").alias("slo"), F.max("score").alias("shi"),
+        ).first()
+        t_cut = dt.datetime.fromtimestamp(
+            (calendar.timegm(mm["tlo"].timetuple())
+             + calendar.timegm(mm["thi"].timetuple())) // 2,
+            dt.timezone.utc,
+        ).replace(tzinfo=None)
+        s_cut = (mm["slo"] + mm["shi"]) // 2
+        result = (
+            job.table.read_where_all(
+                spark, {"ts": (t_cut, None), "score": (s_cut, None)}
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "text",
+                "tool",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+                "score",
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2754,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_ts_range_read_pruned": q_cdc_ts_range_read_pruned,
         "cdc_zorder_read_pruned": q_cdc_zorder_read_pruned,
         "cdc_pk_move_apply": q_cdc_pk_move_apply,
+        "cdc_zorder_box_read_pruned": q_cdc_zorder_box_read_pruned,
         "cdc_eventlog_append": q_cdc_eventlog_append,
         "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
     }
@@ -3852,6 +3911,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, role, text, tool, ts_text, score
             FROM f, cut WHERE f.ts >= cut.c
+            ORDER BY conv_id, turn_idx
+        """,
+        "cdc_zorder_box_read_pruned": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            ), f AS (
+                SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text,
+                       tool, ts_text, CAST(score AS BIGINT) AS score,
+                       strptime(ts_text, '%Y-%m-%d %H:%M:%S') AS ts
+                FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ), cut AS (
+                SELECT to_timestamp(
+                    (CAST(epoch(min(ts)) AS BIGINT)
+                     + CAST(epoch(max(ts)) AS BIGINT)) // 2) AS tc,
+                    (min(score) + max(score)) // 2 AS sc
+                FROM f
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts_text, score
+            FROM f, cut WHERE f.ts >= cut.tc AND f.score >= cut.sc
             ORDER BY conv_id, turn_idx
         """,
         "cdc_pk_move_apply": f"""
