@@ -60,7 +60,17 @@ _ADD_RE = re.compile(
     re.IGNORECASE,
 )
 _MODIFY_RE = re.compile(
-    rf"ALTER\s+TABLE\s+{_QTBL}\s+(?:MODIFY|CHANGE)\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
+    rf"ALTER\s+TABLE\s+{_QTBL}\s+MODIFY\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
+    re.IGNORECASE,
+)
+# MySQL's two column-rename spellings: RENAME COLUMN old TO new (8.0+)
+# and CHANGE [COLUMN] old new TYPE (which may also retype)
+_RENAME_COL_RE = re.compile(
+    rf"ALTER\s+TABLE\s+{_QTBL}\s+RENAME\s+COLUMN\s+{_NAME}\s+TO\s+{_NAME}",
+    re.IGNORECASE,
+)
+_CHANGE_RE = re.compile(
+    rf"ALTER\s+TABLE\s+{_QTBL}\s+CHANGE\s+(?:COLUMN\s+)?{_NAME}\s+{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
     re.IGNORECASE,
 )
 # full reference classification surface (SimpleDdlParser.java:13-33,
@@ -98,6 +108,8 @@ class DdlResult:
     sql: str = ""
     # RENAME target: (schema|None, table)
     rename_to: tuple[str | None, str] | None = None
+    # RENAME_COLUMN target name (column carries the OLD name)
+    new_name: str | None = None
 
 
 def _spark_type(type_text: str) -> T.DataType | None:
@@ -127,6 +139,23 @@ def parse_ddl(sql: str, default_schema: str | None = None) -> DdlResult:
     if m:
         sch, tbl, col, ty = m.groups()
         return DdlResult("WIDEN", sch or default_schema, tbl, col, _spark_type(ty), sql)
+    m = _RENAME_COL_RE.search(sql_clean)
+    if m:
+        sch, tbl, old, new = m.groups()
+        return DdlResult(
+            "RENAME_COLUMN", sch or default_schema, tbl, old, sql=sql,
+            new_name=new,
+        )
+    m = _CHANGE_RE.search(sql_clean)
+    if m:
+        sch, tbl, old, new, ty = m.groups()
+        if old.lower() == new.lower():
+            # CHANGE with same name == MODIFY (retype only)
+            return DdlResult("WIDEN", sch or default_schema, tbl, old, _spark_type(ty), sql)
+        return DdlResult(
+            "RENAME_COLUMN", sch or default_schema, tbl, old, _spark_type(ty),
+            sql=sql, new_name=new,
+        )
     m = _ALTER_RENAME_RE.match(sql_clean)
     if m:
         s1, t1, s2, t2 = m.groups()

@@ -225,6 +225,17 @@ def _zvalue_expr(df: DataFrame, cols: list[str], n_codes: int = 64):
     return z
 
 
+def _source_name(name: str, sid: int, renames: list | None) -> str:
+    """A current column's HISTORICAL name in files written under schema
+    ``sid``: walk the rename chain newest-first, applying every rename
+    committed after that schema (Iceberg column-mapping analogue, by
+    rename records instead of field ids)."""
+    for r in sorted(renames or [], key=lambda r: -r["sid"]):
+        if r["sid"] > sid and name == r["to"]:
+            name = r["from"]
+    return name
+
+
 def _bucket_rows(new_files: dict[int, list[dict]]) -> dict[str, int]:
     """Per-bucket rows written by a commit, folded from the entries'
     footer stats (the per-partition lineage payload)."""
@@ -356,11 +367,12 @@ class LakeTable:
         entries: list[dict],
         schemas: dict,
         target: T.StructType,
+        renames: list | None = None,
     ) -> DataFrame:
         """Read a list of file entries (each ``{"path","schema_id",...}``)
         grouped by schema_id and align every group to ``target``: missing
-        columns become null, widened columns cast (schema evolution
-        without rewrite)."""
+        columns become null, widened columns cast, renamed columns mapped
+        through the rename chain (schema evolution without rewrite)."""
         groups: dict[int, list[str]] = {}
         for fe in entries:
             groups.setdefault(fe["schema_id"], []).append(os.path.join(self.path, fe["path"]))
@@ -369,7 +381,9 @@ class LakeTable:
         parts = []
         for sid, paths in sorted(groups.items()):
             old = T.StructType.fromJson(schemas[str(sid)])
-            df, cols = self._aligned_scan(spark, paths, old, target)
+            df, cols = self._aligned_scan(
+                spark, paths, old, target, sid=sid, renames=renames
+            )
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -383,9 +397,12 @@ class LakeTable:
         old: T.StructType,
         target: T.StructType,
         extra_fields: list[T.StructField] | None = None,
+        sid: int = 0,
+        renames: list | None = None,
     ):
         """One schema-group parquet scan plus the column list aligning
-        it to ``target`` (missing columns null, widened columns cast) —
+        it to ``target`` (missing columns null, widened columns cast,
+        renamed columns read under their historical name at ``sid``) —
         the single align implementation shared by the base read and the
         MOR resolution path. ``extra_fields`` extends the READ schema
         (e.g. the tombstone column); the caller appends its own extra
@@ -397,9 +414,10 @@ class LakeTable:
         )
         df = spark.read.schema(read_schema).parquet(*paths)
         old_names = {f.name for f in old.fields}
+        src = {f.name: _source_name(f.name, sid, renames) for f in target.fields}
         cols = [
-            F.col(f.name).cast(f.dataType).alias(f.name)
-            if f.name in old_names
+            F.col(src[f.name]).cast(f.dataType).alias(f.name)
+            if src[f.name] in old_names
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in target.fields
         ]
@@ -413,6 +431,7 @@ class LakeTable:
         target: T.StructType | None = None,
         schemas: dict | None = None,
         file_filter=None,
+        renames: list | None = None,
     ) -> DataFrame:
         """Live one-row-per-key state of a snapshot's buckets, with any
         merge-on-read DELTA files resolved: for every key the entry
@@ -457,8 +476,13 @@ class LakeTable:
             if file_filter is not None:
                 files = [fe for fe in files if file_filter(fe)]
             (delta_entries if _has_delta(files) else clean_entries).extend(files)
+        # caller override: a cross-version diff aligns BOTH sides to
+        # the newer schema, so both need the newer rename chain
+        renames = renames if renames is not None else m.get("renames")
         if not delta_entries:
-            return self._read_aligned(spark, clean_entries, schemas, target)
+            return self._read_aligned(
+                spark, clean_entries, schemas, target, renames=renames
+            )
 
         # group files by (schema_id, seq): every file in a group shares
         # one parquet schema and one commit precedence level
@@ -472,7 +496,9 @@ class LakeTable:
             extra = (
                 [T.StructField(_TOMBSTONE, T.BooleanType())] if is_delta else None
             )
-            df, cols = self._aligned_scan(spark, paths, old, target, extra)
+            df, cols = self._aligned_scan(
+                spark, paths, old, target, extra, sid=sid, renames=renames
+            )
             tomb = (
                 F.coalesce(F.col(_TOMBSTONE), F.lit(False))
                 if is_delta
@@ -498,7 +524,7 @@ class LakeTable:
         if not clean_entries:
             return resolved
         return self._read_aligned(
-            spark, clean_entries, schemas, target
+            spark, clean_entries, schemas, target, renames=renames
         ).unionByName(resolved)
 
     def delta_counts(self, version: int | None = None) -> dict[int, int]:
@@ -724,10 +750,12 @@ class LakeTable:
         # bucket's raw files hold superseded rows and tombstones — the
         # diff below needs one live row per key on each side
         old = self._read_state(
-            spark, mf, bucket_ids=changed, target=target, schemas=schemas
+            spark, mf, bucket_ids=changed, target=target, schemas=schemas,
+            renames=mt.get("renames"),
         ).withColumn("__o", F.lit(True))
         new = self._read_state(
-            spark, mt, bucket_ids=changed, target=target, schemas=schemas
+            spark, mt, bucket_ids=changed, target=target, schemas=schemas,
+            renames=mt.get("renames"),
         ).withColumn("__n", F.lit(True))
         non_key = [f.name for f in target.fields if f.name not in key]
         o, n = old.alias("o"), new.alias("n")
@@ -1267,6 +1295,68 @@ class LakeTable:
         }
         return self._commit(new)
 
+    def rename_column(self, old: str, new: str, note: str = "") -> int:
+        """METADATA-ONLY column rename (Iceberg ``RENAME COLUMN``
+        analogue): commits a new schema with the field renamed and a
+        rename record ``{sid, from, to}``; data files are untouched —
+        the read path maps a file's historical column name to the
+        current name through the rename chain (see
+        :meth:`_aligned_scan`). Renaming the bucket/key columns updates
+        the manifest's key metadata in the same commit, so MERGE
+        placement stays consistent. Old files keep their stamped stats
+        under the historical name — range reads on the new name simply
+        stop skipping those files until they are rewritten (sound,
+        never wrong)."""
+        m = self.manifest()
+        schema = self.schema()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} in schema {names}")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        new_sid = max(int(s) for s in m["schemas"]) + 1
+        nm = dict(m)
+        nm["version"] = m["version"] + 1
+        nm["parent"] = m["version"]
+        nm["schemas"] = {**m["schemas"], str(new_sid): json.loads(new_schema.json())}
+        nm["schema_id"] = new_sid
+        nm["renames"] = list(m.get("renames") or []) + [
+            {"sid": new_sid, "from": old, "to": new}
+        ]
+        if nm["bucket_by"] == old:
+            nm["bucket_by"] = new
+        nm["key_cols"] = [new if c == old else c for c in m["key_cols"]]
+        nm["summary"] = {
+            "operation": "rename-column",
+            "ts_ms": int(time.time() * 1000),
+            "from": old,
+            "to": new,
+            "note": note,
+        }
+        return self._commit(nm)
+
+    def column_aliases(self, version: int | None = None) -> dict[str, list[str]]:
+        """Current column name -> its historical names, newest first
+        (the rename chain) — consumers reading still-inflight payloads
+        keyed by an older name coalesce over these."""
+        m = self.manifest(version)
+        out: dict[str, list[str]] = {}
+        for f in self.schema(version).fields:
+            chain, n = [], f.name
+            for r in sorted(m.get("renames") or [], key=lambda r: -r["sid"]):
+                if n == r["to"]:
+                    n = r["from"]
+                    chain.append(n)
+            if chain:
+                out[f.name] = chain
+        return out
+
     def rollback(self, to_version: int) -> int:
         """Roll the table back to an older snapshot (Iceberg
         ``rollback_to_snapshot``): commits a NEW snapshot whose buckets,
@@ -1509,6 +1599,7 @@ class LakeTable:
                     [fe for fe in files if not fe.get("delta")],
                     m["schemas"],
                     self.schema(),
+                    renames=m.get("renames"),
                 )
                 n = df.filter(
                     _bucket_expr(m["bucket_by"], nb) != int(b_str)

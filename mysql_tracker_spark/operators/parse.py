@@ -20,14 +20,26 @@ from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 from ..schema import LOG_ORDER
 
 
-def typed_from_map(map_col: str | Column, schema: T.StructType) -> list[Column]:
+def typed_from_map(
+    map_col: str | Column,
+    schema: T.StructType,
+    aliases: dict[str, list[str]] | None = None,
+) -> list[Column]:
     """Projection list turning a map<string,string> column (name or
     expression) into typed columns per ``schema`` (absent key -> null,
-    the reference's NULL rule)."""
+    the reference's NULL rule). ``aliases`` maps a current column name
+    to its HISTORICAL names (newest first, a RENAME COLUMN chain):
+    events emitted before the rename carry the old key in their row
+    image, so the extraction coalesces over the chain."""
     mc = F.col(map_col) if isinstance(map_col, str) else map_col
     cols = []
     for fld in schema.fields:
-        c = F.element_at(mc, fld.name)
+        names = [fld.name, *(aliases or {}).get(fld.name, [])]
+        c = (
+            F.coalesce(*[F.element_at(mc, n) for n in names])
+            if len(names) > 1
+            else F.element_at(mc, fld.name)
+        )
         if not isinstance(fld.dataType, T.StringType):
             c = c.cast(fld.dataType)
         cols.append(c.alias(fld.name))

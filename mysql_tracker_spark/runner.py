@@ -431,6 +431,41 @@ class CdcApplyJob:
                     new_schema = evolve_schema(self.table.schema(), parsed)
                     if new_schema is not None:
                         self.table.update_schema(new_schema, note=sql)
+            elif parsed.kind == "RENAME_COLUMN" and targets:
+                # payload rename = metadata-only evolution (old files
+                # map through the rename chain on read; same-batch
+                # pre-rename events coalesce via column_aliases).
+                # KEY-column rename changes the apply identity (events
+                # are keyed by fixed key_cols) — operator decision,
+                # like DROP/RENAME TABLE.
+                if parsed.column in self.key_cols:
+                    if self.on_destructive_ddl == "ignore":
+                        continue
+                    raise RuntimeError(
+                        f"RENAME of key column {parsed.column!r} at "
+                        f"({row['file']}, {row['pos']}): {sql!r} — the "
+                        "apply keys events by "
+                        f"{tuple(self.key_cols)}; retarget the job or "
+                        "pass on_destructive_ddl='ignore'."
+                    )
+                cur = {f.name for f in self.table.schema().fields}
+                if parsed.column in cur and parsed.new_name not in cur:
+                    self.table.rename_column(
+                        parsed.column, parsed.new_name, note=sql
+                    )
+                # CHANGE old new TYPE may widen too — apply after
+                if parsed.new_type is not None:
+                    from .ddl import DdlResult
+
+                    widen = evolve_schema(
+                        self.table.schema(),
+                        DdlResult(
+                            "WIDEN", parsed.schema_name, parsed.table_name,
+                            parsed.new_name, parsed.new_type,
+                        ),
+                    )
+                    if widen is not None:
+                        self.table.update_schema(widen, note=sql)
             elif parsed.kind == "TRUNCATE" and targets:
                 self.table.truncate()
                 trunc_fp = (row["file"], row["pos"])
@@ -865,7 +900,11 @@ class CdcApplyJob:
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
             *self.key_cols,
-            *typed_from_map(kv_to_map("after_kv"), T.StructType(non_key)),
+            *typed_from_map(
+                kv_to_map("after_kv"),
+                T.StructType(non_key),
+                aliases=self.table.column_aliases(),
+            ),
             (F.col("op") == "DELETE").alias("__delete"),
             _bucket_expr(self.key_cols[0], nb).alias("__bucket"),
         )
@@ -1104,7 +1143,11 @@ class CdcApplyJob:
         changes = latest.select(
             "conv_id",
             "turn_idx",
-            *typed_from_map("after", T.StructType(non_key)),
+            *typed_from_map(
+                "after",
+                T.StructType(non_key),
+                aliases=self.table.column_aliases(),
+            ),
             (F.col("op") == "DELETE").alias("__delete"),
         )
 

@@ -56,9 +56,12 @@ def test_parse_full_event_class_vocabulary():
     r = parse_ddl("ALTER TABLE chat.transcripts RENAME chat.t3")
     assert r.kind == "RENAME" and r.rename_to == ("chat", "t3")
     # benign in-table renames are NOT a destructive table RENAME — they
-    # must not halt the apply job under on_destructive_ddl='raise'
+    # must not halt the apply job under on_destructive_ddl='raise'.
+    # RENAME COLUMN is first-class evolution (applied as a metadata
+    # rename, tests/test_rename_column.py); INDEX/KEY renames are OTHER
+    r = parse_ddl("ALTER TABLE chat.transcripts RENAME COLUMN a TO b")
+    assert (r.kind, r.column, r.new_name) == ("RENAME_COLUMN", "a", "b")
     for sql in (
-        "ALTER TABLE chat.transcripts RENAME COLUMN a TO b",
         "ALTER TABLE chat.transcripts RENAME INDEX i1 TO i2",
         "ALTER TABLE chat.transcripts RENAME KEY k1 TO k2",
     ):

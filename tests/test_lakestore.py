@@ -712,3 +712,104 @@ def test_validate_fsck_detects_corruption(spark, tmp_table_dir):
     t._commit(m)
     r = t.validate(spark, deep=True)
     assert not r["ok"] and any("misplaced" in i for i in r["issues"])
+
+
+def test_rename_column_metadata_only_evolution(spark, tmp_path):
+    """Iceberg RENAME COLUMN analogue: metadata-only rename — old files
+    keep their on-disk name and are mapped through the rename chain on
+    read; pre-rename snapshots still read under the old name; the
+    changelog across the rename boundary is empty; merges after the
+    rename keep working; chained renames compose."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    ch = T.StructType(list(schema.fields) + [T.StructField("__delete", T.BooleanType())])
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["k", "i"], "k", n_buckets=4)
+    t.merge(spark, spark.createDataFrame(
+        [("a", 1, "x", False), ("b", 2, "y", False)], ch))
+    pre = t.current_version()
+
+    t.rename_column("v", "val")
+    assert [f.name for f in t.schema().fields] == ["k", "i", "val"]
+    # old files (still storing column 'v') read under the new name
+    got = {(r["k"], r["i"]): r["val"] for r in t.read(spark).collect()}
+    assert got == {("a", 1): "x", ("b", 2): "y"}
+    # time travel to the pre-rename snapshot keeps the OLD name
+    assert [c for c, _ in t.read(spark, version=pre).dtypes] == ["k", "i", "v"]
+    # rename rewrites nothing: changelog across the boundary is empty
+    assert t.read_changes(spark, pre).count() == 0
+    assert t.column_aliases() == {"val": ["v"]}
+
+    # merge NEW data under the new name; both generations resolve
+    ch2 = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("__delete", T.BooleanType()),
+        ]
+    )
+    t.merge_mor(spark, spark.createDataFrame(
+        [("a", 1, "x2", False), ("c", 3, "z", False)], ch2))
+    got = {(r["k"], r["i"]): r["val"] for r in t.read(spark).collect()}
+    assert got == {("a", 1): "x2", ("b", 2): "y", ("c", 3): "z"}
+    # changelog across rename+merge shows only the real changes, under
+    # the new name
+    chg = {(r["op"], r["k"], r["i"]): r["val"] for r in t.read_changes(spark, pre).collect()}
+    assert chg == {("update", "a", 1): "x2", ("insert", "c", 3): "z"}
+
+    # chained rename composes over BOTH old generations
+    t.rename_column("val", "value")
+    got = {(r["k"], r["i"]): r["value"] for r in t.read(spark).collect()}
+    assert got == {("a", 1): "x2", ("b", 2): "y", ("c", 3): "z"}
+    assert t.column_aliases() == {"value": ["val", "v"]}
+    # compaction folds everything to the current name; reads unchanged
+    t.compact(spark)
+    got = {(r["k"], r["i"]): r["value"] for r in t.read(spark).collect()}
+    assert got == {("a", 1): "x2", ("b", 2): "y", ("c", 3): "z"}
+    # fsck stays green (deep: placement + uniqueness over renamed reads)
+    assert t.validate(spark, deep=True)["ok"]
+
+
+def test_rename_key_column_updates_key_metadata(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    ch = T.StructType(list(schema.fields) + [T.StructField("__delete", T.BooleanType())])
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["k", "i"], "k", n_buckets=4)
+    t.merge(spark, spark.createDataFrame([("a", 1, "x", False)], ch))
+    t.rename_column("k", "conv")
+    m = t.manifest()
+    assert m["bucket_by"] == "conv" and m["key_cols"] == ["conv", "i"]
+    ch2 = T.StructType(
+        [
+            T.StructField("conv", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("__delete", T.BooleanType()),
+        ]
+    )
+    t.merge(spark, spark.createDataFrame([("a", 1, "x2", False), ("b", 2, "y", False)], ch2))
+    got = {(r["conv"], r["i"]): r["v"] for r in t.read(spark).collect()}
+    assert got == {("a", 1): "x2", ("b", 2): "y"}
+    # point read through the renamed bucket key still prunes buckets
+    assert {r["conv"] for r in t.read_for_keys(spark, ["b"]).collect()} == {"b"}
+    # invalid renames fail fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.rename_column("nope", "x")
+    with _pytest.raises(ValueError):
+        t.rename_column("v", "i")

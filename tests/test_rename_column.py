@@ -1,0 +1,124 @@
+"""Mid-stream RENAME COLUMN through the full apply (D6/D7 + Iceberg
+rename-column analogue): the DDL commits a metadata-only rename, old
+data files map through the rename chain on read, and same-batch events
+emitted BEFORE the rename (whose row images still carry the old key)
+are extracted via the alias coalesce."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from mysql_tracker_spark.runner import CdcApplyJob
+from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+TS = "2025-01-01 00:00:%02d"
+
+
+def _ev(i, op, conv, turn, is_ddl=False, ddl=None, before=None, after=None):
+    return {
+        "file": "bin.000001",
+        "pos": 4 + i * 100,
+        "row_idx": 0,
+        "server_id": 1,
+        "ts": pd.Timestamp(dt.datetime(2025, 1, 1, 0, 0, i)),
+        "xid": i + 1,
+        "gtid": f"uuid:{i + 1}",
+        "op": op,
+        "schema_name": "chat",
+        "table_name": "transcripts",
+        "is_ddl": is_ddl,
+        "ddl_sql": ddl,
+        "before": before,
+        "after": after,
+    }
+
+
+def _row(conv, turn, text, tool_key, tool_val, i):
+    return {
+        "conv_id": conv,
+        "turn_idx": str(turn),
+        "role": "user",
+        "text": text,
+        tool_key: tool_val,
+        "ts": TS % i,
+    }
+
+
+def _stream():
+    evs = [
+        _ev(0, "INSERT", "a", 1, after=_row("a", 1, "t1", "tool", "search", 0)),
+        _ev(1, "INSERT", "a", 2, after=_row("a", 2, "t2", "tool", "", 1)),
+        # same-batch DML BEFORE the rename: still carries the OLD key
+        _ev(2, "UPDATE", "a", 1, before=_row("a", 1, "t1", "tool", "search", 0),
+            after=_row("a", 1, "t1b", "tool", "search2", 2)),
+        _ev(3, "ALTER", None, None, is_ddl=True,
+            ddl="ALTER TABLE chat.transcripts RENAME COLUMN tool TO tool_name"),
+        # post-rename events carry the NEW key
+        _ev(4, "INSERT", "b", 1, after=_row("b", 1, "t3", "tool_name", "calc", 4)),
+        _ev(5, "UPDATE", "a", 2, before=_row("a", 2, "t2", "tool_name", "", 1),
+            after=_row("a", 2, "t2b", "tool_name", "calc2", 5)),
+    ]
+    return pd.DataFrame(evs)
+
+
+def test_rename_column_mid_stream_applies(spark, tmp_path):
+    write_batches(_stream(), str(tmp_path / "in"), n_batches=2)
+    job = CdcApplyJob(spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=4)
+    job.run()
+    cols = [f.name for f in job.table.schema().fields]
+    assert cols == ["conv_id", "turn_idx", "role", "text", "tool_name", "ts"]
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["tool_name"])
+        for r in job.table.read(spark).collect()
+    }
+    assert got == {
+        ("a", 1): ("t1b", "search2"),  # pre-rename event, old key in map
+        ("a", 2): ("t2b", "calc2"),
+        ("b", 1): ("t3", "calc"),
+    }
+    assert job.table.column_aliases() == {"tool_name": ["tool"]}
+    # replay is a no-op (rename DDL is idempotent under the guard)
+    stats = CdcApplyJob(spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=4).run()
+    assert all(s.skipped for s in stats)
+    got2 = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["tool_name"])
+        for r in job.table.read(spark).collect()
+    }
+    assert got2 == got
+
+
+def test_rename_key_column_raises_by_default(spark, tmp_path):
+    evs = pd.DataFrame([
+        _ev(0, "INSERT", "a", 1, after=_row("a", 1, "t1", "tool", "x", 0)),
+        _ev(1, "ALTER", None, None, is_ddl=True,
+            ddl="ALTER TABLE chat.transcripts RENAME COLUMN conv_id TO cid"),
+    ])
+    write_batches(evs, str(tmp_path / "in"), n_batches=1)
+    job = CdcApplyJob(spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(RuntimeError, match="key column"):
+        job.run()
+    # ignore policy skips it, reference-style
+    job2 = CdcApplyJob(
+        spark, str(tmp_path / "in"), str(tmp_path / "t2"), n_buckets=4,
+        on_destructive_ddl="ignore",
+    )
+    job2.run()
+    assert [f.name for f in job2.table.schema().fields][0] == "conv_id"
+
+
+def test_change_column_syntax_renames_and_widens():
+    from pyspark.sql import types as T
+
+    from mysql_tracker_spark.ddl import parse_ddl
+
+    p = parse_ddl("ALTER TABLE chat.transcripts RENAME COLUMN tool TO tool_name")
+    assert (p.kind, p.column, p.new_name) == ("RENAME_COLUMN", "tool", "tool_name")
+    p = parse_ddl("ALTER TABLE chat.t CHANGE COLUMN score rating BIGINT")
+    assert (p.kind, p.column, p.new_name) == ("RENAME_COLUMN", "score", "rating")
+    assert p.new_type == T.LongType()
+    p = parse_ddl("ALTER TABLE chat.t CHANGE score score BIGINT")
+    assert (p.kind, p.column) == ("WIDEN", "score")
+    # the destructive TABLE rename stays classified as RENAME
+    p = parse_ddl("ALTER TABLE chat.t RENAME TO chat.t2")
+    assert p.kind == "RENAME"
