@@ -55,6 +55,12 @@ _WIDEN_OK = {
 
 _NAME = r"[`\"']?(\w+)[`\"']?"
 _QTBL = rf"(?:{_NAME}\.)?{_NAME}"
+_DROP_COL_RE = re.compile(
+    rf"ALTER\s+TABLE\s+{_QTBL}\s+DROP\s+(?:COLUMN\s+)?"
+    rf"(?!INDEX\b|KEY\b|PRIMARY\b|FOREIGN\b|CONSTRAINT\b|PARTITION\b|CHECK\b)"
+    rf"{_NAME}\s*(?:,|$)",
+    re.IGNORECASE,
+)
 _ADD_RE = re.compile(
     rf"ALTER\s+TABLE\s+{_QTBL}\s+ADD\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
     re.IGNORECASE,
@@ -139,6 +145,10 @@ def parse_ddl(sql: str, default_schema: str | None = None) -> DdlResult:
     if m:
         sch, tbl, col, ty = m.groups()
         return DdlResult("WIDEN", sch or default_schema, tbl, col, _spark_type(ty), sql)
+    m = _DROP_COL_RE.search(sql_clean)
+    if m:
+        sch, tbl, col = m.groups()
+        return DdlResult("DROP_COLUMN", sch or default_schema, tbl, col, sql=sql)
     m = _RENAME_COL_RE.search(sql_clean)
     if m:
         sch, tbl, old, new = m.groups()
@@ -204,6 +214,10 @@ def evolve_schema(current: T.StructType, ddl: DdlResult) -> T.StructType | None:
         if any(f.name == ddl.column for f in current.fields):
             return None  # idempotent re-apply (replayed DDL)
         return T.StructType(current.fields + [T.StructField(ddl.column, ddl.new_type, True)])
+    if ddl.kind == "DROP_COLUMN":
+        if not any(f.name == ddl.column for f in current.fields):
+            return None  # idempotent re-apply (replayed DDL)
+        return T.StructType([f for f in current.fields if f.name != ddl.column])
     if ddl.kind == "WIDEN" and ddl.new_type is not None:
         fields = []
         changed = False

@@ -431,6 +431,24 @@ class CdcApplyJob:
                     new_schema = evolve_schema(self.table.schema(), parsed)
                     if new_schema is not None:
                         self.table.update_schema(new_schema, note=sql)
+            elif parsed.kind == "DROP_COLUMN" and targets:
+                # payload drop = plain schema evolution (old files keep
+                # the bytes; the target schema simply stops selecting
+                # the column — no rewrite). KEY-column drop destroys
+                # the apply identity — operator decision.
+                if parsed.column in self.key_cols:
+                    if self.on_destructive_ddl == "ignore":
+                        continue
+                    raise RuntimeError(
+                        f"DROP of key column {parsed.column!r} at "
+                        f"({row['file']}, {row['pos']}): {sql!r} — the "
+                        "apply keys events by "
+                        f"{tuple(self.key_cols)}; retarget the job or "
+                        "pass on_destructive_ddl='ignore'."
+                    )
+                new_schema = evolve_schema(self.table.schema(), parsed)
+                if new_schema is not None:
+                    self.table.update_schema(new_schema, note=sql)
             elif parsed.kind == "RENAME_COLUMN" and targets:
                 # payload rename = metadata-only evolution (old files
                 # map through the rename chain on read; same-batch

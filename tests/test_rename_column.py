@@ -122,3 +122,56 @@ def test_change_column_syntax_renames_and_widens():
     # the destructive TABLE rename stays classified as RENAME
     p = parse_ddl("ALTER TABLE chat.t RENAME TO chat.t2")
     assert p.kind == "RENAME"
+
+
+def test_drop_column_mid_stream_applies(spark, tmp_path):
+    """ALTER TABLE .. DROP COLUMN mid-stream: metadata-only removal —
+    subsequent reads stop selecting the column, old file bytes stay,
+    pre-drop snapshots still expose it (time travel)."""
+    evs = pd.DataFrame([
+        _ev(0, "INSERT", "a", 1, after=_row("a", 1, "t1", "tool", "search", 0)),
+        _ev(1, "INSERT", "b", 1, after=_row("b", 1, "t2", "tool", "calc", 1)),
+        _ev(2, "ALTER", None, None, is_ddl=True,
+            ddl="ALTER TABLE chat.transcripts DROP COLUMN tool"),
+        _ev(3, "UPDATE", "a", 1, before=_row("a", 1, "t1", "tool", "search", 0),
+            after={"conv_id": "a", "turn_idx": "1", "role": "user",
+                   "text": "t1b", "ts": TS % 3}),
+    ])
+    write_batches(evs, str(tmp_path / "in"), n_batches=2)
+    job = CdcApplyJob(spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=4)
+    job.run()
+    cols = [f.name for f in job.table.schema().fields]
+    assert cols == ["conv_id", "turn_idx", "role", "text", "ts"]
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in job.table.read(spark).collect()}
+    assert got == {("a", 1): "t1b", ("b", 1): "t2"}
+    # pre-drop snapshot still exposes the column with its data
+    pre = next(
+        v for v in range(1, job.table.current_version() + 1)
+        if "tool" in {f.name for f in job.table.schema(version=v).fields}
+        and job.table.manifest(v)["summary"]["operation"] in ("merge", "merge-mor")
+    )
+    old = {(r["conv_id"], r["turn_idx"]): r["tool"]
+           for r in job.table.read(spark, version=pre).collect()}
+    assert old == {("a", 1): "search", ("b", 1): "calc"}
+    # replay converges (drop is idempotent)
+    stats = CdcApplyJob(spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=4).run()
+    assert all(s.skipped for s in stats)
+
+
+def test_drop_key_column_raises_and_drop_index_is_other():
+    from mysql_tracker_spark.ddl import parse_ddl
+
+    p = parse_ddl("ALTER TABLE chat.t DROP COLUMN tool")
+    assert (p.kind, p.column) == ("DROP_COLUMN", "tool")
+    p = parse_ddl("ALTER TABLE chat.t DROP tool")
+    assert (p.kind, p.column) == ("DROP_COLUMN", "tool")
+    # index/key/constraint drops are NOT column drops
+    for sql in (
+        "ALTER TABLE chat.t DROP INDEX i1",
+        "ALTER TABLE chat.t DROP PRIMARY KEY",
+        "ALTER TABLE chat.t DROP FOREIGN KEY fk1",
+        "ALTER TABLE chat.t DROP PARTITION p0",
+    ):
+        assert parse_ddl(sql).kind != "DROP_COLUMN", sql
+    # DROP TABLE still classifies as DROP
+    assert parse_ddl("DROP TABLE chat.t").kind == "DROP"
