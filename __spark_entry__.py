@@ -2712,6 +2712,114 @@ def q_cdc_zorder_box_read_pruned(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+EVOLUTION_ORACLE_DUMP = "/tmp/mts_flagship_oracle/evolution_flat.parquet"
+
+
+def _evolution_events():
+    """Deterministic hand-built stream exercising RENAME COLUMN (tool
+    -> tool_name, with pre-rename events still keyed by the old name)
+    and DROP COLUMN (role) mid-stream."""
+    import datetime as dt
+
+    import pandas as pd
+
+    def ev(i, op, is_ddl=False, ddl=None, before=None, after=None):
+        return {
+            "file": "bin.000001", "pos": 4 + i * 100, "row_idx": 0,
+            "server_id": 1, "ts": pd.Timestamp(dt.datetime(2025, 1, 1, 0, 0, i)),
+            "xid": i + 1, "gtid": f"uuid:{i + 1}", "op": op,
+            "schema_name": "chat", "table_name": "transcripts",
+            "is_ddl": is_ddl, "ddl_sql": ddl, "before": before, "after": after,
+        }
+
+    def row(conv, turn, text, i, tool_key=None, tool=None, role="user"):
+        r = {"conv_id": conv, "turn_idx": str(turn), "text": text,
+             "ts": f"2025-01-01 00:00:{i:02d}"}
+        if role is not None:
+            r["role"] = role
+        if tool_key is not None:
+            r[tool_key] = tool
+        return r
+
+    return pd.DataFrame([
+        ev(0, "INSERT", after=row("a", 1, "t1", 0, "tool", "search")),
+        ev(1, "INSERT", after=row("a", 2, "t2", 1, "tool", "", "assistant")),
+        ev(2, "UPDATE", before=row("a", 1, "t1", 0, "tool", "search"),
+           after=row("a", 1, "t1b", 2, "tool", "search2")),
+        ev(3, "ALTER", is_ddl=True,
+           ddl="ALTER TABLE chat.transcripts RENAME COLUMN tool TO tool_name"),
+        ev(4, "INSERT", after=row("b", 1, "t3", 4, "tool_name", "calc")),
+        ev(5, "UPDATE", before=row("a", 2, "t2", 1, "tool_name", ""),
+           after=row("a", 2, "t2b", 5, "tool_name", "calc2", "assistant")),
+        ev(6, "ALTER", is_ddl=True,
+           ddl="ALTER TABLE chat.transcripts DROP COLUMN role"),
+        ev(7, "INSERT", after=row("b", 2, "t4", 7, "tool_name", "grep", None)),
+    ])
+
+
+def _write_evolution_dump() -> None:
+    """Flat dump with BOTH tool spellings as separate nullable columns —
+    the SQL oracle coalesces over the rename chain and never selects
+    the dropped column, mirroring the engine's alias extraction."""
+    import pandas as pd
+
+    ev = _evolution_events()
+    dml = ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])]
+    amap = dml["after"]
+    flat = pd.DataFrame(
+        {
+            "file": dml["file"].to_numpy(),
+            "pos": dml["pos"].to_numpy(),
+            "row_idx": dml["row_idx"].to_numpy(),
+            "op": dml["op"].to_numpy(),
+            "conv_id": amap.map(lambda m: m.get("conv_id")).to_numpy(),
+            "turn_idx": amap.map(lambda m: int(m["turn_idx"])).astype("int32").to_numpy(),
+            "text": amap.map(lambda m: m.get("text")).to_numpy(),
+            "tool": amap.map(lambda m: m.get("tool")).to_numpy(),
+            "tool_name": amap.map(lambda m: m.get("tool_name")).to_numpy(),
+            "ts_text": amap.map(lambda m: m.get("ts")).to_numpy(),
+        }
+    )
+    _atomic_parquet_dump(flat, EVOLUTION_ORACLE_DUMP)
+
+
+def q_cdc_rename_drop_evolution(spark, sf_dir):
+    """Mid-stream RENAME COLUMN + DROP COLUMN through the full apply
+    (metadata-only evolution, Iceberg rename/drop analogue): the final
+    table reads old files through the rename chain, extracts pre-rename
+    row images via the alias coalesce, and stops selecting the dropped
+    column. Oracle: SQL LWW with COALESCE(tool_name, tool) — the exact
+    alias-extraction semantics."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_evo_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    _write_evolution_dump()
+    write_batches(_evolution_events(), in_dir, n_batches=2)
+    try:
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=4)
+        job.run()
+        result = (
+            job.table.read(spark)
+            .select(
+                "conv_id",
+                "turn_idx",
+                "text",
+                "tool_name",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            )
+            .orderBy("conv_id", "turn_idx")
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2813,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_read_pruned": q_cdc_zorder_read_pruned,
         "cdc_pk_move_apply": q_cdc_pk_move_apply,
         "cdc_zorder_box_read_pruned": q_cdc_zorder_box_read_pruned,
+        "cdc_rename_drop_evolution": q_cdc_rename_drop_evolution,
         "cdc_eventlog_append": q_cdc_eventlog_append,
         "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
     }
@@ -3911,6 +4020,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_id, turn_idx, role, text, tool, ts_text, score
             FROM f, cut WHERE f.ts >= cut.c
+            ORDER BY conv_id, turn_idx
+        """,
+        "cdc_rename_drop_evolution": f"""
+            WITH d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                text, tool, tool_name, ts_text
+                FROM read_parquet('{EVOLUTION_ORACLE_DUMP}')
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, text,
+                   COALESCE(tool_name, tool) AS tool_name, ts_text
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
             ORDER BY conv_id, turn_idx
         """,
         "cdc_zorder_box_read_pruned": f"""
