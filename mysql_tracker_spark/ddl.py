@@ -206,6 +206,79 @@ def parse_ddl(sql: str, default_schema: str | None = None) -> DdlResult:
     return DdlResult("OTHER", default_schema, None, sql=sql)
 
 
+# clause-level patterns (no ALTER TABLE prefix) for multi-clause
+# statements: "ALTER TABLE t DROP COLUMN a, RENAME COLUMN b TO c, ..."
+_NOT_KEYWORD = r"(?!INDEX\b|KEY\b|PRIMARY\b|FOREIGN\b|CONSTRAINT\b|PARTITION\b|CHECK\b|UNIQUE\b|FULLTEXT\b)"
+_CL_ADD = re.compile(
+    rf"\bADD\s+(?:COLUMN\s+)?{_NOT_KEYWORD}{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
+    re.IGNORECASE,
+)
+_CL_MODIFY = re.compile(
+    rf"\bMODIFY\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
+    re.IGNORECASE,
+)
+_CL_RENAME_COL = re.compile(
+    rf"\bRENAME\s+COLUMN\s+{_NAME}\s+TO\s+{_NAME}", re.IGNORECASE
+)
+_CL_CHANGE = re.compile(
+    rf"\bCHANGE\s+(?:COLUMN\s+)?{_NAME}\s+{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
+    re.IGNORECASE,
+)
+_CL_DROP = re.compile(
+    rf"\bDROP\s+(?:COLUMN\s+)?{_NOT_KEYWORD}{_NAME}", re.IGNORECASE
+)
+_CL_RENAME_TBL = re.compile(
+    rf"\bRENAME\s+(?:TO\s+|AS\s+)?(?!COLUMN\b|INDEX\b|KEY\b){_QTBL}",
+    re.IGNORECASE,
+)
+_ALTER_PREFIX_RE = re.compile(rf"^\s*ALTER\s+TABLE\s+{_QTBL}", re.IGNORECASE)
+
+
+def parse_ddl_clauses(sql: str, default_schema: str | None = None) -> list[DdlResult]:
+    """Parse EVERY clause of an ALTER statement (MySQL allows
+    comma-separated clause lists): returns one DdlResult per recognized
+    clause, in statement order — applying only the first clause would
+    silently half-evolve the schema. Non-ALTER statements and ALTERs
+    with at most one recognized clause fall back to :func:`parse_ddl`
+    (single authoritative classification)."""
+    sql_clean = _COMMENT_RE.sub(" ", sql or "")
+    pm = _ALTER_PREFIX_RE.match(sql_clean)
+    if not pm:
+        return [parse_ddl(sql, default_schema)]
+    sch, tbl = pm.group(1) or default_schema, pm.group(2)
+    rest = sql_clean[pm.end():]
+    found: list[tuple[int, DdlResult]] = []
+    for m in _CL_RENAME_COL.finditer(rest):
+        old, new = m.groups()
+        found.append((m.start(), DdlResult(
+            "RENAME_COLUMN", sch, tbl, old, sql=sql, new_name=new)))
+    for m in _CL_CHANGE.finditer(rest):
+        old, new, ty = m.groups()
+        kind = "WIDEN" if old.lower() == new.lower() else "RENAME_COLUMN"
+        found.append((m.start(), DdlResult(
+            kind, sch, tbl, old, _spark_type(ty), sql=sql,
+            new_name=None if kind == "WIDEN" else new)))
+    for m in _CL_ADD.finditer(rest):
+        col, ty = m.groups()
+        found.append((m.start(), DdlResult(
+            "ADD_COLUMN", sch, tbl, col, _spark_type(ty), sql=sql)))
+    for m in _CL_MODIFY.finditer(rest):
+        col, ty = m.groups()
+        found.append((m.start(), DdlResult(
+            "WIDEN", sch, tbl, col, _spark_type(ty), sql=sql)))
+    for m in _CL_DROP.finditer(rest):
+        found.append((m.start(), DdlResult(
+            "DROP_COLUMN", sch, tbl, m.group(1), sql=sql)))
+    for m in _CL_RENAME_TBL.finditer(rest):
+        s2, t2 = m.groups()
+        found.append((m.start(), DdlResult(
+            "RENAME", sch, tbl, sql=sql, rename_to=(s2 or default_schema, t2))))
+    if len(found) <= 1:
+        return [parse_ddl(sql, default_schema)]
+    found.sort(key=lambda x: x[0])
+    return [r for _, r in found]
+
+
 def evolve_schema(current: T.StructType, ddl: DdlResult) -> T.StructType | None:
     """Apply one parsed DDL to a schema; return the new schema or None
     if it is a no-op / unsupported (add-only tolerance — unsupported

@@ -201,11 +201,22 @@ def _zvalue_expr(df: DataFrame, cols: list[str], n_codes: int = 64):
     nbits = max(1, int(math.ceil(math.log2(n_codes))))
     for i, c in enumerate(cols):
         vals = sorted({r[i] for r in samp if r[i] is not None})
+        bounds = []
         if len(vals) > 1:
-            step = max(1, len(vals) // n_codes)
-            bounds = vals[step::step][: n_codes - 1]
-        else:
+            # evenly spaced quantile indices (an integer stride would
+            # collapse the upper range into one code whenever the
+            # distinct count is between n_codes and 2*n_codes)
+            idx = sorted(
+                {
+                    min(round(q * len(vals) / n_codes), len(vals) - 1)
+                    for q in range(1, n_codes)
+                }
+            )
             bounds = []
+            for j in idx:
+                if not bounds or vals[j] > bounds[-1]:
+                    bounds.append(vals[j])
+            bounds = bounds[: n_codes - 1]
         if not bounds:
             codes.append(F.lit(0))
             continue
@@ -234,6 +245,43 @@ def _source_name(name: str, sid: int, renames: list | None) -> str:
         if r["sid"] > sid and name == r["to"]:
             name = r["from"]
     return name
+
+
+def _current_name(name: str, sid: int, renames: list | None) -> str:
+    """Inverse of :func:`_source_name`: the name a column written under
+    schema ``sid`` carries under the newest schema."""
+    for r in sorted(renames or [], key=lambda r: r["sid"]):
+        if r["sid"] > sid and name == r["from"]:
+            name = r["to"]
+    return name
+
+
+def _source_map(
+    target: T.StructType,
+    sid: int,
+    cur_sid: int,
+    schemas: dict,
+    renames: list | None,
+) -> dict[str, str | None]:
+    """Target column -> the column to read from files written under
+    schema ``sid`` (None = read NULL). The column identity must exist
+    CONTINUOUSLY from ``sid`` to ``cur_sid`` under the rename chain: a
+    name dropped and later re-added is a NEW identity — without this
+    check, unrewritten old files would resurrect the dropped bytes
+    under the reused name (the hole Iceberg closes with field ids)."""
+    lineage = [
+        int(s) for s in schemas if sid <= int(s) <= cur_sid
+    ]
+    fields_at = {
+        v: {f["name"] for f in schemas[str(v)]["fields"]} for v in lineage
+    }
+    out: dict[str, str | None] = {}
+    for f in target.fields:
+        ok = all(
+            _source_name(f.name, v, renames) in fields_at[v] for v in lineage
+        )
+        out[f.name] = _source_name(f.name, sid, renames) if ok else None
+    return out
 
 
 def _bucket_rows(new_files: dict[int, list[dict]]) -> dict[str, int]:
@@ -368,6 +416,7 @@ class LakeTable:
         schemas: dict,
         target: T.StructType,
         renames: list | None = None,
+        cur_sid: int | None = None,
     ) -> DataFrame:
         """Read a list of file entries (each ``{"path","schema_id",...}``)
         grouped by schema_id and align every group to ``target``: missing
@@ -382,7 +431,8 @@ class LakeTable:
         for sid, paths in sorted(groups.items()):
             old = T.StructType.fromJson(schemas[str(sid)])
             df, cols = self._aligned_scan(
-                spark, paths, old, target, sid=sid, renames=renames
+                spark, paths, old, target,
+                sid=sid, renames=renames, schemas=schemas, cur_sid=cur_sid,
             )
             parts.append(df.select(*cols))
         out = parts[0]
@@ -399,14 +449,17 @@ class LakeTable:
         extra_fields: list[T.StructField] | None = None,
         sid: int = 0,
         renames: list | None = None,
+        schemas: dict | None = None,
+        cur_sid: int | None = None,
     ):
         """One schema-group parquet scan plus the column list aligning
         it to ``target`` (missing columns null, widened columns cast,
-        renamed columns read under their historical name at ``sid``) —
-        the single align implementation shared by the base read and the
-        MOR resolution path. ``extra_fields`` extends the READ schema
-        (e.g. the tombstone column); the caller appends its own extra
-        output columns to the returned list."""
+        renamed columns read under their historical name at ``sid``,
+        re-added names treated as NEW identities — see
+        :func:`_source_map`) — the single align implementation shared
+        by the base read and the MOR resolution path. ``extra_fields``
+        extends the READ schema (e.g. the tombstone column); the caller
+        appends its own extra output columns to the returned list."""
         read_schema = (
             T.StructType(list(old.fields) + list(extra_fields))
             if extra_fields
@@ -414,10 +467,14 @@ class LakeTable:
         )
         df = spark.read.schema(read_schema).parquet(*paths)
         old_names = {f.name for f in old.fields}
-        src = {f.name: _source_name(f.name, sid, renames) for f in target.fields}
+        if schemas is not None:
+            cs = cur_sid if cur_sid is not None else max(int(s) for s in schemas)
+            src = _source_map(target, sid, cs, schemas, renames)
+        else:
+            src = {f.name: _source_name(f.name, sid, renames) for f in target.fields}
         cols = [
             F.col(src[f.name]).cast(f.dataType).alias(f.name)
-            if src[f.name] in old_names
+            if src[f.name] is not None and src[f.name] in old_names
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in target.fields
         ]
@@ -432,6 +489,7 @@ class LakeTable:
         schemas: dict | None = None,
         file_filter=None,
         renames: list | None = None,
+        cur_sid: int | None = None,
     ) -> DataFrame:
         """Live one-row-per-key state of a snapshot's buckets, with any
         merge-on-read DELTA files resolved: for every key the entry
@@ -477,11 +535,14 @@ class LakeTable:
                 files = [fe for fe in files if file_filter(fe)]
             (delta_entries if _has_delta(files) else clean_entries).extend(files)
         # caller override: a cross-version diff aligns BOTH sides to
-        # the newer schema, so both need the newer rename chain
+        # the newer schema, so both need the newer rename chain (and
+        # the newer schema id for the continuity lineage)
         renames = renames if renames is not None else m.get("renames")
+        cur_sid = cur_sid if cur_sid is not None else m["schema_id"]
         if not delta_entries:
             return self._read_aligned(
-                spark, clean_entries, schemas, target, renames=renames
+                spark, clean_entries, schemas, target,
+                renames=renames, cur_sid=cur_sid,
             )
 
         # group files by (schema_id, seq): every file in a group shares
@@ -497,7 +558,8 @@ class LakeTable:
                 [T.StructField(_TOMBSTONE, T.BooleanType())] if is_delta else None
             )
             df, cols = self._aligned_scan(
-                spark, paths, old, target, extra, sid=sid, renames=renames
+                spark, paths, old, target, extra,
+                sid=sid, renames=renames, schemas=schemas, cur_sid=cur_sid,
             )
             tomb = (
                 F.coalesce(F.col(_TOMBSTONE), F.lit(False))
@@ -512,7 +574,12 @@ class LakeTable:
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        key = m["key_cols"]
+        # the aligned union carries TARGET names — map the key through
+        # the rename chain (a cross-version diff may group an old
+        # snapshot's files under the newer key name)
+        key = [
+            _current_name(k, m["schema_id"], renames) for k in m["key_cols"]
+        ]
         payload = [f.name for f in target.fields if f.name not in key]
         winner = F.max_by(
             F.struct(*payload, "__is_del"), F.col("__seq")
@@ -524,7 +591,8 @@ class LakeTable:
         if not clean_entries:
             return resolved
         return self._read_aligned(
-            spark, clean_entries, schemas, target, renames=renames
+            spark, clean_entries, schemas, target,
+            renames=renames, cur_sid=cur_sid,
         ).unionByName(resolved)
 
     def delta_counts(self, version: int | None = None) -> dict[int, int]:
@@ -656,20 +724,10 @@ class LakeTable:
           on delta-free scopes (the common steady state after
           compaction); with deltas present the read falls back to full
           LWW resolution, filtered afterwards — always correct.
+
+        Single-predicate special case of :meth:`read_where_all`.
         """
-        m = self.manifest(version)
-        key_like = col == m["bucket_by"] or col in m["key_cols"]
-        entries = [fe for fs in m["buckets"].values() for fe in fs]
-        ff = lambda fe: _stats_keep_range(fe, col, lo, hi)  # noqa: E731
-        if key_like or not any(fe.get("delta") for fe in entries):
-            df = self._read_state(spark, m, file_filter=ff)
-        else:
-            df = self._read_state(spark, m)
-        if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
-        return df
+        return self.read_where_all(spark, {col: (lo, hi)}, version=version)
 
     def read_where_all(
         self,
@@ -751,11 +809,11 @@ class LakeTable:
         # diff below needs one live row per key on each side
         old = self._read_state(
             spark, mf, bucket_ids=changed, target=target, schemas=schemas,
-            renames=mt.get("renames"),
+            renames=mt.get("renames"), cur_sid=mt["schema_id"],
         ).withColumn("__o", F.lit(True))
         new = self._read_state(
             spark, mt, bucket_ids=changed, target=target, schemas=schemas,
-            renames=mt.get("renames"),
+            renames=mt.get("renames"), cur_sid=mt["schema_id"],
         ).withColumn("__n", F.lit(True))
         non_key = [f.name for f in target.fields if f.name not in key]
         o, n = old.alias("o"), new.alias("n")
@@ -1233,9 +1291,20 @@ class LakeTable:
         state = self._read_state(spark, m, bucket_ids=todo).withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"])
         )
-        new_files = self._write_buckets(
-            state, schema, sort_by=sort_by, files_per_bucket=files_per_bucket
-        )
+        if sort_by:
+            # range/z-order clustering evaluates `state` 2-3x (boundary
+            # sampling jobs + the write) — pay the expensive MOR
+            # resolution once, not per sampling pass
+            from pyspark import StorageLevel
+
+            state = state.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            new_files = self._write_buckets(
+                state, schema, sort_by=sort_by, files_per_bucket=files_per_bucket
+            )
+        finally:
+            if sort_by:
+                state.unpersist()
         new_buckets = {
             b: list(files)
             for b, files in m["buckets"].items()
@@ -1346,12 +1415,19 @@ class LakeTable:
         (the rename chain) — consumers reading still-inflight payloads
         keyed by an older name coalesce over these."""
         m = self.manifest(version)
+        current = {f.name for f in self.schema(version).fields}
         out: dict[str, list[str]] = {}
         for f in self.schema(version).fields:
             chain, n = [], f.name
             for r in sorted(m.get("renames") or [], key=lambda r: -r["sid"]):
                 if n == r["to"]:
                     n = r["from"]
+                    if n in current:
+                        # historical name REUSED by a live column (a
+                        # rename followed by re-adding the old name):
+                        # coalescing over it would steal that column's
+                        # values — stop the chain here
+                        break
                     chain.append(n)
             if chain:
                 out[f.name] = chain

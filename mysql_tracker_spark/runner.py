@@ -414,90 +414,101 @@ class CdcApplyJob:
         Idempotent under replay: re-applied ADD/WIDEN are no-ops,
         re-TRUNCATE of an empty table commits another empty snapshot.
         """
-        from .ddl import evolve_schema, parse_ddl
+        from .ddl import evolve_schema, parse_ddl_clauses
 
         trunc_fp: tuple[str, int] | None = None
         for row in ddl_rows:
             sql = row["ddl_sql"]
             if not sql:
                 continue
-            parsed = parse_ddl(sql, self.schema_name)
-            targets = (
-                parsed.schema_name == self.schema_name
-                and parsed.table_name == self.table_name
-            )
-            if parsed.kind in ("ADD_COLUMN", "WIDEN"):
-                if targets:
-                    new_schema = evolve_schema(self.table.schema(), parsed)
-                    if new_schema is not None:
-                        self.table.update_schema(new_schema, note=sql)
-            elif parsed.kind == "DROP_COLUMN" and targets:
-                # payload drop = plain schema evolution (old files keep
-                # the bytes; the target schema simply stops selecting
-                # the column — no rewrite). KEY-column drop destroys
-                # the apply identity — operator decision.
-                if parsed.column in self.key_cols:
-                    if self.on_destructive_ddl == "ignore":
-                        continue
-                    raise RuntimeError(
-                        f"DROP of key column {parsed.column!r} at "
-                        f"({row['file']}, {row['pos']}): {sql!r} — the "
-                        "apply keys events by "
-                        f"{tuple(self.key_cols)}; retarget the job or "
-                        "pass on_destructive_ddl='ignore'."
-                    )
+            # MySQL allows comma-separated clause lists in one ALTER —
+            # apply EVERY recognized clause in statement order (first-
+            # clause-only would silently half-evolve the schema)
+            for parsed in parse_ddl_clauses(sql, self.schema_name):
+                trunc_fp = self._apply_ddl_clause(parsed, row, sql, trunc_fp)
+        return trunc_fp
+
+    def _apply_ddl_clause(self, parsed, row, sql, trunc_fp):
+        from .ddl import evolve_schema
+
+        """Apply one parsed DDL clause; returns the (possibly
+        updated) truncate fence."""
+        targets = (
+            parsed.schema_name == self.schema_name
+            and parsed.table_name == self.table_name
+        )
+        if parsed.kind in ("ADD_COLUMN", "WIDEN"):
+            if targets:
                 new_schema = evolve_schema(self.table.schema(), parsed)
                 if new_schema is not None:
                     self.table.update_schema(new_schema, note=sql)
-            elif parsed.kind == "RENAME_COLUMN" and targets:
-                # payload rename = metadata-only evolution (old files
-                # map through the rename chain on read; same-batch
-                # pre-rename events coalesce via column_aliases).
-                # KEY-column rename changes the apply identity (events
-                # are keyed by fixed key_cols) — operator decision,
-                # like DROP/RENAME TABLE.
-                if parsed.column in self.key_cols:
-                    if self.on_destructive_ddl == "ignore":
-                        continue
-                    raise RuntimeError(
-                        f"RENAME of key column {parsed.column!r} at "
-                        f"({row['file']}, {row['pos']}): {sql!r} — the "
-                        "apply keys events by "
-                        f"{tuple(self.key_cols)}; retarget the job or "
-                        "pass on_destructive_ddl='ignore'."
-                    )
-                cur = {f.name for f in self.table.schema().fields}
-                if parsed.column in cur and parsed.new_name not in cur:
-                    self.table.rename_column(
-                        parsed.column, parsed.new_name, note=sql
-                    )
-                # CHANGE old new TYPE may widen too — apply after
-                if parsed.new_type is not None:
-                    from .ddl import DdlResult
-
-                    widen = evolve_schema(
-                        self.table.schema(),
-                        DdlResult(
-                            "WIDEN", parsed.schema_name, parsed.table_name,
-                            parsed.new_name, parsed.new_type,
-                        ),
-                    )
-                    if widen is not None:
-                        self.table.update_schema(widen, note=sql)
-            elif parsed.kind == "TRUNCATE" and targets:
-                self.table.truncate()
-                trunc_fp = (row["file"], row["pos"])
-            elif parsed.kind in ("DROP", "RENAME") and targets:
+        elif parsed.kind == "DROP_COLUMN" and targets:
+            # payload drop = plain schema evolution (old files keep
+            # the bytes; the target schema simply stops selecting
+            # the column — no rewrite). KEY-column drop destroys
+            # the apply identity — operator decision.
+            if parsed.column in self.key_cols:
                 if self.on_destructive_ddl == "ignore":
-                    continue
+                    return trunc_fp
                 raise RuntimeError(
-                    f"{parsed.kind} against the target table "
-                    f"{self.schema_name}.{self.table_name} at "
-                    f"({row['file']}, {row['pos']}): {sql!r} — refusing to "
-                    "continue applying DML to a dropped/renamed identity. "
-                    "Pass on_destructive_ddl='ignore' to skip (reference "
-                    "behavior) or retarget the job."
+                    f"DROP of key column {parsed.column!r} at "
+                    f"({row['file']}, {row['pos']}): {sql!r} — the "
+                    "apply keys events by "
+                    f"{tuple(self.key_cols)}; retarget the job or "
+                    "pass on_destructive_ddl='ignore'."
                 )
+            new_schema = evolve_schema(self.table.schema(), parsed)
+            if new_schema is not None:
+                self.table.update_schema(new_schema, note=sql)
+        elif parsed.kind == "RENAME_COLUMN" and targets:
+            # payload rename = metadata-only evolution (old files
+            # map through the rename chain on read; same-batch
+            # pre-rename events coalesce via column_aliases).
+            # KEY-column rename changes the apply identity (events
+            # are keyed by fixed key_cols) — operator decision,
+            # like DROP/RENAME TABLE.
+            if parsed.column in self.key_cols:
+                if self.on_destructive_ddl == "ignore":
+                    return trunc_fp
+                raise RuntimeError(
+                    f"RENAME of key column {parsed.column!r} at "
+                    f"({row['file']}, {row['pos']}): {sql!r} — the "
+                    "apply keys events by "
+                    f"{tuple(self.key_cols)}; retarget the job or "
+                    "pass on_destructive_ddl='ignore'."
+                )
+            cur = {f.name for f in self.table.schema().fields}
+            if parsed.column in cur and parsed.new_name not in cur:
+                self.table.rename_column(
+                    parsed.column, parsed.new_name, note=sql
+                )
+            # CHANGE old new TYPE may widen too — apply after
+            if parsed.new_type is not None:
+                from .ddl import DdlResult
+
+                widen = evolve_schema(
+                    self.table.schema(),
+                    DdlResult(
+                        "WIDEN", parsed.schema_name, parsed.table_name,
+                        parsed.new_name, parsed.new_type,
+                    ),
+                )
+                if widen is not None:
+                    self.table.update_schema(widen, note=sql)
+        elif parsed.kind == "TRUNCATE" and targets:
+            self.table.truncate()
+            trunc_fp = (row["file"], row["pos"])
+        elif parsed.kind in ("DROP", "RENAME") and targets:
+            if self.on_destructive_ddl == "ignore":
+                return trunc_fp
+            raise RuntimeError(
+                f"{parsed.kind} against the target table "
+                f"{self.schema_name}.{self.table_name} at "
+                f"({row['file']}, {row['pos']}): {sql!r} — refusing to "
+                "continue applying DML to a dropped/renamed identity. "
+                "Pass on_destructive_ddl='ignore' to skip (reference "
+                "behavior) or retarget the job."
+            )
         return trunc_fp
 
     def _quarantine(self, raw_f: DataFrame, batch_id: int) -> int:
@@ -686,6 +697,9 @@ class CdcApplyJob:
         _ak = lambda r: F.substring_index(r, FIELD_SEP, -1)  # noqa: E731
         mv_cand = lambda r: (  # noqa: E731
             r.startswith("UPDATE" + FIELD_SEP)
+            # target-table rows only: another table's key layout must
+            # not pin the explode plan on for every batch
+            & r.contains(sig)
             & ~(
                 (_ak(r) == _kk(r))
                 | _ak(r).startswith(F.concat(_kk(r), F.lit(ENTRY_SEP)))
@@ -1223,11 +1237,42 @@ class CdcApplyJob:
             b for b, n in counts.items() if n >= self.mor_compact_threshold
         )
         if todo:
+            # resolve the configured sort column through any applied
+            # RENAME COLUMN; if it no longer exists (dropped / typo),
+            # fall back to unclustered compaction instead of crashing
+            # the apply loop — compaction is maintenance, not
+            # correctness
+            sort_by = self.compact_sort_by
+            if sort_by:
+                current = {f.name for f in self.table.schema().fields}
+                aliases = self.table.column_aliases()
+                cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+                resolved = []
+                for c in cols:
+                    if c in current:
+                        resolved.append(c)
+                        continue
+                    hit = next(
+                        (cur for cur, old in aliases.items() if c in old), None
+                    )
+                    if hit is not None:
+                        resolved.append(hit)
+                if len(resolved) != len(cols):
+                    import warnings
+
+                    warnings.warn(
+                        f"compact_sort_by={cols!r} not resolvable against "
+                        f"schema {sorted(current)} — compacting unclustered",
+                        stacklevel=2,
+                    )
+                    sort_by = None
+                else:
+                    sort_by = resolved[0] if len(resolved) == 1 else resolved
             try:
                 _, done = self.table.compact(
                     self.spark,
                     todo,
-                    sort_by=self.compact_sort_by,
+                    sort_by=sort_by,
                     files_per_bucket=self.compact_files_per_bucket,
                 )
             except FileExistsError:

@@ -813,3 +813,53 @@ def test_rename_key_column_updates_key_metadata(spark, tmp_path):
         t.rename_column("nope", "x")
     with _pytest.raises(ValueError):
         t.rename_column("v", "i")
+
+
+def test_read_changes_across_key_rename_with_deltas(spark, tmp_path):
+    """Cross-version changelog where a KEY column was renamed and MOR
+    deltas are in scope: both sides align to the newer schema, so the
+    delta-resolution group key must map through the rename chain."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    ch = T.StructType(list(schema.fields) + [T.StructField("__delete", T.BooleanType())])
+    t = LakeTable.create(str(tmp_path / "t"), schema, ["k", "i"], "k", n_buckets=2)
+    t.merge_mor(spark, spark.createDataFrame(
+        [("a", 1, "x", False), ("b", 2, "y", False)], ch))
+    pre = t.current_version()  # MOR deltas live at this version
+    t.rename_column("k", "conv")
+    ch2 = T.StructType(
+        [
+            T.StructField("conv", T.StringType()),
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("__delete", T.BooleanType()),
+        ]
+    )
+    t.merge_mor(spark, spark.createDataFrame([("a", 1, "x2", False)], ch2))
+    chg = {(r["op"], r["conv"], r["i"]): r["v"]
+           for r in t.read_changes(spark, pre).collect()}
+    assert chg == {("update", "a", 1): "x2"}
+
+
+def test_zvalue_boundaries_spread_for_midsize_domains(spark):
+    """Boundary selection must stay evenly spread when the distinct
+    count sits between n_codes and 2*n_codes (an integer stride would
+    collapse the upper range into one code)."""
+    from pyspark.sql import functions as F
+
+    from mysql_tracker_spark.lakestore.table import _zvalue_expr
+
+    df = spark.range(100).select((F.col("id") * 10).cast("int").alias("x"))
+    z = df.withColumn("z", _zvalue_expr(df, ["x", "x"]))
+    codes = z.select(F.countDistinct("z")).first()[0]
+    assert codes >= 50, f"only {codes} distinct z codes over 100 values"
+    # top of the domain must not collapse into one code
+    top = z.filter(F.col("x") >= 640).select(F.countDistinct("z")).first()[0]
+    assert top >= 18, f"upper third collapsed to {top} codes"

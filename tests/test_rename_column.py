@@ -175,3 +175,128 @@ def test_drop_key_column_raises_and_drop_index_is_other():
         assert parse_ddl(sql).kind != "DROP_COLUMN", sql
     # DROP TABLE still classifies as DROP
     assert parse_ddl("DROP TABLE chat.t").kind == "DROP"
+
+
+def test_drop_then_readd_does_not_resurrect_old_bytes(spark, tmp_path):
+    """Field-identity hole (Iceberg closes it with field ids, we close
+    it with the schema-continuity check): DROP COLUMN tool then ADD
+    COLUMN tool — unrewritten old files still hold the old bytes, but
+    the re-added column is a NEW identity and must read NULL there."""
+    evs = pd.DataFrame([
+        _ev(0, "INSERT", "a", 1, after=_row("a", 1, "t1", "tool", "search", 0)),
+        _ev(1, "ALTER", None, None, is_ddl=True,
+            ddl="ALTER TABLE chat.transcripts DROP COLUMN tool"),
+        _ev(2, "ALTER", None, None, is_ddl=True,
+            ddl="ALTER TABLE chat.transcripts ADD COLUMN tool TEXT"),
+        _ev(3, "INSERT", "b", 1, after=_row("b", 1, "t2", "tool", "calc", 3)),
+    ])
+    write_batches(evs, str(tmp_path / "in"), n_batches=2)
+    job = CdcApplyJob(spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=4)
+    job.run()
+    got = {(r["conv_id"], r["turn_idx"]): r["tool"] for r in job.table.read(spark).collect()}
+    # ("a",1) was written BEFORE the drop: its old 'tool' bytes must NOT
+    # leak into the re-added column
+    assert got == {("a", 1): None, ("b", 1): "calc"}
+
+
+def test_rename_then_readd_old_name_keeps_identities_apart(spark, tmp_path):
+    """RENAME tool->tool_name then ADD tool: old files' bytes feed ONLY
+    tool_name (via the rename chain); the re-added 'tool' reads NULL
+    there, and the alias chain must NOT coalesce new-tool values into
+    tool_name."""
+    evs = pd.DataFrame([
+        _ev(0, "INSERT", "a", 1, after=_row("a", 1, "t1", "tool", "search", 0)),
+        _ev(1, "ALTER", None, None, is_ddl=True,
+            ddl="ALTER TABLE chat.transcripts RENAME COLUMN tool TO tool_name"),
+        _ev(2, "ALTER", None, None, is_ddl=True,
+            ddl="ALTER TABLE chat.transcripts ADD COLUMN tool TEXT"),
+        # new event carrying ONLY the re-added tool (no tool_name)
+        _ev(3, "INSERT", "b", 1, after={
+            "conv_id": "b", "turn_idx": "1", "role": "user", "text": "t2",
+            "tool": "newtool", "ts": TS % 3}),
+    ])
+    write_batches(evs, str(tmp_path / "in"), n_batches=2)
+    job = CdcApplyJob(spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=4)
+    job.run()
+    # alias chain for tool_name must stop at the reused name
+    assert "tool_name" not in job.table.column_aliases() or \
+        "tool" not in job.table.column_aliases().get("tool_name", [])
+    got = {(r["conv_id"], r["turn_idx"]): (r["tool_name"], r["tool"])
+           for r in job.table.read(spark).collect()}
+    assert got == {
+        ("a", 1): ("search", None),   # old bytes feed tool_name only
+        ("b", 1): (None, "newtool"),  # new tool stays its own identity
+    }
+
+
+def test_multi_clause_alter_applies_every_clause(spark, tmp_path):
+    evs = pd.DataFrame([
+        _ev(0, "INSERT", "a", 1, after=_row("a", 1, "t1", "tool", "search", 0)),
+        _ev(1, "ALTER", None, None, is_ddl=True,
+            ddl="ALTER TABLE chat.transcripts DROP COLUMN tool, "
+                "RENAME COLUMN role TO speaker, ADD COLUMN score INT"),
+        _ev(2, "INSERT", "b", 1, after={
+            "conv_id": "b", "turn_idx": "1", "speaker": "assistant",
+            "text": "t2", "score": "7", "ts": TS % 2}),
+    ])
+    write_batches(evs, str(tmp_path / "in"), n_batches=1)
+    job = CdcApplyJob(spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=4)
+    job.run()
+    cols = [f.name for f in job.table.schema().fields]
+    assert cols == ["conv_id", "turn_idx", "speaker", "text", "ts", "score"]
+    got = {(r["conv_id"], r["turn_idx"]): (r["speaker"], r["score"])
+           for r in job.table.read(spark).collect()}
+    assert got == {("a", 1): ("user", None), ("b", 1): ("assistant", 7)}
+
+
+def test_parse_ddl_clauses_multi():
+    from pyspark.sql import types as T
+
+    from mysql_tracker_spark.ddl import parse_ddl_clauses
+
+    rs = parse_ddl_clauses(
+        "ALTER TABLE chat.t DROP COLUMN a, ADD COLUMN b BIGINT, "
+        "CHANGE COLUMN c d INT, MODIFY e DOUBLE", "chat")
+    assert [(r.kind, r.column) for r in rs] == [
+        ("DROP_COLUMN", "a"), ("ADD_COLUMN", "b"),
+        ("RENAME_COLUMN", "c"), ("WIDEN", "e"),
+    ]
+    assert rs[1].new_type == T.LongType() and rs[2].new_name == "d"
+    # single clause falls back to parse_ddl exactly
+    rs = parse_ddl_clauses("ALTER TABLE chat.t ADD COLUMN x INT", "chat")
+    assert len(rs) == 1 and rs[0].kind == "ADD_COLUMN"
+    # non-ALTER statements pass through
+    rs = parse_ddl_clauses("TRUNCATE TABLE chat.t", "chat")
+    assert len(rs) == 1 and rs[0].kind == "TRUNCATE"
+
+
+def test_auto_compaction_survives_renamed_sort_column(spark, tmp_path):
+    """compact_sort_by='ts' stays effective after the stream renames ts
+    (resolved through the alias chain) and degrades to unclustered —
+    never crashing the apply loop — if the column disappears."""
+    evs = pd.DataFrame(
+        [_ev(i, "INSERT", "a", i + 1,
+             after=_row("a", i + 1, f"t{i}", "tool", "x", i)) for i in range(4)]
+        + [_ev(4, "ALTER", None, None, is_ddl=True,
+               ddl="ALTER TABLE chat.transcripts RENAME COLUMN ts TO event_ts")]
+        + [_ev(5 + i, "INSERT", "b", i + 1, after={
+            "conv_id": "b", "turn_idx": str(i + 1), "role": "user",
+            "text": f"u{i}", "event_ts": TS % (5 + i)}) for i in range(3)]
+    )
+    write_batches(evs, str(tmp_path / "in"), n_batches=3)
+    job = CdcApplyJob(
+        spark, str(tmp_path / "in"), str(tmp_path / "t"), n_buckets=2,
+        write_mode="mor", mor_compact_threshold=1,
+        compact_sort_by="ts", compact_files_per_bucket=2,
+    )
+    stats = job.run()
+    assert any(s.compacted_buckets for s in stats)
+    # post-rename compaction clustered on the RESOLVED name
+    compacts = [
+        job.table.manifest(v)["summary"]
+        for v in range(2, job.table.current_version() + 1)
+        if job.table.manifest(v)["summary"]["operation"] == "compact"
+    ]
+    assert compacts[-1]["sort_by"] == "event_ts"
+    got = {(r["conv_id"], r["turn_idx"]) for r in job.table.read(spark).collect()}
+    assert got == {("a", i + 1) for i in range(4)} | {("b", i + 1) for i in range(3)}
