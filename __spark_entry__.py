@@ -1638,6 +1638,19 @@ def q_doc_decontaminate(spark, sf_dir):
     return TX.decontaminate(d, eval_df, n=8).orderBy("doc_id")
 
 
+def q_doc_duplicate_spans(spark, sf_dir):
+    """Exact substring-level dedup signals (Lee et al. ExactSubstr
+    flavor): every token 8-gram window occurring >= 2 times anywhere in
+    the corpus (other docs AND self-repetition) marks its tokens
+    duplicated; overlapping windows merge into maximal spans
+    (gaps-and-islands over the per-doc sorted hit positions, run as one
+    scan-local higher-order aggregate). One row per document with the
+    merged span coverage. The posting list is one row per corpus token
+    — word-count volume, map-side-combined duplicate counts."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.duplicate_span_stats(d, n=8).orderBy("doc_id")
+
+
 def q_doc_repetition_stats(spark, sf_dir):
     """Gopher-style repetition/quality signals: distinct-token ratio,
     top-token share, duplicate-bigram fraction per document —
@@ -2894,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mix_topk_per_lang": q_doc_mix_topk_per_lang,
         "doc_pii_redaction": q_doc_pii_redaction,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_duplicate_spans": q_doc_duplicate_spans,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_seq_packing": q_doc_seq_packing,
         "conv_dedup_exact": q_conv_dedup_exact,
@@ -3558,6 +3572,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
             FROM dg JOIN eg USING (gram)
             GROUP BY dg.doc_id
+            ORDER BY doc_id
+        """,
+        "doc_duplicate_spans": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS w
+                FROM documents),
+            base AS (
+                SELECT doc_id, w,
+                       CASE WHEN array_to_string(w, '') = '' THEN 0 ELSE len(w) END AS n_tokens
+                FROM tok),
+            g0 AS (
+                SELECT doc_id, unnest(generate_series(1, len(w) - 7)) AS pos, w
+                FROM base WHERE n_tokens >= 8),
+            g AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram FROM g0),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            fl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS new_span
+                FROM h),
+            sp AS (
+                SELECT doc_id, pos, sum(new_span) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+                FROM fl),
+            spans AS (
+                SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
+                FROM sp GROUP BY doc_id, span_id),
+            per_doc AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+                FROM h GROUP BY doc_id),
+            per_span AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+                FROM spans GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(coalesce(pd.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(coalesce(ps.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(ps.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   round(CASE WHEN b.n_tokens > 0
+                              THEN coalesce(ps.dup_tokens, 0) * 1.0 / b.n_tokens
+                              ELSE 0.0 END, 6) AS dup_frac
+            FROM base b
+            LEFT JOIN per_doc pd USING (doc_id)
+            LEFT JOIN per_span ps USING (doc_id)
             ORDER BY doc_id
         """,
         "doc_repetition_stats": r"""

@@ -348,3 +348,143 @@ def deterministic_split(
     for cond, lab in reversed(conds):
         expr = F.when(cond, lab).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+# --------------------------------------------------------------- span dedup
+
+
+def _dup_window_hits(docs, n: int, id_col: str, text_col: str):
+    """(doc, 1-based window position) of every token ``n``-gram window
+    whose gram occurs MORE THAN ONCE in the corpus — any document, any
+    position (self-repetition counts, matching the exact-substring
+    dedup definition of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better").
+
+    Shape at 100 TB: the posting list is one row per corpus token —
+    the volume of a word-count, Spark's canonical workload. The
+    duplicate-gram set comes from a map-side-combined count (partial
+    aggregation collapses each scan partition's repeats before the
+    shuffle), and the join back is gram-clustered on both sides."""
+    wins = docs.select(
+        F.col(id_col),
+        F.posexplode(_token_ngrams(F.col(text_col), n)).alias("__p0", "__gram"),
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "__gram")
+    dup_grams = (
+        wins.groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__gram")
+    )
+    return wins.join(dup_grams, "__gram").select(id_col, "pos")
+
+
+def duplicate_spans(docs, n: int = 8, id_col: str = "doc_id", text_col: str = "text"):
+    """Maximal duplicated spans per document: overlapping/adjacent
+    duplicated ``n``-gram windows merge into one span (gaps-and-islands
+    over window positions). Returns one row per span:
+    ``id_col, span_start, span_end`` — 1-based inclusive TOKEN indexes
+    into the normalized token sequence (the training-data scrubber cuts
+    exactly these ranges).
+
+    One window partitioned by document (per-doc data, never corpus-
+    wide) + one aggregation; the heavy lifting is in
+    :func:`_dup_window_hits`."""
+    from pyspark.sql import Window
+
+    hits = _dup_window_hits(docs, n, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "__new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn(
+        "__span",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "__span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def duplicate_span_stats(
+    docs, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document exact substring-level duplication signals — the
+    span-level complement of the document-level dedup family: a window
+    is duplicated when its token ``n``-gram occurs >=2 times in the
+    corpus; overlapping windows merge into maximal spans.
+
+    Returns one row per document (clean/short docs included, zeros):
+    ``id_col, n_tokens, n_dup_windows, n_spans, dup_tokens, dup_frac``
+    where ``dup_tokens`` is the merged span coverage in tokens and
+    ``dup_frac = dup_tokens / n_tokens`` (6 dp).
+
+    The island merge runs as ONE scan-local higher-order ``aggregate``
+    over each doc's sorted hit positions (bounded by the doc's own
+    length) — no per-row window, one groupBy shuffle."""
+    hits = _dup_window_hits(docs, n, id_col, text_col)
+
+    init = F.struct(
+        F.lit(-1).cast("bigint").alias("prev_end"),
+        F.lit(0).cast("bigint").alias("spans"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def step(acc, p):
+        end = (p + (n - 1)).cast("bigint")
+        new = p.cast("bigint") > acc["prev_end"]
+        return F.struct(
+            F.greatest(acc["prev_end"], end).alias("prev_end"),
+            (acc["spans"] + F.when(new, 1).otherwise(0)).alias("spans"),
+            (
+                acc["dup"]
+                + F.when(new, F.lit(n).cast("bigint")).otherwise(end - acc["prev_end"])
+            ).alias("dup"),
+        )
+
+    per_doc = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        F.sort_array(F.collect_list("pos")).alias("__ps"),
+    )
+    per_doc = per_doc.select(
+        id_col,
+        "n_dup_windows",
+        F.aggregate(
+            "__ps", init, step, lambda acc: F.struct(acc["spans"], acc["dup"])
+        ).alias("__agg"),
+    ).select(
+        id_col,
+        "n_dup_windows",
+        F.col("__agg.spans").alias("n_spans"),
+        F.col("__agg.dup").alias("dup_tokens"),
+    )
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col),
+        F.when(F.length(F.concat_ws("", toks)) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -368,3 +368,71 @@ def test_ann_ivfpq_recall_and_exact_cosines(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_duplicate_spans_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # shares "a b c","b c d" with doc 2
+            (2, "x y a b c d z"),
+            (3, "p q r p q r p q r"),    # pure self-repetition
+            (4, "unique words only here now"),
+            (5, ""),
+        ],
+        "doc_id int, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in TX.duplicate_spans(docs, n=3).collect()
+    }
+    # doc1: windows 1,2 -> one span covering tokens 1..4
+    # doc2: windows 3,4 -> span 3..6
+    # doc3: every window 1..7 duplicated -> span 1..9
+    assert spans == {(1, 1, 4), (2, 3, 6), (3, 1, 9)}
+
+    stats = {r.doc_id: r for r in TX.duplicate_span_stats(docs, n=3).collect()}
+    assert set(stats) == {1, 2, 3, 4, 5}  # every doc present
+    assert (stats[1].n_dup_windows, stats[1].n_spans, stats[1].dup_tokens) == (2, 1, 4)
+    assert (stats[2].n_dup_windows, stats[2].n_spans, stats[2].dup_tokens) == (2, 1, 4)
+    assert (stats[3].n_dup_windows, stats[3].n_spans, stats[3].dup_tokens) == (7, 1, 9)
+    assert stats[3].dup_frac == 1.0
+    assert (stats[4].n_dup_windows, stats[4].n_spans, stats[4].dup_tokens) == (0, 0, 0)
+    assert stats[4].dup_frac == 0.0
+    assert (stats[5].n_tokens, stats[5].dup_frac) == (0, 0.0)
+    assert stats[1].dup_frac == round(4 / 6, 6)
+
+
+def test_duplicate_spans_disjoint_spans_and_stats_agree(spark):
+    # two separated duplicated regions in one doc must NOT merge
+    filler = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {filler} d e f"),
+            (2, f"a b c {filler.replace('w', 'v')} d e f"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in TX.duplicate_spans(docs, n=3).collect()
+    )
+    # each doc: span over tokens 1..3 and over the last 3 tokens (14..16)
+    assert spans == [(1, 1, 3), (1, 14, 16), (2, 1, 3), (2, 14, 16)]
+
+    stats = {r.doc_id: r for r in TX.duplicate_span_stats(docs, n=3).collect()}
+    for d in (1, 2):
+        assert (stats[d].n_spans, stats[d].dup_tokens) == (2, 6)
+
+    # generic consistency: stats derivable from the span rows
+    agg = (
+        TX.duplicate_spans(docs, n=3)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("t"),
+        )
+        .collect()
+    )
+    for r in agg:
+        assert stats[r.doc_id].n_spans == r.k
+        assert stats[r.doc_id].dup_tokens == r.t
