@@ -2833,6 +2833,93 @@ def q_cdc_rename_drop_evolution(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+WAP_ORACLE_DUMP = "/tmp/mts_flagship_oracle/wap_flat.parquet"
+
+
+def _wap_batches():
+    """Deterministic base + two change batches for the WAP contract:
+    batch 1 plants a NULL-text upsert (the audit must reject the whole
+    staged snapshot), batch 2 is the corrected retry (audited clean,
+    published). Only batch 2's effect may reach the final table."""
+    base = [("a", 1, "hello"), ("a", 2, "world"), ("b", 1, "keep")]
+    bad = [("a", 2, None, False), ("c", 1, "new", False)]  # NULL text!
+    good = [("a", 2, "world2", False), ("c", 1, "new", False), ("b", 1, None, True)]
+    return base, bad, good
+
+
+def _write_wap_dump() -> None:
+    import pandas as pd
+
+    base, bad, good = _wap_batches()
+    rows = [(0, c, t, x, False) for c, t, x in base]
+    rows += [(1, c, t, x, d) for c, t, x, d in bad]
+    rows += [(2, c, t, x, d) for c, t, x, d in good]
+    _atomic_parquet_dump(
+        pd.DataFrame(
+            rows, columns=["batch", "conv_id", "turn_idx", "text", "is_delete"]
+        ).astype({"batch": "int32", "turn_idx": "int32"}),
+        WAP_ORACLE_DUMP,
+    )
+
+
+def q_lake_wap_audit_publish(spark, sf_dir):
+    """Write-audit-publish staged commits end-to-end (Iceberg wap.id /
+    cherrypick analogue, lakestore/table.py publish_staged): stage the
+    bad batch, audit the WOULD-BE table state (a post-merge invariant —
+    no NULL text — that a batch-level gate cannot express for deletes/
+    carried-forward rows), abort on violation, stage + publish the
+    corrected batch. The oracle applies ONLY the corrected batch in
+    SQL: if the aborted stage leaked anything into the table, the hash
+    diverges."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    _write_wap_dump()
+    base, bad, good = _wap_batches()
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    ch_schema = T.StructType(
+        schema.fields + [T.StructField("__delete", T.BooleanType())]
+    )
+    work = tempfile.mkdtemp(prefix="mts_entry_wap_")
+    try:
+        t = LakeTable.create(
+            os.path.join(work, "tbl"), schema, ["conv_id", "turn_idx"],
+            "conv_id", n_buckets=4,
+        )
+        t.overwrite(spark.createDataFrame(base, schema))
+        audited_version = t.current_version()
+        for wap_id, batch in (("batch-1", bad), ("batch-2", good)):
+            t.merge(spark, spark.createDataFrame(batch, ch_schema), stage_as=wap_id)
+            # audit the staged table state, not the incoming batch
+            violations = (
+                t.read_staged(spark, wap_id)
+                .filter(F.col("text").isNull())
+                .count()
+            )
+            if violations:
+                t.abort_staged(wap_id)
+            else:
+                audited_version, _ = t.publish_staged(wap_id)
+        assert t.current_version() == audited_version
+        assert t.manifest()["summary"]["wap_id"] == "batch-2"
+        assert t.staged() == []
+        result = t.read(spark).orderBy("conv_id", "turn_idx")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 # =========================================================================
 # contract surface
 # =========================================================================
@@ -2936,6 +3023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pk_move_apply": q_cdc_pk_move_apply,
         "cdc_zorder_box_read_pruned": q_cdc_zorder_box_read_pruned,
         "cdc_rename_drop_evolution": q_cdc_rename_drop_evolution,
+        "lake_wap_audit_publish": q_lake_wap_audit_publish,
         "cdc_eventlog_append": q_cdc_eventlog_append,
         "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
     }
@@ -4101,6 +4189,24 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(tool_name, tool) AS tool_name, ts_text
             FROM r WHERE rn = 1 AND op <> 'DELETE'
             ORDER BY conv_id, turn_idx
+        """,
+        "lake_wap_audit_publish": f"""
+            WITH base AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{WAP_ORACLE_DUMP}') WHERE batch = 0
+            ), good AS (
+                SELECT conv_id, turn_idx, text, is_delete
+                FROM read_parquet('{WAP_ORACLE_DUMP}') WHERE batch = 2
+            ), merged AS (
+                SELECT b.conv_id, b.turn_idx, b.text FROM base b
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM good g
+                    WHERE g.conv_id = b.conv_id AND g.turn_idx = b.turn_idx)
+                UNION ALL
+                SELECT conv_id, turn_idx, text FROM good WHERE NOT is_delete
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, text
+            FROM merged ORDER BY conv_id, turn_idx
         """,
         "cdc_zorder_box_read_pruned": f"""
             WITH e AS (

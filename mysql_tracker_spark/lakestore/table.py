@@ -59,6 +59,11 @@ _TOMBSTONE = "__delete"
 _BUCKET_HASH_ID = "murmur3_42"
 
 
+class WapConflictError(RuntimeError):
+    """A staged COW snapshot can no longer fast-forward: a concurrent
+    commit landed after it was staged. Abort and re-stage."""
+
+
 def _footer_rows(full_path: str) -> int:
     """Record count from the parquet file footer — metadata only."""
     import pyarrow.parquet as pq
@@ -1040,7 +1045,8 @@ class LakeTable:
         properties: dict[str, str] | None = None,
         affected_buckets: list[int] | None = None,
         count_upserts: bool = True,
-    ) -> tuple[int, dict]:
+        stage_as: str | None = None,
+    ) -> tuple[int | None, dict]:
         """Copy-on-write MERGE: upsert non-delete change rows, remove
         delete rows, keyed on ``key_cols``. ``changes`` must hold exactly
         one row per key (run LWW dedup first), the current schema's
@@ -1055,6 +1061,13 @@ class LakeTable:
         track row counts upstream — the runner observes its own batch
         pass; an Observation here would deadlock under foreachBatch's
         nested AQE execution). Returns (version, stats).
+
+        ``stage_as=<wap_id>`` switches to write-audit-publish staging
+        (Iceberg's ``spark.wap.id`` analogue): all data files are
+        written, but the snapshot lands under ``snapshots/staged/``
+        instead of the version chain — invisible to readers until
+        :meth:`publish_staged`, auditable via :meth:`read_staged`,
+        discardable via :meth:`abort_staged`. Returns (None, stats).
         """
         m = self.manifest()
         schema = self.schema()
@@ -1121,6 +1134,11 @@ class LakeTable:
             # stats — north_star's per-partition lineage row counts
             "bucket_rows": _bucket_rows(new_files),
         }
+        if stage_as is not None:
+            new["wap"] = {"id": stage_as, "mode": "cow"}
+            new["summary"]["wap_id"] = stage_as
+            self._stage_write(new, stage_as)
+            return None, new["summary"]
         v = self._commit(new)
         return v, new["summary"]
 
@@ -1130,7 +1148,8 @@ class LakeTable:
         changes: DataFrame,
         delete_col: str = "__delete",
         properties: dict[str, str] | None = None,
-    ) -> tuple[int, dict]:
+        stage_as: str | None = None,
+    ) -> tuple[int | None, dict]:
         """MERGE-ON-READ upsert (Iceberg v2 equality-delete analogue):
         instead of rewriting every affected bucket (copy-on-write),
         append the LWW-deduped change set itself — tombstones included —
@@ -1148,7 +1167,14 @@ class LakeTable:
         bucket), the classic LSM trade.
 
         ``changes`` contract is :meth:`merge`'s: exactly one row per
-        key, current-schema columns, boolean ``delete_col``."""
+        key, current-schema columns, boolean ``delete_col``.
+
+        ``stage_as=<wap_id>`` stages instead of committing (see
+        :meth:`merge`). Unlike a staged COW snapshot — which is bound
+        to its parent's file set and publishes fast-forward only — a
+        staged DELTA composes with any concurrent commit, so its
+        publish replays through the same optimistic append path as a
+        live MOR commit and never conflicts."""
         m = self.manifest()
         schema = self.schema()
         nb = m["n_buckets"]
@@ -1156,13 +1182,33 @@ class LakeTable:
             _BUCKET_COL, _bucket_expr(m["bucket_by"], nb)
         ).withColumn(_TOMBSTONE, F.col(delete_col).cast("boolean"))
         new_files = self._write_buckets(ch, schema, extra_cols=[_TOMBSTONE])
+        if stage_as is not None:
+            staged = {
+                "parent": m["version"],
+                "wap": {
+                    "id": stage_as,
+                    "mode": "delta",
+                    "delta_files": {str(b): fs for b, fs in new_files.items()},
+                    "properties": dict(properties or {}),
+                },
+                "summary": {
+                    "operation": "merge-mor",
+                    "wap_id": stage_as,
+                    "staged_ts_ms": int(time.time() * 1000),
+                    "affected_buckets": len(new_files),
+                    "bucket_rows": _bucket_rows(new_files),
+                },
+            }
+            self._stage_write(staged, stage_as)
+            return None, staged["summary"]
         return self._commit_delta(new_files, properties)
 
     def adopt_delta(
         self,
         staged_dir: str,
         properties: dict[str, str] | None = None,
-    ) -> tuple[int, dict]:
+        stage_as: str | None = None,
+    ) -> tuple[int | None, dict]:
         """Zero-job MOR commit: ADOPT an already-materialized
         bucket-partitioned change set (``__bucket=N/*.parquet`` dirs,
         current-schema columns + boolean ``__delete``) as this table's
@@ -1171,7 +1217,9 @@ class LakeTable:
         layout for its skew stats anyway, so under MOR the entire merge
         step costs NO Spark job at all. The staged dir is consumed
         (moved); crash between move and commit leaves an orphan dir
-        that :meth:`gc_orphans` reaps."""
+        that :meth:`gc_orphans` reaps. ``stage_as=<wap_id>`` stages for
+        write-audit-publish instead of committing (see
+        :meth:`merge_mor` — same composable delta-stage semantics)."""
         m = self.manifest()
         dest = f"mor-{uuid.uuid4().hex[:12]}"
         os.replace(staged_dir, os.path.join(self.data_dir, dest))
@@ -1200,6 +1248,25 @@ class LakeTable:
                             ),
                         }
                     )
+        if stage_as is not None:
+            staged = {
+                "parent": m["version"],
+                "wap": {
+                    "id": stage_as,
+                    "mode": "delta",
+                    "delta_files": {str(b): fs for b, fs in new_files.items()},
+                    "properties": dict(properties or {}),
+                },
+                "summary": {
+                    "operation": "merge-mor",
+                    "wap_id": stage_as,
+                    "staged_ts_ms": int(time.time() * 1000),
+                    "affected_buckets": len(new_files),
+                    "bucket_rows": _bucket_rows(new_files),
+                },
+            }
+            self._stage_write(staged, stage_as)
+            return None, staged["summary"]
         return self._commit_delta(new_files, properties)
 
     def _commit_delta(
@@ -1207,6 +1274,7 @@ class LakeTable:
         new_files: dict[int, list[dict]],
         properties: dict[str, str] | None,
         max_retries: int = 5,
+        extra_summary: dict | None = None,
     ) -> tuple[int, dict]:
         """Append delta entries (stamped ``delta=True, seq=version``) to
         their buckets and commit — WITH optimistic-conflict retry
@@ -1241,6 +1309,7 @@ class LakeTable:
                 # per-partition commit footprint: delta rows (LWW
                 # winners incl. tombstones) appended to each bucket
                 "bucket_rows": _bucket_rows(new_files),
+                **(extra_summary or {}),
             }
             try:
                 return self._commit(new), new["summary"]
@@ -1498,6 +1567,168 @@ class LakeTable:
         """Read the snapshot a tag pins (time-travel by name)."""
         return self.read(spark, version=self.tags()[name])
 
+    # ------------------------------------------- write-audit-publish (WAP)
+    #
+    # Iceberg's staged-commit workflow (`spark.wap.id` +
+    # cherry_pick_snapshot): a writer produces a COMPLETE snapshot —
+    # data files and all — that is invisible to readers, an auditor
+    # queries the would-be table state (not just the incoming batch:
+    # table-level invariants like "no turn_idx gaps after the merge"
+    # or "row count never shrinks" are only checkable post-merge),
+    # and the snapshot is then atomically published or aborted. The
+    # reference has no equivalent (bad rows surface only as downstream
+    # HBase write failures, HandlerNoParserMagpieHBase.java) — this is
+    # the lake-native upgrade of that gap, complementing the row-level
+    # pre-commit gate in quality.py.
+
+    def _staged_path(self, wap_id: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", wap_id):
+            raise ValueError(f"bad wap_id: {wap_id!r}")
+        return os.path.join(self.snap_dir, "staged", f"{wap_id}.json")
+
+    def _stage_write(self, manifest: dict, wap_id: str) -> None:
+        """Exclusive-create of a staged snapshot (same atomicity as
+        :meth:`_commit`; re-staging an id is an error)."""
+        path = self._staged_path(wap_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = json.dumps(manifest, indent=None, separators=(",", ":"))
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload.encode())
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    def staged(self) -> list[str]:
+        """Ids of pending staged snapshots."""
+        d = os.path.join(self.snap_dir, "staged")
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    def staged_manifest(self, wap_id: str) -> dict:
+        with open(self._staged_path(wap_id)) as f:
+            return json.load(f)
+
+    def _staged_refs(self) -> set[str]:
+        """Data files referenced by pending staged snapshots — these
+        must survive :meth:`expire_snapshots` / :meth:`gc_orphans`
+        (a staged COW snapshot also carries forward its parent's
+        untouched buckets by reference, protecting them from expiry
+        until the stage is resolved)."""
+        out: set[str] = set()
+        for wid in self.staged():
+            s = self.staged_manifest(wid)
+            if s["wap"]["mode"] == "cow":
+                for files in s["buckets"].values():
+                    out.update(fe["path"] for fe in files)
+            else:
+                for fs in s["wap"]["delta_files"].values():
+                    out.update(fe["path"] for fe in fs)
+        return out
+
+    def _committed_refs(self) -> set[str]:
+        """Data files referenced by any retained committed snapshot."""
+        out: set[str] = set()
+        for fn in os.listdir(self.snap_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(self.snap_dir, fn)) as f:
+                    man = json.load(f)
+                for files in man["buckets"].values():
+                    out.update(fe["path"] for fe in files)
+        return out
+
+    def read_staged(self, spark: SparkSession, wap_id: str) -> DataFrame:
+        """The table state a staged snapshot WOULD produce — the audit
+        surface. A staged COW snapshot is read as-is (it is a complete
+        manifest bound to its parent). A staged DELTA is resolved
+        against the CURRENT head (it composes with commits that landed
+        after staging, so the audit sees what publish would actually
+        produce)."""
+        s = self.staged_manifest(wap_id)
+        if s["wap"]["mode"] == "cow":
+            return self._read_state(spark, s)
+        m = self.manifest()
+        seq = m["version"] + 1
+        nb = {b: list(fs) for b, fs in m["buckets"].items()}
+        for b, fs in s["wap"]["delta_files"].items():
+            nb.setdefault(b, []).extend(
+                {**fe, "delta": True, "seq": seq} for fe in fs
+            )
+        return self._read_state(spark, {**m, "buckets": nb})
+
+    def publish_staged(
+        self, wap_id: str, properties: dict[str, str] | None = None
+    ) -> tuple[int, dict]:
+        """Atomically promote a staged snapshot into the version chain
+        (Iceberg ``cherrypick_snapshot``). COW stages publish
+        fast-forward only: if ANY commit landed after staging, the
+        staged file set is stale and :class:`WapConflictError` is
+        raised (abort and re-stage — same contract as an Iceberg
+        validation failure). DELTA stages replay through the
+        optimistic append path and compose with concurrent commits.
+        The staged entry is consumed on success."""
+        s = self.staged_manifest(wap_id)
+        mode = s["wap"]["mode"]
+        if mode == "cow":
+            cur = self.current_version()
+            if s["parent"] != cur:
+                raise WapConflictError(
+                    f"staged snapshot {wap_id!r} has parent {s['parent']} "
+                    f"but the table is at v{cur}: a concurrent commit "
+                    "landed after staging; abort and re-stage"
+                )
+            new = {k: v for k, v in s.items() if k != "wap"}
+            new["properties"] = {**new["properties"], **(properties or {})}
+            new["summary"] = {
+                **new["summary"],
+                "published_ts_ms": int(time.time() * 1000),
+            }
+            try:
+                v = self._commit(new)
+            except FileExistsError as e:
+                raise WapConflictError(
+                    f"concurrent commit raced the publish of {wap_id!r}; "
+                    "abort and re-stage"
+                ) from e
+            summary = new["summary"]
+        else:
+            delta_files = {
+                int(b): fs for b, fs in s["wap"]["delta_files"].items()
+            }
+            props = {**s["wap"].get("properties", {}), **(properties or {})}
+            v, summary = self._commit_delta(
+                delta_files, props, extra_summary={"wap_id": wap_id}
+            )
+        os.unlink(self._staged_path(wap_id))
+        return v, summary
+
+    def abort_staged(self, wap_id: str) -> int:
+        """Discard a staged snapshot: remove its manifest and delete
+        the data files it alone references (files carried forward from
+        committed snapshots are untouched). Returns files removed."""
+        s = self.staged_manifest(wap_id)
+        if s["wap"]["mode"] == "cow":
+            refs = {
+                fe["path"] for files in s["buckets"].values() for fe in files
+            }
+        else:
+            refs = {
+                fe["path"]
+                for fs in s["wap"]["delta_files"].values()
+                for fe in fs
+            }
+        os.unlink(self._staged_path(wap_id))
+        removed = 0
+        keep = self._committed_refs() | self._staged_refs()
+        for rel in refs - keep:
+            try:
+                os.remove(os.path.join(self.path, rel))
+                removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
+
     # ------------------------------------------------------------- utilities
 
     def history(self, spark: SparkSession) -> DataFrame:
@@ -1740,13 +1971,9 @@ class LakeTable:
                 dropped_refs.update(fe["path"] for fe in files)
         for v in to_drop:
             os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
-        live: set[str] = set()
-        for fn in os.listdir(self.snap_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                with open(os.path.join(self.snap_dir, fn)) as f:
-                    man = json.load(f)
-                for files in man["buckets"].values():
-                    live.update(fe["path"] for fe in files)
+        # pending WAP stages protect their refs too: a staged COW
+        # manifest carries its parent's untouched buckets forward
+        live: set[str] = self._committed_refs() | self._staged_refs()
         for rel in dropped_refs - live:
             try:
                 os.remove(os.path.join(self.path, rel))
@@ -1759,14 +1986,9 @@ class LakeTable:
         debris cleanup. ``min_age_s`` guards the race with a concurrent
         writer whose staged files exist but whose commit has not landed
         yet (an in-flight write is always younger than the guard; real
-        debris is not)."""
-        live: set[str] = set()
-        for fn in os.listdir(self.snap_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                with open(os.path.join(self.snap_dir, fn)) as f:
-                    man = json.load(f)
-                for files in man["buckets"].values():
-                    live.update(fe["path"] for fe in files)
+        debris is not). Files referenced by pending WAP stages are
+        never orphans."""
+        live: set[str] = self._committed_refs() | self._staged_refs()
         removed = 0
         now = time.time()
         for root, _dirs, files in os.walk(self.data_dir):

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -113,6 +114,10 @@ class ApplyStats:
     # winners incl. tombstones) under mor, the rewritten buckets'
     # live rows (survivors + upserts) under cow
     bucket_rows: dict | None = None
+    # write-audit-publish gate (opt-in): per-expectation violation
+    # counts measured on the STAGED post-merge table state; None = no
+    # table-level expectations declared
+    table_audit: dict | None = None
 
 
 class CdcApplyJob:
@@ -158,6 +163,7 @@ class CdcApplyJob:
         expire_keep_last: int | None = None,
         quarantine_dir: str | None = None,
         expectations: list | None = None,
+        table_expectations: list | None = None,
         write_mode: str = "cow",  # cow | mor
         mor_compact_threshold: int = 8,
         compact_sort_by: str | None = None,
@@ -205,6 +211,14 @@ class CdcApplyJob:
         # audit-before-publish gate (quality.py): blocking expectations
         # run per batch on the UPSERT rows BEFORE the MERGE
         self.expectations = list(expectations or [])
+        # write-audit-publish gate (lakestore WAP): expectations run on
+        # the STAGED post-merge TABLE STATE — invariants a batch-level
+        # gate cannot express (turn-sequence gaps, row-count floors,
+        # cross-row uniqueness after the merge). When non-empty, every
+        # batch commit stages first, audits read_staged, then publishes
+        # (pass) or aborts + raises (fail; table and watermark
+        # untouched, the batch replays through the fence after the fix)
+        self.table_expectations = list(table_expectations or [])
         # sink write mode: "cow" rewrites affected buckets per batch
         # (read-optimized; per-batch cost tracks the touched buckets);
         # "mor" appends the batch's change set as bucket delta files
@@ -984,18 +998,27 @@ class CdcApplyJob:
             # commit — one rename + manifest append, zero Spark jobs
             # (lakestore.adopt_delta); per-batch cost never sees the
             # table size. Compaction below bounds read amplification.
-            version, summary = self.table.adopt_delta(delta_dir, properties=props)
+            version, summary = self._commit_with_audit(
+                lambda wap: self.table.adopt_delta(
+                    delta_dir, properties=props, stage_as=wap
+                ),
+                stats,
+            )
             stats.snapshot_version = version
             stats.bucket_rows = summary.get("bucket_rows")
             self._maybe_compact(stats)
         elif affected:
             delta = self.spark.read.parquet(delta_dir).drop("__bucket")
-            version, summary = self.table.merge(
-                self.spark,
-                delta,
-                properties=props,
-                affected_buckets=affected,
-                count_upserts=False,
+            version, summary = self._commit_with_audit(
+                lambda wap: self.table.merge(
+                    self.spark,
+                    delta,
+                    properties=props,
+                    affected_buckets=affected,
+                    count_upserts=False,
+                    stage_as=wap,
+                ),
+                stats,
             )
             stats.snapshot_version = version
             stats.bucket_rows = summary.get("bucket_rows")
@@ -1198,19 +1221,26 @@ class CdcApplyJob:
         self._gate_expectations(changes, stats)
         stats.write_mode = self.write_mode
         if self.write_mode == "mor":
-            version, summary = self.table.merge_mor(
-                self.spark, changes, properties=props
+            version, summary = self._commit_with_audit(
+                lambda wap: self.table.merge_mor(
+                    self.spark, changes, properties=props, stage_as=wap
+                ),
+                stats,
             )
             stats.snapshot_version = version
             stats.bucket_rows = summary.get("bucket_rows")
             self._maybe_compact(stats)
         else:
-            version, summary = self.table.merge(
-                self.spark,
-                changes,
-                properties=props,
-                affected_buckets=affected,
-                count_upserts=False,
+            version, summary = self._commit_with_audit(
+                lambda wap: self.table.merge(
+                    self.spark,
+                    changes,
+                    properties=props,
+                    affected_buckets=affected,
+                    count_upserts=False,
+                    stage_as=wap,
+                ),
+                stats,
             )
             stats.snapshot_version = version
             stats.bucket_rows = summary.get("bucket_rows")
@@ -1282,6 +1312,37 @@ class CdcApplyJob:
                 return
             stats.compacted_buckets = done
 
+    def _commit_with_audit(self, commit_fn, stats: ApplyStats):
+        """Commit a batch through the write-audit-publish gate when
+        table-level expectations are declared (else commit directly —
+        zero overhead on the hot path). ``commit_fn(stage_as)`` must
+        stage when given an id and commit when given None (the
+        lakestore merge/merge_mor/adopt_delta contract). On a blocking
+        violation the staged snapshot is aborted — data files reaped,
+        table and watermark untouched — and the batch raises; replay
+        after the fix goes through the normal fence."""
+        if not self.table_expectations:
+            return commit_fn(None)
+        from .quality import run_expectations
+
+        wap_id = f"batch-{stats.batch_id}-{uuid.uuid4().hex[:8]}"
+        commit_fn(wap_id)
+        rows = run_expectations(
+            self.table.read_staged(self.spark, wap_id),
+            self.table_expectations,
+        ).collect()
+        stats.table_audit = {r.name: r.violations for r in rows}
+        blocking = {e.name for e in self.table_expectations if e.blocking}
+        failed = [r for r in rows if r.name in blocking and not r.passed]
+        if failed:
+            self.table.abort_staged(wap_id)
+            detail = ", ".join(f"{r.name}={r.violations}" for r in failed)
+            raise ValueError(
+                f"post-merge table audit failed ({detail}); staged "
+                f"snapshot {wap_id} aborted, watermark untouched"
+            )
+        return self.table.publish_staged(wap_id)
+
     def _gate_expectations(self, changes, stats: ApplyStats) -> None:
         """Write-audit-publish: blocking data-quality expectations
         (quality.py) run on the batch's UPSERT rows (deletes carry only
@@ -1331,6 +1392,7 @@ class CdcApplyJob:
             "wall_ms": stats.wall_ms,
             "lag_s": stats.lag_s,
             "expectation_violations": stats.expectation_violations,
+            "table_audit": stats.table_audit,
             "write_mode": stats.write_mode,
             "compacted_buckets": stats.compacted_buckets,
             "bucket_rows": stats.bucket_rows,
