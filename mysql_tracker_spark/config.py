@@ -65,6 +65,14 @@ class JobConfig:
     # of two+ columns switches to Z-ORDER clustering (prune on any)
     compact_sort_by: str | list[str] | None = None
     compact_files_per_bucket: int = 1
+    # declarative data-quality gates (quality.py::from_spec dicts):
+    # `expectations` run per batch on the UPSERT rows before the
+    # merge; `table_expectations` run on the STAGED post-merge table
+    # state through the write-audit-publish gate (lakestore WAP).
+    # Kinds: not_null/in_set/range/unique/sql; {"blocking": true}
+    # makes a violation fail the batch (table + watermark untouched)
+    expectations: list[dict] = field(default_factory=list)
+    table_expectations: list[dict] = field(default_factory=list)
 
     @classmethod
     def load(cls, path: str) -> "JobConfig":

@@ -62,6 +62,33 @@ def unique(name: str, cols, blocking: bool = False) -> Expect:
     return Expect(name, "unique", tuple(cols), blocking=blocking)
 
 
+def from_spec(spec: dict) -> Expect:
+    """Build an expectation from a JSON-able dict — the declarative
+    form a :class:`~mysql_tracker_spark.config.JobConfig` carries so
+    spark-submit jobs declare gates in the per-job JSON (the
+    reference's TrackerConf style) without Python code. Kinds map 1:1
+    to the constructors above; ``sql`` compiles a SQL boolean PASS
+    expression via ``F.expr`` (needs an active SparkSession, so specs
+    are resolved at job build, not config load)."""
+    kind, name = spec["kind"], spec["name"]
+    blocking = bool(spec.get("blocking", False))
+    if kind == "not_null":
+        return not_null(name, spec["col"], blocking)
+    if kind == "in_set":
+        return in_set(name, spec["col"], spec["values"], blocking)
+    if kind == "range":
+        return in_range(name, spec["col"], spec.get("lo"), spec.get("hi"), blocking)
+    if kind == "unique":
+        return unique(name, spec["cols"], blocking)
+    if kind == "sql":
+        return predicate(name, F.expr(spec["expr"]), blocking)
+    raise ValueError(f"unknown expectation kind: {kind!r}")
+
+
+def from_specs(specs) -> list[Expect]:
+    return [from_spec(s) for s in (specs or [])]
+
+
 def _violation_term(e: Expect) -> Column:
     c = F.col(e.cols[0]) if e.cols else None
     if e.kind == "not_null":

@@ -267,6 +267,8 @@ class CdcApplyJob:
     def from_config(cls, spark: SparkSession, cfg) -> "CdcApplyJob":
         """Build a job from a :class:`~mysql_tracker_spark.config.JobConfig`
         (the reference's per-job JSON, O3)."""
+        from .quality import from_specs as _specs
+
         policy = {"fail": "fail", "reset_earliest": "earliest"}.get(
             cfg.on_invalid_position
         )
@@ -287,6 +289,8 @@ class CdcApplyJob:
             allowlist=cfg.allowlist or None,
             n_salts=getattr(cfg, "n_salts", 0),
             quarantine_dir=getattr(cfg, "quarantine_dir", None),
+            expectations=_specs(getattr(cfg, "expectations", None)),
+            table_expectations=_specs(getattr(cfg, "table_expectations", None)),
             write_mode=getattr(cfg, "write_mode", "cow"),
             mor_compact_threshold=getattr(cfg, "mor_compact_threshold", 8),
             compact_sort_by=getattr(cfg, "compact_sort_by", None),

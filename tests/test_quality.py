@@ -162,3 +162,68 @@ def test_expectation_counts_land_in_lineage(spark, tmp_path):
     ]
     assert all("expectation_violations" in r for r in recs)
     assert any(r["expectation_violations"]["never"] > 0 for r in recs)
+
+
+def test_from_spec_declarative_gates(spark, tmp_path):
+    """JSON-able expectation specs (config.py -> quality.from_spec):
+    every kind maps to its constructor, `sql` compiles a PASS
+    expression, and a JobConfig carrying table_expectations drives the
+    write-audit-publish gate end-to-end."""
+    import pandas as pd
+
+    from mysql_tracker_spark.config import JobConfig
+    from mysql_tracker_spark.quality import from_spec, from_specs
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        expected_final_state,
+        gen_change_events,
+        write_batches,
+    )
+    from tests.conftest import normalize
+
+    e = from_spec({"name": "n", "kind": "not_null", "col": "x", "blocking": True})
+    assert (e.kind, e.cols, e.blocking) == ("not_null", ("x",), True)
+    e = from_spec({"name": "s", "kind": "in_set", "col": "x", "values": ["a"]})
+    assert e.values == ("a",) and not e.blocking
+    e = from_spec({"name": "r", "kind": "range", "col": "x", "lo": 0})
+    assert e.lo == 0 and e.hi is None
+    e = from_spec({"name": "u", "kind": "unique", "cols": ["a", "b"]})
+    assert e.cols == ("a", "b")
+    e = from_spec({"name": "q", "kind": "sql", "expr": "length(text) >= 0"})
+    assert e.kind == "predicate"
+    with pytest.raises(ValueError, match="unknown expectation kind"):
+        from_spec({"name": "z", "kind": "nope"})
+    assert from_specs(None) == []
+
+    # declarative specs through JobConfig drive both gates
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=50, seed=41))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=2)
+    cfg = JobConfig(
+        input_dir=in_dir,
+        table_path=str(tmp_path / "tbl"),
+        n_buckets=4,
+        expectations=[
+            {"name": "text_not_null", "kind": "not_null", "col": "text",
+             "blocking": True},
+        ],
+        table_expectations=[
+            {"name": "pk_unique", "kind": "unique",
+             "cols": ["conv_id", "turn_idx"], "blocking": True},
+            {"name": "turns_nonneg", "kind": "sql",
+             "expr": "turn_idx >= 0", "blocking": True},
+        ],
+    )
+    # the config round-trips through JSON (spark-submit contract)
+    cfg_path = str(tmp_path / "job.json")
+    cfg.dump(cfg_path)
+    job = CdcApplyJob.from_config(spark, JobConfig.load(cfg_path))
+    stats = [s for s in job.run() if not s.skipped]
+    assert all(
+        s.table_audit == {"pk_unique": 0, "turns_nonneg": 0} for s in stats
+    )
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
