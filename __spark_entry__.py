@@ -2381,6 +2381,57 @@ def q_cdc_apply_mor_final_state(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+RETENTION_CUTOFF = "2025-01-01 00:20:00"
+
+
+def q_cdc_retention_delete(spark, sf_dir):
+    """Predicate DELETE as a table-maintenance commit (Delta ``DELETE
+    FROM ... WHERE`` / retention-GDPR analogue,
+    lakestore/table.py::delete_where): the flagship replay builds the
+    transcripts table, then one delete_where drops every live row with
+    ts <= the cutoff — manifest ts-stats prune untouched buckets (file
+    entries carried by reference), affected buckets are LWW-resolved,
+    filtered, rewritten; NULL ts never matches (SQL semantics) and the
+    replay watermark is untouched. The DuckDB oracle recomputes the LWW
+    final state from the flat event dump and applies the same retention
+    filter to the LIVE rows."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_retention_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run()
+        wm_before = job.table.properties().get("watermark")
+        cutoff = dt.datetime.strptime(RETENTION_CUTOFF, "%Y-%m-%d %H:%M:%S")
+        _, n_deleted = job.table.delete_where(spark, {"ts": (None, cutoff)})
+        assert n_deleted > 0, "retention must actually delete rows"
+        assert job.table.properties().get("watermark") == wm_before, (
+            "maintenance delete must not move the replay fence"
+        )
+        result = job.table.read(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            "score",
+        ).orderBy("conv_id", "turn_idx")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_conv_dedup_applied(spark, sf_dir):
     """End-to-end COMPOSITION of the two layers: the flagship fenced
     replay -> lakestore MERGE produces the transcripts table, and the
@@ -3013,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
         "cdc_apply_mor_final_state": q_cdc_apply_mor_final_state,
+        "cdc_retention_delete": q_cdc_retention_delete,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
         "cdc_changelog_stream": q_cdc_changelog_stream,
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
@@ -4114,6 +4166,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
                    ts_text, CAST(score AS BIGINT) AS score
             FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """,
+        # Retention-delete oracle: the flagship LWW final state with
+        # the same ts cutoff applied to the LIVE rows (delete_where
+        # decides on the live row's ts, and NULL ts never matches).
+        "cdc_retention_delete": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+              AND (ts_text > '{RETENTION_CUTOFF}' OR ts_text IS NULL)
             ORDER BY conv_id, turn_idx
         """,
         # Point-read oracle: the same LWW final-state CTE restricted to

@@ -1397,6 +1397,104 @@ class LakeTable:
         }
         return self._commit(new), todo
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        preds: dict,
+        properties: dict[str, str] | None = None,
+        sort_by: str | list[str] | None = None,
+        files_per_bucket: int = 1,
+    ) -> tuple[int, int]:
+        """Row-level conjunctive-range DELETE (Delta ``DELETE FROM ...
+        WHERE`` / retention-GDPR analogue): drop every live row with
+        ``AND_i lo_i <= col_i <= hi_i`` (``preds`` maps column ->
+        (lo, hi), either bound None = unbounded; a NULL predicate
+        column never matches, SQL semantics) and commit ONE snapshot.
+
+        Manifest-stats pruning makes retention cheap on a clustered
+        table: a bucket is AFFECTED only if some live file's stamped
+        min/max bounds intersect EVERY predicate column. This is sound
+        for payload columns even under merge-on-read deltas — a live
+        row's values all come from the one row in its winning
+        (``max_by`` seq) file, so a matching live row implies an
+        intersecting file in its bucket. Untouched buckets carry their
+        file entries forward BY REFERENCE (list equality == data
+        equality, so the changelog never opens them); affected buckets
+        are LWW-resolved, filtered, and rewritten as fresh base files
+        in one bucket-partitioned job (absorbing any deltas, like
+        :meth:`compact`; ``sort_by``/``files_per_bucket`` re-cluster
+        the rewrite exactly as there). A changelog scan across the
+        boundary yields exactly the deleted rows as deletes.
+
+        The replay watermark is UNTOUCHED: replay of already-committed
+        batches stays a fenced no-op, and genuinely new events for a
+        deleted key recreate it — the correct CDC semantics for a
+        maintenance delete (retention is a statement about the table,
+        not about the stream). Returns ``(version, rows_deleted)``."""
+        m = self.manifest()
+        ff = lambda fe: all(  # noqa: E731
+            _stats_keep_range(fe, c, lo, hi) for c, (lo, hi) in preds.items()
+        )
+        todo = sorted(
+            int(b)
+            for b, files in m["buckets"].items()
+            if any(ff(fe) for fe in files)
+        )
+        if not todo:
+            return m["version"], 0
+        schema = self.schema()
+        cond = F.lit(True)
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        state = self._read_state(spark, m, bucket_ids=todo)
+        keep = state.filter(~F.coalesce(cond, F.lit(False))).withColumn(
+            _BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"])
+        )
+        new_files = self._write_buckets(
+            keep, schema, sort_by=sort_by, files_per_bucket=files_per_bucket
+        )
+        # rows_deleted = live rows in scope before - rows after. After
+        # comes free from the freshly stamped footers; before comes
+        # from the manifest when the scope is delta-free (footer rows
+        # == live rows), else one count on the resolved state.
+        todo_entries = [fe for b in todo for fe in m["buckets"][str(b)]]
+        if _has_delta(todo_entries) or any("rows" not in fe for fe in todo_entries):
+            n_before = state.count()
+        else:
+            n_before = sum(fe["rows"] for fe in todo_entries)
+        n_after = sum(
+            fe["rows"] for files in new_files.values() for fe in files
+        )
+        n_deleted = n_before - n_after
+        new_buckets = {
+            b: list(files)
+            for b, files in m["buckets"].items()
+            if int(b) not in set(todo)
+        }
+        for b in todo:
+            files = new_files.get(b, [])
+            if files:  # a bucket emptied by the delete drops out
+                new_buckets[str(b)] = files
+        new = dict(m)
+        new["version"] = m["version"] + 1
+        new["parent"] = m["version"]
+        new["buckets"] = new_buckets
+        new["properties"] = {**m["properties"], **(properties or {})}
+        new["summary"] = {
+            "operation": "delete-where",
+            "ts_ms": int(time.time() * 1000),
+            "preds": {
+                c: [None if v is None else str(v) for v in (lo, hi)]
+                for c, (lo, hi) in preds.items()
+            },
+            "rows_deleted": int(n_deleted),
+            "rewritten_buckets": len(todo),
+        }
+        return self._commit(new), int(n_deleted)
+
     def truncate(self, properties: dict[str, str] | None = None) -> int:
         """TRUNCATE TABLE as an atomic empty-overwrite commit: the next
         snapshot references no data files (schema, bucketing, and

@@ -863,3 +863,108 @@ def test_zvalue_boundaries_spread_for_midsize_domains(spark):
     # top of the domain must not collapse into one code
     top = z.filter(F.col("x") >= 640).select(F.countDistinct("z")).first()[0]
     assert top >= 18, f"upper third collapsed to {top} codes"
+
+
+def test_delete_where_retention_prunes_and_changelogs(spark, tmp_table_dir):
+    """Predicate DELETE (retention): matching rows gone, buckets whose
+    file stats exclude the range carried BY REFERENCE, changelog across
+    the boundary shows exactly the deleted rows as deletes, replay
+    watermark untouched, and a no-match delete is a no-op commit-wise."""
+    import datetime as dt
+
+    sch = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    jan, mar = dt.datetime(2026, 1, 1), dt.datetime(2026, 3, 1)
+    t = LakeTable.create(
+        tmp_table_dir, sch, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    old_keys = ["aa", "ab"]
+    new_keys = [f"z{i}" for i in range(10)]
+    t.overwrite(
+        spark.createDataFrame(
+            [(k, 0, "old", jan) for k in old_keys]
+            + [(k, 0, "new", mar) for k in new_keys],
+            sch,
+        ),
+        properties={"watermark": "f0:100"},
+    )
+    v0 = t.current_version()
+    before = {b: [f["path"] for f in fs] for b, fs in t.manifest()["buckets"].items()}
+    affected = set(t.buckets_for_keys(spark, old_keys))
+    assert affected != set(range(4))  # some bucket holds only March rows
+
+    v, n = t.delete_where(spark, {"ts": (None, dt.datetime(2026, 2, 1))})
+    assert n == 2
+    assert {r.conv_id for r in t.read(spark).collect()} == set(new_keys)
+    after = {b: [f["path"] for f in fs] for b, fs in t.manifest()["buckets"].items()}
+    for b in after:
+        if int(b) not in affected:  # pruned: identical entries, never rewritten
+            assert after[b] == before[b]
+        else:
+            assert after[b] != before[b]
+    # changelog: exactly the two deleted rows, as deletes
+    ch = t.read_changes(spark, v0, v).collect()
+    assert {(r.conv_id, r.op) for r in ch} == {
+        ("aa", "delete"), ("ab", "delete")
+    }
+    # maintenance commit: replay watermark carried forward untouched
+    assert t.properties()["watermark"] == "f0:100"
+    assert t.manifest()["summary"]["rows_deleted"] == 2
+    # time travel: the pre-delete snapshot still shows the old rows
+    assert t.read(spark, v0).count() == 12
+
+    # no file intersects -> no rewrite, same version, zero deleted
+    v2, n2 = t.delete_where(spark, {"ts": (dt.datetime(2030, 1, 1), None)})
+    assert (v2, n2) == (v, 0)
+
+
+def test_delete_where_resolves_mor_deltas_and_keeps_nulls(spark, tmp_table_dir):
+    """DELETE over merge-on-read state: the LIVE (LWW) row decides the
+    match — an update that moved a row out of the range saves it, the
+    rewrite absorbs the bucket's deltas, and NULL predicate columns
+    never match (SQL semantics)."""
+    import datetime as dt
+
+    sch = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    chs = T.StructType(sch.fields + [T.StructField("__delete", T.BooleanType())])
+    jan, mar = dt.datetime(2026, 1, 1), dt.datetime(2026, 3, 1)
+    t = LakeTable.create(
+        tmp_table_dir, sch, ["conv_id", "turn_idx"], "conv_id", n_buckets=2
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(f"k{i}", 0, "old", jan) for i in range(4)] + [("n1", 0, "nul", None)],
+            sch,
+        )
+    )
+    # MOR delta: k0 moves to March (must survive), m1 inserted in March
+    t.merge_mor(
+        spark,
+        spark.createDataFrame(
+            [("k0", 0, "moved", mar, False), ("m1", 0, "new", mar, False)], chs
+        ),
+    )
+    v0 = t.current_version()
+    v, n = t.delete_where(spark, {"ts": (None, dt.datetime(2026, 2, 1))})
+    assert n == 3  # k1,k2,k3; k0 saved by its delta, n1 NULL never matches
+    got = {r.conv_id: r.text for r in t.read(spark).collect()}
+    assert got == {"k0": "moved", "m1": "new", "n1": "nul"}
+    # the rewrite absorbed every delta in the affected buckets
+    assert t.delta_counts() == {}
+    ch = t.read_changes(spark, v0, v).collect()
+    assert {(r.conv_id, r.op) for r in ch} == {
+        ("k1", "delete"), ("k2", "delete"), ("k3", "delete")
+    }
