@@ -2016,7 +2016,7 @@ def _flagship_events():
     return gen_change_events(GenConfig(n_events=4000, n_conversations=150, seed=5))
 
 
-def _write_flagship_dump(ev=None) -> None:
+def _write_flagship_dump(ev=None, dest: str = FLAGSHIP_ORACLE_DUMP) -> None:
     """Flat change-event dump for the flagship SQL oracle. Pure pandas
     and fully deterministic (fixed seed), so the query side and the
     oracle side can each materialize it in either order — identical
@@ -2046,7 +2046,7 @@ def _write_flagship_dump(ev=None) -> None:
             "score": amap.map(lambda m: m.get("score")).astype("Int64").to_numpy(),
         }
     )
-    _atomic_parquet_dump(flat, FLAGSHIP_ORACLE_DUMP)
+    _atomic_parquet_dump(flat, dest)
 
 
 CHANGELOG_CUT_DUMP = "/tmp/mts_flagship_oracle/changelog_cut.parquet"
@@ -2417,6 +2417,71 @@ def q_cdc_retention_delete(spark, sf_dir):
         assert job.table.properties().get("watermark") == wm_before, (
             "maintenance delete must not move the replay fence"
         )
+        result = job.table.read(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            "score",
+        ).orderBy("conv_id", "turn_idx")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+REDACT_ORACLE_DUMP = "/tmp/mts_flagship_oracle/redact_flat.parquet"
+
+
+def _redact_events():
+    """Flagship events with deterministic PII planted in every after-
+    image text (email + IPv4 derived from the row's own key), so the
+    redaction transform has real matches to scrub on every row."""
+    ev = _flagship_events().copy()
+
+    def aug(m):
+        if isinstance(m, dict) and m.get("text"):
+            m = dict(m)
+            m["text"] = (
+                m["text"]
+                + " contact "
+                + m["conv_id"]
+                + "@example.com via 10.0."
+                + str(int(m["turn_idx"]) % 250)
+                + ".7"
+            )
+        return m
+
+    ev["after"] = ev["after"].map(aug, na_action="ignore")
+    return ev
+
+
+def q_cdc_ingest_redaction(spark, sf_dir):
+    """Ingest TRANSFORM hook end-to-end (Debezium single-message-
+    transform analogue, runner.CdcApplyJob(transform=...)): the
+    flagship replay with PII planted in every event text runs with
+    transforms.redact_text, so raw PII never lands in the table — the
+    hook applies per batch to the post-LWW change set, deterministic
+    so fenced replay converges. The DuckDB oracle recomputes the LWW
+    final state from the UNREDACTED flat dump and applies the same
+    frozen regex chain in SQL (the doc_pii_redaction pattern set)."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+    from mysql_tracker_spark.transforms import redact_text
+
+    work = tempfile.mkdtemp(prefix="mts_entry_redact_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _redact_events()
+    _write_flagship_dump(ev, dest=REDACT_ORACLE_DUMP)
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8, transform=redact_text)
+        job.run()
         result = job.table.read(spark).select(
             "conv_id",
             "turn_idx",
@@ -3065,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
         "cdc_apply_mor_final_state": q_cdc_apply_mor_final_state,
         "cdc_retention_delete": q_cdc_retention_delete,
+        "cdc_ingest_redaction": q_cdc_ingest_redaction,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
         "cdc_changelog_stream": q_cdc_changelog_stream,
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
@@ -4192,6 +4258,35 @@ def oracle_sql() -> dict[str, str]:
               AND (ts_text > '{RETENTION_CUTOFF}' OR ts_text IS NULL)
             ORDER BY conv_id, turn_idx
         """,
+        # Ingest-redaction oracle: LWW final state from the UNREDACTED
+        # dump, then the frozen PII regex chain applied to the live
+        # rows' text in SQL (same patterns as doc_pii_redaction —
+        # chosen for identical Java-regex/RE2 semantics).
+        "cdc_ingest_redaction": r"""
+            WITH e AS (
+                SELECT * FROM read_parquet('__DUMP__')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text,
+                   tool, ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """.replace("__DUMP__", REDACT_ORACLE_DUMP),
         # Point-read oracle: the same LWW final-state CTE restricted to
         # the three lexicographically-first conversations — the key
         # subset is derived from the dump on BOTH sides.

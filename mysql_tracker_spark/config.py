@@ -73,6 +73,13 @@ class JobConfig:
     # makes a violation fail the batch (table + watermark untouched)
     expectations: list[dict] = field(default_factory=list)
     table_expectations: list[dict] = field(default_factory=list)
+    # ingest transform hook (Debezium single-message-transform
+    # analogue) as an importable dotted path "package.module:callable";
+    # the callable takes and returns the batch change-set DataFrame
+    # (key cols + typed payload + __delete, column set preserved) and
+    # must be a deterministic row-wise expression — see
+    # CdcApplyJob(transform=...)
+    transform: str | None = None
 
     @classmethod
     def load(cls, path: str) -> "JobConfig":

@@ -120,6 +120,27 @@ class ApplyStats:
     table_audit: dict | None = None
 
 
+def _resolve_transform(spec):
+    """Resolve a JobConfig ``transform`` value: a callable passes
+    through; a dotted path ``"package.module:callable"`` is imported
+    (the spark-submit-friendly spelling — a JSON config can't carry a
+    function object). None stays None."""
+    if spec is None or callable(spec):
+        return spec
+    if not isinstance(spec, str) or ":" not in spec:
+        raise ValueError(
+            "transform must be a callable or 'package.module:callable', "
+            f"got {spec!r}"
+        )
+    import importlib
+
+    mod_name, _, attr = spec.partition(":")
+    fn = getattr(importlib.import_module(mod_name), attr)
+    if not callable(fn):
+        raise ValueError(f"transform {spec!r} resolved to a non-callable")
+    return fn
+
+
 class CdcApplyJob:
     """Replay a directory of offset-ordered change-event parquet batches
     into a lakestore transcripts table, exactly once."""
@@ -168,6 +189,7 @@ class CdcApplyJob:
         mor_compact_threshold: int = 8,
         compact_sort_by: str | None = None,
         compact_files_per_bucket: int = 1,
+        transform=None,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -219,6 +241,17 @@ class CdcApplyJob:
         # (pass) or aborts + raises (fail; table and watermark
         # untouched, the batch replays through the fence after the fix)
         self.table_expectations = list(table_expectations or [])
+        # ingest transform hook (Debezium single-message-transform
+        # analogue): callable(DataFrame) -> DataFrame over the batch's
+        # post-LWW change set (key cols + typed payload + __delete) —
+        # redaction, normalization, enrichment AT INGEST, before the
+        # quality gates audit what actually lands. Contract: must be a
+        # pure, DETERMINISTIC row-wise Catalyst expression (replay of a
+        # fenced batch must reproduce byte-identical rows) and must not
+        # modify key columns or __delete (bucket placement / delete
+        # semantics). The engine validates the column set is unchanged;
+        # cost tracks the batch's LWW winners, never raw events.
+        self.transform = transform
         # sink write mode: "cow" rewrites affected buckets per batch
         # (read-optimized; per-batch cost tracks the touched buckets);
         # "mor" appends the batch's change set as bucket delta files
@@ -295,6 +328,7 @@ class CdcApplyJob:
             mor_compact_threshold=getattr(cfg, "mor_compact_threshold", 8),
             compact_sort_by=getattr(cfg, "compact_sort_by", None),
             compact_files_per_bucket=getattr(cfg, "compact_files_per_bucket", 1),
+            transform=_resolve_transform(getattr(cfg, "transform", None)),
         )
 
     # ------------------------------------------------------------- lifecycle
@@ -956,7 +990,9 @@ class CdcApplyJob:
                 aliases=self.table.column_aliases(),
             ),
             (F.col("op") == "DELETE").alias("__delete"),
-            _bucket_expr(self.key_cols[0], nb).alias("__bucket"),
+        )
+        changes = self._apply_transform(changes).withColumn(
+            "__bucket", _bucket_expr(self.key_cols[0], nb)
         )
         self._gate_expectations(changes, stats)
         delta_dir = os.path.join(self.table_path, f"_delta_{batch_id}")
@@ -1222,6 +1258,7 @@ class CdcApplyJob:
         # count_upserts=False: rows_applied comes from the first-pass
         # observe (the reference's persisNum counter semantics); a
         # merge-side Observation deadlocks under foreachBatch
+        changes = self._apply_transform(changes)
         self._gate_expectations(changes, stats)
         stats.write_mode = self.write_mode
         if self.write_mode == "mor":
@@ -1346,6 +1383,23 @@ class CdcApplyJob:
                 f"snapshot {wap_id} aborted, watermark untouched"
             )
         return self.table.publish_staged(wap_id)
+
+    def _apply_transform(self, changes):
+        """Run the ingest transform hook (if any) over the batch's
+        change set, enforcing schema discipline: the returned frame
+        must carry exactly the same columns (any order) — a transform
+        that drops/renames/adds columns would silently corrupt the
+        merge, so that is an error, not a warning."""
+        if self.transform is None:
+            return changes
+        cols = changes.columns
+        out = self.transform(changes)
+        if sorted(out.columns) != sorted(cols):
+            raise ValueError(
+                "ingest transform must preserve the change-set columns: "
+                f"expected {sorted(cols)}, got {sorted(out.columns)}"
+            )
+        return out.select(*cols)
 
     def _gate_expectations(self, changes, stats: ApplyStats) -> None:
         """Write-audit-publish: blocking data-quality expectations
