@@ -1412,35 +1412,57 @@ class LakeTable:
         column never matches, SQL semantics) and commit ONE snapshot.
 
         Manifest-stats pruning makes retention cheap on a clustered
-        table: a bucket is AFFECTED only if some live file's stamped
-        min/max bounds intersect EVERY predicate column. This is sound
-        for payload columns even under merge-on-read deltas — a live
-        row's values all come from the one row in its winning
-        (``max_by`` seq) file, so a matching live row implies an
-        intersecting file in its bucket. Untouched buckets carry their
-        file entries forward BY REFERENCE (list equality == data
-        equality, so the changelog never opens them); affected buckets
-        are LWW-resolved, filtered, and rewritten as fresh base files
-        in one bucket-partitioned job (absorbing any deltas, like
-        :meth:`compact`; ``sort_by``/``files_per_bucket`` re-cluster
-        the rewrite exactly as there). A changelog scan across the
-        boundary yields exactly the deleted rows as deletes.
+        table, at FILE granularity (the Delta ``DELETE`` rewrite
+        model): a file is a HIT only if its stamped min/max bounds
+        intersect EVERY predicate column. Delta-free buckets rewrite
+        only their hit files and carry miss files forward BY REFERENCE
+        — sound because a COW bucket holds exactly one live row per
+        key, so filtering a hit file cannot change any row in a miss
+        file; on a ts-clustered table a retention delete therefore
+        rewrites only the files actually covering the expired range.
+        Buckets holding merge-on-read deltas rewrite whole (any hit
+        file forces LWW resolution of the full bucket, absorbing its
+        deltas like :meth:`compact`) — still sound for payload columns
+        because a live row's values all come from the one row in its
+        winning (``max_by`` seq) file, so a matching live row implies
+        an intersecting file in its bucket. Buckets with no hit file
+        at all are untouched (list equality == data equality, so the
+        changelog never opens them). ``sort_by``/``files_per_bucket``
+        re-cluster the rewrite exactly as in :meth:`compact`. A
+        changelog scan across the boundary yields exactly the deleted
+        rows as deletes.
 
         The replay watermark is UNTOUCHED: replay of already-committed
         batches stays a fenced no-op, and genuinely new events for a
         deleted key recreate it — the correct CDC semantics for a
         maintenance delete (retention is a statement about the table,
         not about the stream). Returns ``(version, rows_deleted)``."""
+        if not preds:
+            raise ValueError(
+                "delete_where with no predicate would delete every row; "
+                "use truncate() if that is what you mean"
+            )
         m = self.manifest()
         ff = lambda fe: all(  # noqa: E731
             _stats_keep_range(fe, c, lo, hi) for c, (lo, hi) in preds.items()
         )
-        todo = sorted(
-            int(b)
-            for b, files in m["buckets"].items()
-            if any(ff(fe) for fe in files)
-        )
-        if not todo:
+        # plan the rewrite at FILE granularity: delta-free buckets
+        # rewrite hit files only (misses carried by reference);
+        # delta-holding buckets with any hit resolve + rewrite whole
+        rewrite_entries: list[dict] = []  # delta-free hit files
+        carried: dict[int, list[dict]] = {}  # delta-free miss files
+        delta_todo: list[int] = []  # buckets needing full resolution
+        for b_str, files in m["buckets"].items():
+            hits = [fe for fe in files if ff(fe)]
+            if not hits:
+                continue
+            b = int(b_str)
+            if _has_delta(files):
+                delta_todo.append(b)
+            else:
+                rewrite_entries.extend(hits)
+                carried[b] = [fe for fe in files if not ff(fe)]
+        if not rewrite_entries and not delta_todo:
             return m["version"], 0
         schema = self.schema()
         cond = F.lit(True)
@@ -1449,33 +1471,54 @@ class LakeTable:
                 cond = cond & (F.col(c) >= F.lit(lo))
             if hi is not None:
                 cond = cond & (F.col(c) <= F.lit(hi))
-        state = self._read_state(spark, m, bucket_ids=todo)
+        parts = []
+        if delta_todo:
+            parts.append(self._read_state(spark, m, bucket_ids=sorted(delta_todo)))
+        if rewrite_entries:
+            parts.append(
+                self._read_aligned(
+                    spark, rewrite_entries, m["schemas"], schema,
+                    renames=m.get("renames"), cur_sid=m["schema_id"],
+                )
+            )
+        state = parts[0]
+        for p in parts[1:]:
+            state = state.unionByName(p)
         keep = state.filter(~F.coalesce(cond, F.lit(False))).withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"])
         )
         new_files = self._write_buckets(
             keep, schema, sort_by=sort_by, files_per_bucket=files_per_bucket
         )
-        # rows_deleted = live rows in scope before - rows after. After
-        # comes free from the freshly stamped footers; before comes
-        # from the manifest when the scope is delta-free (footer rows
-        # == live rows), else one count on the resolved state.
-        todo_entries = [fe for b in todo for fe in m["buckets"][str(b)]]
-        if _has_delta(todo_entries) or any("rows" not in fe for fe in todo_entries):
-            n_before = state.count()
+        # rows_deleted = rows read into the rewrite - rows written.
+        # Written comes free from the freshly stamped footers; read
+        # comes from the manifest footers for the delta-free hit files,
+        # plus one count on the resolved state for delta buckets.
+        if delta_todo:
+            n_before = self._read_state(
+                spark, m, bucket_ids=sorted(delta_todo)
+            ).count()
         else:
-            n_before = sum(fe["rows"] for fe in todo_entries)
+            n_before = 0
+        if any("rows" not in fe for fe in rewrite_entries):
+            n_before += self._read_aligned(
+                spark, rewrite_entries, m["schemas"], schema,
+                renames=m.get("renames"), cur_sid=m["schema_id"],
+            ).count()
+        else:
+            n_before += sum(fe["rows"] for fe in rewrite_entries)
         n_after = sum(
             fe["rows"] for files in new_files.values() for fe in files
         )
         n_deleted = n_before - n_after
+        touched = set(delta_todo) | set(carried)
         new_buckets = {
             b: list(files)
             for b, files in m["buckets"].items()
-            if int(b) not in set(todo)
+            if int(b) not in touched
         }
-        for b in todo:
-            files = new_files.get(b, [])
+        for b in sorted(touched):
+            files = carried.get(b, []) + new_files.get(b, [])
             if files:  # a bucket emptied by the delete drops out
                 new_buckets[str(b)] = files
         new = dict(m)
@@ -1491,7 +1534,9 @@ class LakeTable:
                 for c, (lo, hi) in preds.items()
             },
             "rows_deleted": int(n_deleted),
-            "rewritten_buckets": len(todo),
+            "rewritten_buckets": len(touched),
+            "rewritten_files": len(rewrite_entries),
+            "resolved_buckets": len(delta_todo),
         }
         return self._commit(new), int(n_deleted)
 

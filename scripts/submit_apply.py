@@ -154,6 +154,15 @@ def main() -> None:
         "untouched and the batch replays after the fix",
     )
     ap.add_argument(
+        "--delete-where", nargs=3, default=None, action="append",
+        metavar=("COL", "LO", "HI"),
+        help="before applying, delete every live row with LO <= COL <= "
+        "HI (empty string = open bound; repeatable, conjunctive across "
+        "repeats) — retention/GDPR maintenance: stats-pruned bucket "
+        "rewrite, replay watermark untouched. COL values parse as "
+        "int/float/timestamp/string in that order",
+    )
+    ap.add_argument(
         "--changes-from", type=int, default=None, metavar="VERSION",
         help="after the apply, print the row-level changelog "
         "(insert/update/delete) from this snapshot version to HEAD "
@@ -208,6 +217,34 @@ def main() -> None:
         v = LakeTable.load(args.table).rescale_buckets(spark, args.rescale_buckets)
         print(
             json.dumps({"rescale_buckets": args.rescale_buckets, "new_version": v}),
+            file=sys.stderr,
+        )
+
+    if args.delete_where:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        def _parse_bound(s):
+            if s == "":
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(s)
+                except ValueError:
+                    pass
+            try:
+                import datetime as _dt
+
+                return _dt.datetime.fromisoformat(s)
+            except ValueError:
+                return s
+
+        preds = {
+            col: (_parse_bound(lo), _parse_bound(hi))
+            for col, lo, hi in args.delete_where
+        }
+        v, n = LakeTable.load(args.table).delete_where(spark, preds)
+        print(
+            json.dumps({"delete_where_version": v, "rows_deleted": n}),
             file=sys.stderr,
         )
 

@@ -923,6 +923,10 @@ def test_delete_where_retention_prunes_and_changelogs(spark, tmp_table_dir):
     v2, n2 = t.delete_where(spark, {"ts": (dt.datetime(2030, 1, 1), None)})
     assert (v2, n2) == (v, 0)
 
+    # an empty predicate is a refused footgun, not a full wipe
+    with pytest.raises(ValueError, match="delete every row"):
+        t.delete_where(spark, {})
+
 
 def test_delete_where_resolves_mor_deltas_and_keeps_nulls(spark, tmp_table_dir):
     """DELETE over merge-on-read state: the LIVE (LWW) row decides the
@@ -967,4 +971,52 @@ def test_delete_where_resolves_mor_deltas_and_keeps_nulls(spark, tmp_table_dir):
     ch = t.read_changes(spark, v0, v).collect()
     assert {(r.conv_id, r.op) for r in ch} == {
         ("k1", "delete"), ("k2", "delete"), ("k3", "delete")
+    }
+
+
+def test_delete_where_file_granular_in_clustered_bucket(spark, tmp_table_dir):
+    """Retention on a ts-clustered bucket rewrites ONLY the files whose
+    bounds intersect the expired range (Delta DELETE rewrite model):
+    the in-range file survives in the manifest byte-identically."""
+    import datetime as dt
+
+    sch = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    jan, mar = dt.datetime(2026, 1, 1), dt.datetime(2026, 3, 1)
+    t = LakeTable.create(
+        tmp_table_dir, sch, ["conv_id", "turn_idx"], "conv_id", n_buckets=1
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(f"j{i}", 0, "old", jan) for i in range(8)]
+            + [(f"m{i}", 0, "new", mar) for i in range(8)],
+            sch,
+        )
+    )
+    # cluster the single bucket into ~2 ts-ranged files
+    t.compact(spark, bucket_ids=[0], sort_by="ts", files_per_bucket=2)
+    before = t.manifest()["buckets"]["0"]
+    assert len(before) >= 2
+    mar_entries = [
+        fe for fe in before if fe["stats"]["ts"][0] >= "2026-02-01"
+    ]
+    assert mar_entries  # clustering actually separated the ranges
+
+    v, n = t.delete_where(spark, {"ts": (None, dt.datetime(2026, 2, 1))})
+    assert n == 8
+    after = t.manifest()["buckets"]["0"]
+    # every pure-March file carried BY REFERENCE, never rewritten
+    for fe in mar_entries:
+        assert fe in after
+    s = t.manifest()["summary"]
+    assert s["rewritten_files"] == len(before) - len(mar_entries)
+    assert s["resolved_buckets"] == 0
+    assert {r.conv_id for r in t.read(spark).collect()} == {
+        f"m{i}" for i in range(8)
     }
