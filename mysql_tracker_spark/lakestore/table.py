@@ -620,6 +620,45 @@ class LakeTable:
         m = self.manifest(version)
         return self._read_state(spark, m)
 
+    def version_at(self, ts) -> int:
+        """Largest retained version committed at or before ``ts`` (the
+        Iceberg/Delta ``FOR TIMESTAMP AS OF`` resolution): ``ts`` is a
+        datetime or epoch-ms int, compared against each snapshot's
+        commit stamp (``summary.ts_ms``; a rare stamp-less version —
+        e.g. a published WAP stage — inherits its predecessor's stamp,
+        which is conservative: commits are serialized, so its true time
+        is >= that). Raises if the probe predates every retained
+        snapshot (expired history cannot be travelled to)."""
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            probe = int(ts.timestamp() * 1000)
+        else:
+            probe = int(ts)
+        best = None
+        last_ts = None
+        for fn in sorted(os.listdir(self.snap_dir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.snap_dir, fn)) as f:
+                m = json.load(f)
+            t = m.get("summary", {}).get("ts_ms", last_ts)
+            last_ts = t
+            if t is not None and t <= probe:
+                best = m["version"]
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot at or before ts_ms={probe} "
+                "(history may have been expired)"
+            )
+        return best
+
+    def read_asof(self, spark: SparkSession, ts) -> DataFrame:
+        """Time travel by TIMESTAMP (``FOR TIMESTAMP AS OF`` analogue):
+        read the snapshot current as of ``ts`` (datetime or epoch ms).
+        Same read path as :meth:`read` at :meth:`version_at`."""
+        return self.read(spark, version=self.version_at(ts))
+
     def row_count(
         self, spark: SparkSession | None = None, version: int | None = None
     ) -> int:

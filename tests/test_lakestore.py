@@ -1020,3 +1020,30 @@ def test_delete_where_file_granular_in_clustered_bucket(spark, tmp_table_dir):
     assert {r.conv_id for r in t.read(spark).collect()} == {
         f"m{i}" for i in range(8)
     }
+
+
+def test_read_asof_timestamp_time_travel(spark, tmp_table_dir):
+    """FOR TIMESTAMP AS OF: version_at resolves the snapshot current at
+    a probe time from the commit stamps; probes between commits land on
+    the earlier one, probes before create raise."""
+    import datetime as dt
+
+    t = _mk(spark, tmp_table_dir)
+    v0 = t.current_version()
+    ts0 = t.manifest(v0)["summary"]["ts_ms"]
+    t.merge(spark, spark.createDataFrame([("c9", 0, "new", False)], CH_SCHEMA))
+    v1 = t.current_version()
+    ts1 = t.manifest(v1)["summary"]["ts_ms"]
+    assert ts0 <= ts1
+
+    assert t.version_at(ts0) >= v0  # at-or-before semantics
+    if ts1 > ts0:  # commits in the same millisecond collapse
+        assert t.version_at(ts1 - 1) < v1
+    assert t.version_at(ts1) == v1
+    # datetime probe, now() covers head
+    head = t.version_at(dt.datetime.now())
+    assert head == v1
+    got = {r.conv_id for r in t.read_asof(spark, dt.datetime.now()).collect()}
+    assert "c9" in got
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_at(0)
