@@ -2381,6 +2381,58 @@ def q_cdc_apply_mor_final_state(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_bootstrap_catchup(spark, sf_dir):
+    """Initial-snapshot bootstrap + CDC catchup (Debezium "initial
+    snapshot"; the reference bootstraps only the *position*,
+    ``tracker/position/EntryPosition.java:45-69``, never the data —
+    runner.py::bootstrap_snapshot is the missing first step). This row
+    asserts the FUZZY variant end-to-end: the seed snapshot is the
+    table state after 2 of 4 batches, but the fence is batch 0's end
+    position — so batch 1 replays over rows that already reflect it,
+    and full-image LWW MERGE convergence must still land on the exact
+    full-apply final state. Oracle: the same pure-SQL LWW recomputation
+    over ALL events as cdc_apply_transcripts_final — the bootstrapped
+    table must be indistinguishable from the never-bootstrapped one."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.lakestore import LakeTable
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_bootstrap_")
+    in_dir = os.path.join(work, "in")
+    tbl_a, tbl_b = os.path.join(work, "a"), os.path.join(work, "b")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_batches(ev, in_dir, n_batches=4)
+    try:
+        # fence = end of batch 0; seed = state after batches 0-1
+        job_a = CdcApplyJob(spark, in_dir, tbl_a, n_buckets=8)
+        job_a.run(max_batches=1)
+        f0, p0, _ = job_a.watermark()
+        CdcApplyJob(spark, in_dir, tbl_a, n_buckets=8).run(max_batches=2)
+        snap = LakeTable.load(tbl_a).read(spark)
+        job = CdcApplyJob(spark, in_dir, tbl_b, n_buckets=8)
+        job.bootstrap_snapshot(snap, f0, p0)
+        stats = job.run()
+        assert stats[0].skipped, "pre-fence batch must be fenced out"
+        assert not stats[1].skipped, "overlap batch must replay (fuzzy window)"
+        result = job.table.read(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            "score",
+        ).orderBy("conv_id", "turn_idx")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 RETENTION_CUTOFF = "2025-01-01 00:20:00"
 
 
@@ -3129,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "cdc_apply_transcripts_final": q_cdc_apply_transcripts_final,
         "cdc_apply_mor_final_state": q_cdc_apply_mor_final_state,
+        "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
         "cdc_retention_delete": q_cdc_retention_delete,
         "cdc_ingest_redaction": q_cdc_ingest_redaction,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
@@ -4215,6 +4268,30 @@ def oracle_sql() -> dict[str, str]:
         # MOR-sink oracle: the sink mode must not change the state —
         # same LWW recomputation as cdc_apply_transcripts_final.
         "cdc_apply_mor_final_state": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """,
+        # Bootstrap-catchup oracle: a bootstrapped-then-caught-up table
+        # must be INDISTINGUISHABLE from the never-bootstrapped full
+        # apply, so the oracle is the flagship LWW recomputation over
+        # all events, verbatim.
+        "cdc_bootstrap_catchup": f"""
             WITH e AS (
                 SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
                 WHERE op IN ('INSERT','UPDATE','DELETE')

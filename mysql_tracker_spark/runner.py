@@ -370,6 +370,107 @@ class CdcApplyJob:
             return self.start_file, int(self.start_pos or 0), seq
         return None, None, seq
 
+    def bootstrap_snapshot(
+        self,
+        snapshot_df: DataFrame,
+        file: str,
+        pos: int,
+        allow_nonempty: bool = False,
+    ) -> int:
+        """Initial-load bootstrap (Debezium "initial snapshot" / Canal
+        full-dump analogue): seed the table from a full-table snapshot
+        DataFrame and fence the CDC stream at the snapshot's binlog
+        position ``(file, pos)``, so the next :meth:`run` catches up
+        from there instead of requiring the binlog back to the
+        beginning of time. The reference can only start a tracker at a
+        configured position and loses every row written before it
+        (``tracker/position/EntryPosition.java:45-69`` bootstraps the
+        *offset*, never the data); a user starting CDC on an existing
+        database needs the existing rows too — this is that missing
+        first step.
+
+        Convergence contract (what makes a FUZZY snapshot safe): the
+        seeded rows carry no log position — they are the *base* state —
+        and every replayed event at position > ``(file, pos)`` wins per
+        key via the idempotent full-image MERGE. So a snapshot read
+        WHILE writes continued is fine as long as ``(file, pos)`` is a
+        position at-or-BEFORE the snapshot read began (MySQL:
+        ``SHOW MASTER STATUS`` under the same consistent-read txn, the
+        Debezium lock-free snapshot recipe): events in the overlap
+        window re-apply over rows that may already reflect them, and
+        because MySQL row events carry full after-images, re-applying
+        is a per-key no-op — replay converges to the true state
+        (``tests/test_bootstrap.py`` asserts both the aligned and the
+        overlapped fence).
+
+        One bucketed ``overwrite`` commit: snapshot rows are cast to
+        the table schema, hashed into the table's buckets (one
+        exchange, one write — at 10^10 rows this is a plain
+        bucket-partitioned parquet write, no MERGE read side), and the
+        watermark properties land in the SAME atomic commit — crash
+        before the commit leaves an empty table with no fence, crash
+        after leaves the complete bootstrap; there is no state in
+        which data exists without its fence.
+
+        Refuses a table that already has data or a committed watermark
+        unless ``allow_nonempty=True`` (re-bootstrap = explicit
+        operator decision, it rewrites everything)."""
+        if self.table is None:
+            self.prepare()
+        t0 = time.time()
+        wm_file, _, _ = self.watermark()
+        if not allow_nonempty:
+            if wm_file is not None:
+                raise ValueError(
+                    f"table already has a committed watermark ({wm_file}); "
+                    "bootstrap would rewrite applied state — pass "
+                    "allow_nonempty=True to force"
+                )
+            if self.table.row_count(self.spark) != 0:
+                raise ValueError(
+                    "table is not empty; bootstrap would rewrite existing "
+                    "rows — pass allow_nonempty=True to force"
+                )
+        schema = self.table.schema()
+        snap_cols = set(snapshot_df.columns)
+        missing = [f.name for f in schema.fields if f.name not in snap_cols]
+        if missing:
+            raise ValueError(f"snapshot is missing table columns: {missing}")
+        # the snapshot's schema is authoritative at its position: any
+        # column beyond the configured base schema is a DDL evolution
+        # that happened BEFORE the snapshot point, so adopt it now
+        # exactly as the mid-stream ADD COLUMN path would have
+        # (otherwise catchup — which only replays DDL after the fence —
+        # could never learn it)
+        have = {f.name for f in schema.fields}
+        extra = [sf for sf in snapshot_df.schema.fields if sf.name not in have]
+        if extra:
+            self.table.update_schema(
+                T.StructType(list(schema.fields) + extra),
+                note="bootstrap: adopt snapshot schema",
+            )
+            schema = self.table.schema()
+        typed = snapshot_df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        version = self.table.overwrite(
+            typed,
+            properties={
+                "offset_file": file,
+                "offset_pos": str(pos),
+                "batch_seq": "-1",
+                "bootstrap": "snapshot",
+            },
+        )
+        stats = ApplyStats(batch_id=-1)
+        stats.file_end, stats.pos_end = file, pos
+        stats.rows_in = stats.rows_applied = self.table.row_count(self.spark)
+        stats.snapshot_version = version
+        stats.write_mode = "bootstrap"
+        stats.wall_ms = int((time.time() - t0) * 1000)
+        self._append_lineage(stats)
+        return version
+
     def validate_position(self, reset_policy: str = "fail", deep: bool = False) -> dict:
         """C7 position-validity probe + C5 invalid-position recovery.
 

@@ -163,6 +163,16 @@ def main() -> None:
         "int/float/timestamp/string in that order",
     )
     ap.add_argument(
+        "--bootstrap-snapshot", nargs=3, default=None,
+        metavar=("PARQUET_DIR", "FILE", "POS"),
+        help="before applying, seed the (empty) table from a full-table "
+        "snapshot parquet dir and fence the CDC stream at binlog "
+        "position FILE:POS (Debezium initial-snapshot analogue; the "
+        "subsequent apply catches up from there). A fuzzy snapshot — "
+        "read while writes continued — is safe as long as FILE:POS is "
+        "at-or-before the snapshot read start",
+    )
+    ap.add_argument(
         "--changes-from", type=int, default=None, metavar="VERSION",
         help="after the apply, print the row-level changelog "
         "(insert/update/delete) from this snapshot version to HEAD "
@@ -314,6 +324,17 @@ def main() -> None:
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last
+        if args.bootstrap_snapshot is not None:
+            snap_dir, bfile, bpos = args.bootstrap_snapshot
+            v = job2.bootstrap_snapshot(
+                spark.read.parquet(snap_dir), bfile, int(bpos)
+            )
+            print(
+                json.dumps(
+                    {"bootstrap_version": v, "fence": [bfile, int(bpos)]}
+                ),
+                file=sys.stderr,
+            )
         if args.reset_policy:
             probe = job2.validate_position(reset_policy=args.reset_policy)
             print(json.dumps({"position_probe": probe}), file=sys.stderr)

@@ -218,3 +218,61 @@ def test_spark_submit_mor_apply_and_compact_maintenance(tmp_path):
     )
     exp = expected_final_state(ev).sort_values(["conv_id", "turn_idx"])
     assert got["text"].tolist() == exp["text"].tolist()
+
+
+def test_spark_submit_bootstrap_snapshot_catchup(spark, tmp_path):
+    """--bootstrap-snapshot through real spark-submit: seed the table
+    from a snapshot parquet dir + fence, then the SAME invocation
+    catches up — the pre-fence batch is skipped and the final table
+    equals the sequential oracle over all events."""
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        expected_final_state,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=80, seed=29))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+
+    # build the snapshot in-process: state + fence after batch 0
+    seed_job = CdcApplyJob(spark, in_dir, str(tmp_path / "seed"), n_buckets=4)
+    seed_job.run(max_batches=1)
+    f0, p0, _ = seed_job.watermark()
+    snap_dir = str(tmp_path / "snap")
+    seed_job.table.read(spark).write.parquet(snap_dir)
+
+    tbl = str(tmp_path / "tbl")
+    z = _zip_pkg(tmp_path)
+    res = _spark_submit(
+        ["--py-files", z, os.path.join(REPO, "scripts", "submit_apply.py"),
+         "--input", in_dir, "--table", tbl, "--buckets", "4",
+         "--bootstrap-snapshot", snap_dir, f0, str(p0)],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    assert '"bootstrap_version"' in (res.stdout + res.stderr)
+    stats = [json.loads(l) for l in res.stdout.splitlines()
+             if l.startswith("{") and "rows_in" in l]
+    assert stats[0]["skipped"] is True  # fenced prefix
+    assert not stats[1]["skipped"] and not stats[2]["skipped"]
+
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    t = LakeTable.load(tbl)
+    files = [os.path.join(tbl, p) for p in t.live_files()]
+    flist = ", ".join(f"'{f}'" for f in files)
+    got = (
+        duckdb.connect()
+        .execute(
+            f"SELECT text FROM read_parquet([{flist}], union_by_name=true) ORDER BY conv_id, turn_idx"
+        )
+        .df()
+    )
+    exp = expected_final_state(ev).sort_values(["conv_id", "turn_idx"])
+    assert got["text"].tolist() == exp["text"].tolist()
