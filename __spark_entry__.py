@@ -2691,6 +2691,66 @@ def q_cdc_point_read_pruned(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_bloom_read_pruned(spark, sf_dir):
+    """Bloom-index serving path (Delta bloom-index analogue,
+    lakestore/table.py::read_where_in): the flagship apply runs with
+    ``bloom_cols=["text"]`` so every committed file carries a per-file
+    bloom bitmap over its text values, then an exact-text audit lookup
+    ("which live turns carry exactly these texts") probes the blooms —
+    pruning min/max bounds can never provide on a high-cardinality
+    payload column. Probe set: the live texts of the three
+    lexicographically-first conversations, derived by the ENGINE here
+    and by the LWW CTE in the oracle — the returned rows are every live
+    row whose text matches any probe, from any conversation. The query
+    asserts files were actually skipped (inputFiles < live files);
+    content equality is the SQL oracle's job."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_bloom_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    dml = ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])]
+    keys = sorted({m.get("conv_id") for m in dml["after"] if m and m.get("conv_id")})[:3]
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        job = CdcApplyJob(
+            spark, in_dir, tbl_dir, n_buckets=8, bloom_cols=["text"]
+        )
+        job.run()
+        texts = sorted(
+            {
+                r["text"]
+                for r in job.table.read_for_keys(spark, keys)
+                .select("text")
+                .collect()
+                if r["text"] is not None
+            }
+        )
+        got = job.table.read_where_in(spark, "text", texts)
+        n_opened, n_live = len(got.inputFiles()), len(job.table.live_files())
+        assert 0 < n_opened < n_live, (
+            f"bloom must skip files: opened {n_opened} of {n_live}"
+        )
+        result = got.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            "score",
+        ).orderBy("conv_id", "turn_idx")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_ts_range_read_pruned(spark, sf_dir):
     """Time-window serving path: engine apply -> ``LakeTable.read_where``
     (manifest min/max file skipping on the ``ts`` column, engaged on
@@ -3189,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
         "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
+        "cdc_bloom_read_pruned": q_cdc_bloom_read_pruned,
         "cdc_ts_range_read_pruned": q_cdc_ts_range_read_pruned,
         "cdc_zorder_read_pruned": q_cdc_zorder_read_pruned,
         "cdc_pk_move_apply": q_cdc_pk_move_apply,
@@ -4388,6 +4449,38 @@ def oracle_sql() -> dict[str, str]:
                    ts_text, CAST(score AS BIGINT) AS score
             FROM r WHERE rn = 1 AND op <> 'DELETE'
               AND conv_id IN (SELECT conv_id FROM keys)
+            ORDER BY conv_id, turn_idx
+        """,
+        # Bloom point-read oracle: LWW final state restricted to rows
+        # whose text matches any LIVE text of the three
+        # lexicographically-first conversations (probe derivation and
+        # match semantics mirror the engine's read_where_in exactly).
+        "cdc_bloom_read_pruned": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), keys AS (
+                SELECT DISTINCT conv_id FROM e ORDER BY conv_id LIMIT 3
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            ), live AS (
+                SELECT * FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ), probes AS (
+                SELECT DISTINCT text FROM live
+                WHERE conv_id IN (SELECT conv_id FROM keys)
+                  AND text IS NOT NULL
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM live WHERE text IN (SELECT text FROM probes)
             ORDER BY conv_id, turn_idx
         """,
         # Time-window oracle: LWW final state restricted to ts >= the

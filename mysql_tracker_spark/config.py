@@ -65,6 +65,11 @@ class JobConfig:
     # of two+ columns switches to Z-ORDER clustering (prune on any)
     compact_sort_by: str | list[str] | None = None
     compact_files_per_bucket: int = 1
+    # bloom-indexed columns (per-file bloom bitmaps stamped at write,
+    # Delta bloom-index analogue): exact-value point reads on these
+    # columns prune files via table.read_where_in even where min/max
+    # bounds cannot (high-cardinality values scattered across files)
+    bloom_cols: list[str] = field(default_factory=list)
     # declarative data-quality gates (quality.py::from_spec dicts):
     # `expectations` run per batch on the UPSERT rows before the
     # merge; `table_expectations` run on the STAGED post-merge table

@@ -166,6 +166,53 @@ def _stats_keep_range(fe: dict, col: str, lo, hi) -> bool:
     return True
 
 
+# Per-file bloom filters (Delta bloom-index / Iceberg puffin analogue)
+# for point reads on columns where min/max bounds can't prune (high-
+# cardinality values scattered across files). m=8192 bits / k=4 hashes
+# gives <1% false positives up to ~570 distinct values per file and
+# costs 1 KiB per (file, column) in the manifest; at 10^9-file scale
+# the bitmaps would move to side-car files (puffin), the probe protocol
+# is unchanged. Hashing is Spark's own xxhash64 seeded per probe — the
+# write side and the probe side run the SAME engine function (the
+# buckets_for_keys placement principle), never a Python reimplementation.
+_BLOOM_M = 8192
+_BLOOM_K = 4
+
+
+def _bloom_hex(positions) -> str:
+    bits = bytearray(_BLOOM_M // 8)
+    for p in positions:
+        p = int(p)
+        bits[p >> 3] |= 1 << (p & 7)
+    return bits.hex()
+
+
+def _bloom_contains(hex_bitmap: str, positions) -> bool:
+    bits = bytes.fromhex(hex_bitmap)
+    return all(bits[int(p) >> 3] & (1 << (int(p) & 7)) for p in positions)
+
+
+def _bloom_position_exprs(col) -> list:
+    """k bloom positions of ``col`` as Column expressions — xxhash64
+    over (value, seed) so write and probe agree by construction."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(s)), F.lit(_BLOOM_M)).cast("int")
+        for s in range(_BLOOM_K)
+    ]
+
+
+def _bloom_probe_positions(spark, dtype, values) -> list[list[int]]:
+    """Per-probe-value bloom positions, computed by one tiny
+    single-partition Spark job (engine-hash fidelity, see above)."""
+    vdf = spark.createDataFrame(
+        [(v,) for v in values], T.StructType([T.StructField("v", dtype)])
+    )
+    rows = vdf.select(
+        F.array(*_bloom_position_exprs(F.col("v"))).alias("ps")
+    ).collect()
+    return [list(r["ps"]) for r in rows]
+
+
 def _stats_keep_keys(fe: dict, col: str, keys: list) -> bool:
     """True unless the file's stats prove NONE of ``keys`` can be
     present (point-read delta skipping)."""
@@ -333,6 +380,7 @@ class LakeTable:
         bucket_by: str,
         n_buckets: int = 64,
         properties: dict[str, str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(path)
         os.makedirs(t.snap_dir, exist_ok=True)
@@ -351,6 +399,8 @@ class LakeTable:
             "properties": dict(properties or {}),
             "summary": {"operation": "create", "ts_ms": int(time.time() * 1000)},
         }
+        if bloom_cols:
+            manifest["bloom_cols"] = list(bloom_cols)
         t._commit(manifest)
         return t
 
@@ -807,6 +857,57 @@ class LakeTable:
                 df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
+    def read_where_in(
+        self,
+        spark: SparkSession,
+        col: str,
+        values: list,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point/IN read ``col IN (values)`` on ANY column with
+        manifest-level file skipping: min/max bounds first, then the
+        per-file BLOOM bitmap when the table was created with
+        ``bloom_cols`` — the Delta bloom-index analogue for
+        high-cardinality columns whose values scatter across files, so
+        range bounds can never prune (e.g. an exact-text audit lookup
+        over transcripts). A file is opened only if, for SOME probe
+        value, all k of its bloom bits are set; bloom false negatives
+        are impossible by construction, so skipping is exact on the
+        miss side. Probe positions come from one tiny Spark job running
+        the SAME xxhash64 the write side stamped with (engine-hash
+        fidelity, as in :meth:`buckets_for_keys`).
+
+        Skipping soundness mirrors :meth:`read_where_all`: a KEY column
+        skips under merge-on-read deltas too; a PAYLOAD column skips
+        only on delta-free scopes (an update may have moved a key's
+        live value between files) — with deltas present the read falls
+        back to full LWW resolution. The exact ``isin`` residual always
+        applies. Files committed before the bloom existed carry no
+        bitmap and are kept."""
+        m = self.manifest(version)
+        values = list(values)
+        df_schema = self.schema(version)
+        if not values:
+            return self._read_state(spark, m).filter(F.lit(False))
+        dtype = next(f.dataType for f in df_schema.fields if f.name == col)
+        probe_ps = _bloom_probe_positions(spark, dtype, values)
+
+        def ff(fe):
+            if not _stats_keep_keys(fe, col, values):
+                return False
+            bl = (fe.get("bloom") or {}).get(col)
+            if bl is None:
+                return True
+            return any(_bloom_contains(bl, ps) for ps in probe_ps)
+
+        key_like = col == m["bucket_by"] or col in m["key_cols"]
+        entries = [fe for fs in m["buckets"].values() for fe in fs]
+        if key_like or not any(fe.get("delta") for fe in entries):
+            df = self._read_state(spark, m, file_filter=ff)
+        else:
+            df = self._read_state(spark, m)
+        return df.filter(F.col(col).isin(values))
+
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
         """Buckets whose file lists differ between the two snapshots.
         COW invariant: an untouched bucket carries the SAME file entries
@@ -997,7 +1098,54 @@ class LakeTable:
                             ),
                         }
                     )
+        bloom_cols = [c for c in m0.get("bloom_cols", []) if c in cols]
+        if bloom_cols and out:
+            self._stamp_blooms(df.sparkSession, stage_dir, bloom_cols, out)
         return out
+
+    def _stamp_blooms(
+        self, spark, stage_dir: str, bloom_cols: list[str], out: dict
+    ) -> None:
+        """Attach per-(file, column) bloom bitmaps to freshly written
+        file entries. ONE distributed job over the staged files: read
+        only the bloom columns, explode each row into its k positions
+        per column, collect the distinct-position set per (file,
+        column) — bounded by m=8192 ints however many rows a file has.
+        This re-scan of just-written columns is the honest cost of a
+        bloom index (Delta/Iceberg pay it at write time too); it is
+        column-pruned and embarrassingly parallel. NULL values hash to
+        the seed-only position (harmless shared bits); a probe never
+        asks for NULL."""
+        bdf = spark.read.parquet(stage_dir)
+        rows = (
+            bdf.select(
+                F.input_file_name().alias("f"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(F.lit(ci).alias("c"), pe.alias("p"))
+                            for ci, c in enumerate(bloom_cols)
+                            for pe in _bloom_position_exprs(F.col(c))
+                        ]
+                    )
+                ).alias("cp"),
+            )
+            .groupBy("f", "cp.c")
+            .agg(F.collect_set("cp.p").alias("ps"))
+            .collect()
+        )
+        by_rel = {
+            fe["path"].split("/", 1)[1]: fe  # strip leading "data/"
+            for fes in out.values()
+            for fe in fes
+        }
+        for r in rows:
+            rel = r["f"].split("/data/", 1)[-1]
+            fe = by_rel.get(rel)
+            if fe is not None:
+                fe.setdefault("bloom", {})[bloom_cols[r["c"]]] = _bloom_hex(
+                    r["ps"]
+                )
 
     def _stat_cols(self, m: dict, schema: T.StructType) -> list[str]:
         """Columns worth min/max bounds in the manifest: the bucket key

@@ -190,6 +190,7 @@ class CdcApplyJob:
         compact_sort_by: str | None = None,
         compact_files_per_bucket: int = 1,
         transform=None,
+        bloom_cols: list[str] | None = None,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -273,6 +274,10 @@ class CdcApplyJob:
         # spans the whole history and can never be skipped)
         self.compact_sort_by = compact_sort_by
         self.compact_files_per_bucket = compact_files_per_bucket
+        # bloom-indexed columns (lakestore per-file bloom bitmaps,
+        # stamped at every write; read via table.read_where_in) —
+        # point-read pruning on high-cardinality non-key columns
+        self.bloom_cols = list(bloom_cols) if bloom_cols else None
         # F1/F2 stream filters (reference filterRegex + filterMap,
         # TrackerConf.java:206-216). This job applies ONE target table,
         # so a filter that excludes the target is a misconfiguration:
@@ -329,6 +334,7 @@ class CdcApplyJob:
             compact_sort_by=getattr(cfg, "compact_sort_by", None),
             compact_files_per_bucket=getattr(cfg, "compact_files_per_bucket", 1),
             transform=_resolve_transform(getattr(cfg, "transform", None)),
+            bloom_cols=getattr(cfg, "bloom_cols", None) or None,
         )
 
     # ------------------------------------------------------------- lifecycle
@@ -354,6 +360,7 @@ class CdcApplyJob:
                 key_cols=self.key_cols,
                 bucket_by=self.key_cols[0],
                 n_buckets=self.n_buckets,
+                bloom_cols=self.bloom_cols,
             )
         return self.table
 

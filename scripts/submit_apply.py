@@ -163,6 +163,13 @@ def main() -> None:
         "int/float/timestamp/string in that order",
     )
     ap.add_argument(
+        "--bloom-cols", default=None, metavar="COL[,COL...]",
+        help="stamp per-file bloom bitmaps over these columns at every "
+        "write (Delta bloom-index analogue; table-creation time only) "
+        "so exact-value point reads via read_where_in skip files that "
+        "min/max bounds cannot",
+    )
+    ap.add_argument(
         "--bootstrap-snapshot", nargs=3, default=None,
         metavar=("PARQUET_DIR", "FILE", "POS"),
         help="before applying, seed the (empty) table from a full-table "
@@ -299,6 +306,8 @@ def main() -> None:
                 cfg.compact_sort_by = args.compact_sort_by
             if args.compact_files_per_bucket is not None:
                 cfg.compact_files_per_bucket = args.compact_files_per_bucket
+            if args.bloom_cols is not None:
+                cfg.bloom_cols = [c for c in args.bloom_cols.split(",") if c]
             job2 = CdcApplyJob.from_config(spark, cfg)
             job2.expectations = expectations or job2.expectations
         else:
@@ -321,6 +330,9 @@ def main() -> None:
                 compact_files_per_bucket=args.compact_files_per_bucket
                 if args.compact_files_per_bucket is not None
                 else 1,
+                bloom_cols=[c for c in args.bloom_cols.split(",") if c]
+                if args.bloom_cols
+                else None,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last
