@@ -2254,6 +2254,53 @@ class LakeTable:
             )
             if dups:
                 issues.append(f"{dups} duplicate keys in resolved state")
+            # bloom integrity: a stamped bitmap must CONTAIN every value
+            # actually present in its file (the no-false-negative
+            # invariant read_where_in's skipping relies on — a drifted
+            # bitmap silently drops live rows from point reads). One
+            # Spark job per bloom-keyed column name: re-derive each
+            # file's required positions with the same engine hash and
+            # check driver-side containment against the stamped bits.
+            bloom_groups: dict[str, list] = {}
+            for fs in m["buckets"].values():
+                for fe in fs:
+                    for c in fe.get("bloom") or {}:
+                        bloom_groups.setdefault(c, []).append(fe)
+            for c, fes in bloom_groups.items():
+                ftype = None
+                for sch_json in m["schemas"].values():
+                    for f in T.StructType.fromJson(sch_json).fields:
+                        if f.name == c:
+                            ftype = f.dataType
+                if ftype is None:
+                    issues.append(f"bloom column {c!r} in no schema")
+                    continue
+                paths = [os.path.join(self.path, fe["path"]) for fe in fes]
+                rows = (
+                    spark.read.schema(
+                        T.StructType([T.StructField(c, ftype)])
+                    )
+                    .parquet(*paths)
+                    .select(
+                        F.input_file_name().alias("f"),
+                        F.explode(
+                            F.array(*_bloom_position_exprs(F.col(c)))
+                        ).alias("p"),
+                    )
+                    .groupBy("f")
+                    .agg(F.collect_set("p").alias("ps"))
+                    .collect()
+                )
+                by_rel = {fe["path"].split("/", 1)[1]: fe for fe in fes}
+                for r in rows:
+                    fe = by_rel.get(r["f"].split("/data/", 1)[-1])
+                    if fe is not None and not _bloom_contains(
+                        fe["bloom"][c], r["ps"]
+                    ):
+                        issues.append(
+                            f"bloom bitmap drift [{c}]: {fe['path']} "
+                            "misses positions of present values"
+                        )
         return {"ok": not issues, "issues": issues}
 
     def set_properties(self, properties: dict[str, str]) -> int:

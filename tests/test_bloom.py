@@ -141,3 +141,21 @@ def test_pre_bloom_files_are_kept(spark, tmp_path):
     t._commit(m)
     got = t.read_where_in(spark, "text", ["payload-7"]).collect()
     assert {r["text"] for r in got} == {"payload-7"}
+
+
+def test_fsck_detects_bloom_drift(spark, tmp_path):
+    """Deep fsck re-derives each file's required positions with the
+    same engine hash and flags a bitmap that no longer contains them
+    (e.g. a file replaced after commit)."""
+    t = _mk(spark, tmp_path / "t")
+    assert t.validate(spark, deep=True)["ok"]
+    m = t.manifest()
+    # zero one file's bitmap: its values' bits are now missing
+    fe = next(fe for fs in m["buckets"].values() for fe in fs)
+    fe["bloom"]["text"] = "00" * 1024
+    m["version"] += 1
+    m["parent"] = m["version"] - 1
+    t._commit(m)
+    r = t.validate(spark, deep=True)
+    assert not r["ok"]
+    assert any("bloom bitmap drift" in i for i in r["issues"])
