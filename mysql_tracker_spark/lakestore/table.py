@@ -1140,7 +1140,10 @@ class LakeTable:
             for fe in fes
         }
         for r in rows:
-            rel = r["f"].split("/data/", 1)[-1]
+            # rsplit: the TABLE's data dir is the last "/data/" in the
+            # URI — a table rooted under a path that itself contains
+            # "/data/" must not shift the match
+            rel = r["f"].rsplit("/data/", 1)[-1]
             fe = by_rel.get(rel)
             if fe is not None:
                 fe.setdefault("bloom", {})[bloom_cols[r["c"]]] = _bloom_hex(
@@ -2293,7 +2296,7 @@ class LakeTable:
                 )
                 by_rel = {fe["path"].split("/", 1)[1]: fe for fe in fes}
                 for r in rows:
-                    fe = by_rel.get(r["f"].split("/data/", 1)[-1])
+                    fe = by_rel.get(r["f"].rsplit("/data/", 1)[-1])
                     if fe is not None and not _bloom_contains(
                         fe["bloom"][c], r["ps"]
                     ):

@@ -163,6 +163,12 @@ def main() -> None:
         "int/float/timestamp/string in that order",
     )
     ap.add_argument(
+        "--gc-orphans", type=float, default=None, metavar="MIN_AGE_S",
+        help="before applying, delete unreferenced data files older "
+        "than MIN_AGE_S seconds (crash-debris cleanup; staged WAP "
+        "files and in-flight writes are never touched)",
+    )
+    ap.add_argument(
         "--bloom-cols", default=None, metavar="COL[,COL...]",
         help="stamp per-file bloom bitmaps over these columns at every "
         "write (Delta bloom-index analogue; table-creation time only) "
@@ -236,6 +242,12 @@ def main() -> None:
             json.dumps({"rescale_buckets": args.rescale_buckets, "new_version": v}),
             file=sys.stderr,
         )
+
+    if args.gc_orphans is not None:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        n = LakeTable.load(args.table).gc_orphans(min_age_s=args.gc_orphans)
+        print(json.dumps({"gc_orphans_removed": n}), file=sys.stderr)
 
     if args.delete_where:
         from mysql_tracker_spark.lakestore import LakeTable

@@ -159,3 +159,15 @@ def test_fsck_detects_bloom_drift(spark, tmp_path):
     r = t.validate(spark, deep=True)
     assert not r["ok"]
     assert any("bloom bitmap drift" in i for i in r["issues"])
+
+
+def test_bloom_stamping_under_data_rooted_table_path(spark, tmp_path):
+    """A table rooted under a path that itself contains '/data/' must
+    still map staged files back to their manifest entries (the rsplit
+    anchor on the TABLE's own data dir)."""
+    root = tmp_path / "data" / "tables"
+    root.mkdir(parents=True)
+    t = _mk(spark, root / "t", n_rows=50, n_buckets=2)
+    entries = [fe for fs in t.manifest()["buckets"].values() for fe in fs]
+    assert entries and all("text" in (fe.get("bloom") or {}) for fe in entries)
+    assert t.validate(spark, deep=True)["ok"]
