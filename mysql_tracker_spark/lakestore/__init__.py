@@ -10,6 +10,6 @@ parquet + JSON manifests and is swappable for real Iceberg when its
 runtime is on the classpath.
 """
 
-from .table import LakeTable, WapConflictError
+from .table import CommitConflictError, LakeTable, WapConflictError
 
-__all__ = ["LakeTable", "WapConflictError"]
+__all__ = ["CommitConflictError", "LakeTable", "WapConflictError"]

@@ -64,6 +64,16 @@ class WapConflictError(RuntimeError):
     commit landed after it was staged. Abort and re-stage."""
 
 
+class CommitConflictError(RuntimeError):
+    """A COW merge lost its optimistic commit race to a concurrent
+    commit that touched state the rewrite depended on (an affected
+    bucket's file list, the schema, or the bucket count) — the rewrite
+    was computed from a stale base and retrying would lose the
+    concurrent writer's update. The caller replays the batch (the
+    replay fence makes that exactly-once-safe). Conflicts that touch
+    only DISJOINT state rebase and commit automatically."""
+
+
 def _footer_rows(full_path: str) -> int:
     """Record count from the parquet file footer — metadata only."""
     import pyarrow.parquet as pq
@@ -1329,8 +1339,68 @@ class LakeTable:
             new["summary"]["wap_id"] = stage_as
             self._stage_write(new, stage_as)
             return None, new["summary"]
-        v = self._commit(new)
-        return v, new["summary"]
+        try:
+            v = self._commit(new)
+            return v, new["summary"]
+        except FileExistsError:
+            pass
+        # Optimistic-conflict REBASE (Iceberg COW commit semantics): a
+        # concurrent commit won the version race. The rewrite is still
+        # valid iff nothing it depended on moved — the schema, the
+        # bucket count/rename chain, and the AFFECTED buckets' file
+        # lists (a concurrent delta append, compaction, or rewrite of
+        # an affected bucket means our survivors were computed from a
+        # stale base: retrying would silently drop the other writer's
+        # rows). Disjoint commits — maintenance on other buckets,
+        # set_properties, snapshot expiry — rebase onto the new head
+        # and commit without redoing any data work.
+        for _ in range(5):
+            head = self.manifest()
+            if (
+                head["n_buckets"] != m["n_buckets"]
+                or head["schema_id"] != m["schema_id"]
+                or head.get("renames") != m.get("renames")
+            ):
+                raise CommitConflictError(
+                    "concurrent commit changed the schema or bucket "
+                    "layout under this merge — replay the batch"
+                )
+            for b in affected:
+                if head["buckets"].get(str(b), []) != m["buckets"].get(
+                    str(b), []
+                ):
+                    raise CommitConflictError(
+                        f"concurrent commit touched affected bucket {b} "
+                        "under this merge — replay the batch"
+                    )
+            rb_buckets = {
+                b_str: files
+                for b_str, files in head["buckets"].items()
+                if int(b_str) not in aff
+            }
+            for b in affected:
+                rb_buckets[str(b)] = new_files.get(b, [])
+            new = dict(head)
+            new["version"] = head["version"] + 1
+            new["parent"] = head["version"]
+            new["buckets"] = rb_buckets
+            new["properties"] = {**head["properties"], **(properties or {})}
+            new["summary"] = {
+                "operation": "merge",
+                "ts_ms": int(time.time() * 1000),
+                "affected_buckets": len(affected),
+                "upserts": n_upserts,
+                "bucket_rows": _bucket_rows(new_files),
+                "rebased_from": m["version"],
+            }
+            try:
+                v = self._commit(new)
+                return v, new["summary"]
+            except FileExistsError:
+                continue
+        raise CommitConflictError(
+            "merge lost 5 consecutive optimistic commit races"
+        )
 
     def merge_mor(
         self,
