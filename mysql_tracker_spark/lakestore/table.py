@@ -1312,19 +1312,7 @@ class LakeTable:
         if affected_buckets is None:
             ch.unpersist()
 
-        new_buckets = {}
-        for b_str, files in m["buckets"].items():
-            if int(b_str) not in aff:
-                new_buckets[b_str] = files
-        for b in affected:
-            new_buckets[str(b)] = new_files.get(b, [])
-
-        new = dict(m)
-        new["version"] = m["version"] + 1
-        new["parent"] = m["version"]
-        new["buckets"] = new_buckets
-        new["properties"] = {**m["properties"], **(properties or {})}
-        new["summary"] = {
+        summary = {
             "operation": "merge",
             "ts_ms": int(time.time() * 1000),
             "affected_buckets": len(affected),
@@ -1334,73 +1322,25 @@ class LakeTable:
             # stats — north_star's per-partition lineage row counts
             "bucket_rows": _bucket_rows(new_files),
         }
+        rewritten = {b: new_files.get(b, []) for b in affected}
         if stage_as is not None:
-            new["wap"] = {"id": stage_as, "mode": "cow"}
-            new["summary"]["wap_id"] = stage_as
-            self._stage_write(new, stage_as)
-            return None, new["summary"]
-        try:
-            v = self._commit(new)
-            return v, new["summary"]
-        except FileExistsError:
-            pass
-        # Optimistic-conflict REBASE (Iceberg COW commit semantics): a
-        # concurrent commit won the version race. The rewrite is still
-        # valid iff nothing it depended on moved — the schema, the
-        # bucket count/rename chain, and the AFFECTED buckets' file
-        # lists (a concurrent delta append, compaction, or rewrite of
-        # an affected bucket means our survivors were computed from a
-        # stale base: retrying would silently drop the other writer's
-        # rows). Disjoint commits — maintenance on other buckets,
-        # set_properties, snapshot expiry — rebase onto the new head
-        # and commit without redoing any data work.
-        for _ in range(5):
-            head = self.manifest()
-            if (
-                head["n_buckets"] != m["n_buckets"]
-                or head["schema_id"] != m["schema_id"]
-                or head.get("renames") != m.get("renames")
-            ):
-                raise CommitConflictError(
-                    "concurrent commit changed the schema or bucket "
-                    "layout under this merge — replay the batch"
-                )
-            for b in affected:
-                if head["buckets"].get(str(b), []) != m["buckets"].get(
-                    str(b), []
-                ):
-                    raise CommitConflictError(
-                        f"concurrent commit touched affected bucket {b} "
-                        "under this merge — replay the batch"
-                    )
-            rb_buckets = {
+            new_buckets = {
                 b_str: files
-                for b_str, files in head["buckets"].items()
+                for b_str, files in m["buckets"].items()
                 if int(b_str) not in aff
             }
             for b in affected:
-                rb_buckets[str(b)] = new_files.get(b, [])
-            new = dict(head)
-            new["version"] = head["version"] + 1
-            new["parent"] = head["version"]
-            new["buckets"] = rb_buckets
-            new["properties"] = {**head["properties"], **(properties or {})}
-            new["summary"] = {
-                "operation": "merge",
-                "ts_ms": int(time.time() * 1000),
-                "affected_buckets": len(affected),
-                "upserts": n_upserts,
-                "bucket_rows": _bucket_rows(new_files),
-                "rebased_from": m["version"],
-            }
-            try:
-                v = self._commit(new)
-                return v, new["summary"]
-            except FileExistsError:
-                continue
-        raise CommitConflictError(
-            "merge lost 5 consecutive optimistic commit races"
-        )
+                new_buckets[str(b)] = rewritten[b]
+            new = dict(m)
+            new["version"] = m["version"] + 1
+            new["parent"] = m["version"]
+            new["buckets"] = new_buckets
+            new["properties"] = {**m["properties"], **(properties or {})}
+            new["summary"] = {**summary, "wap_id": stage_as}
+            new["wap"] = {"id": stage_as, "mode": "cow"}
+            self._stage_write(new, stage_as)
+            return None, new["summary"]
+        return self._commit_cow(m, affected, rewritten, properties, summary)
 
     def merge_mor(
         self,
@@ -1577,6 +1517,91 @@ class LakeTable:
                 last = e
         raise last
 
+    def _commit_cow(
+        self,
+        base: dict,
+        affected,
+        rewritten: dict,
+        properties: dict | None,
+        summary: dict,
+        drop_empty: bool = False,
+        max_retries: int = 5,
+    ) -> tuple[int, dict]:
+        """Commit a copy-on-write rewrite of ``affected`` buckets that
+        was computed against the ``base`` manifest — with
+        optimistic-conflict REBASE (Iceberg COW commit semantics),
+        shared by :meth:`merge`, :meth:`compact` and
+        :meth:`delete_where`. A concurrent commit that touched only
+        DISJOINT state (other buckets, properties, snapshot expiry)
+        rebases onto the new head and commits with zero data work
+        redone; a conflict on anything the rewrite depended on — an
+        affected bucket's file list (a concurrent delta append or
+        rewrite means our survivors came from a stale base: retrying
+        would silently drop the other writer's rows), the schema, the
+        bucket count or rename chain — raises
+        :class:`CommitConflictError`; the caller replays/retries
+        against the new head (the replay fence makes that safe).
+        ``drop_empty`` omits buckets whose rewrite produced no files
+        (compaction/delete semantics) instead of keeping an empty
+        list."""
+        aff = {int(b) for b in affected}
+
+        def build(onto: dict) -> dict:
+            nb = {
+                b_str: files
+                for b_str, files in onto["buckets"].items()
+                if int(b_str) not in aff
+            }
+            for b in sorted(aff):
+                files = rewritten.get(b, [])
+                if files or not drop_empty:
+                    nb[str(b)] = files
+            new = dict(onto)
+            new["version"] = onto["version"] + 1
+            new["parent"] = onto["version"]
+            new["buckets"] = nb
+            new["properties"] = {**onto["properties"], **(properties or {})}
+            new["summary"] = (
+                dict(summary)
+                if onto is base
+                else {**summary, "rebased_from": base["version"]}
+            )
+            return new
+
+        try:
+            new = build(base)
+            return self._commit(new), new["summary"]
+        except FileExistsError:
+            pass
+        for _ in range(max_retries):
+            head = self.manifest()
+            if (
+                head["n_buckets"] != base["n_buckets"]
+                or head["schema_id"] != base["schema_id"]
+                or head.get("renames") != base.get("renames")
+            ):
+                raise CommitConflictError(
+                    "concurrent commit changed the schema or bucket "
+                    "layout under this rewrite — replay against the "
+                    "new head"
+                )
+            for b in sorted(aff):
+                if head["buckets"].get(str(b), []) != base["buckets"].get(
+                    str(b), []
+                ):
+                    raise CommitConflictError(
+                        f"concurrent commit touched affected bucket {b} "
+                        "under this rewrite — replay against the new head"
+                    )
+            try:
+                new = build(head)
+                return self._commit(new), new["summary"]
+            except FileExistsError:
+                continue
+        raise CommitConflictError(
+            "lost 5 consecutive optimistic commit races"
+        )
+
     def compact(
         self,
         spark: SparkSession,
@@ -1634,28 +1659,18 @@ class LakeTable:
         finally:
             if sort_by:
                 state.unpersist()
-        new_buckets = {
-            b: list(files)
-            for b, files in m["buckets"].items()
-            if int(b) not in set(todo)
-        }
-        for b in todo:
-            files = new_files.get(b, [])
-            if files:  # a bucket whose live state is empty drops out
-                new_buckets[str(b)] = files
-        new = dict(m)
-        new["version"] = m["version"] + 1
-        new["parent"] = m["version"]
-        new["buckets"] = new_buckets
-        new["properties"] = {**m["properties"], **(properties or {})}
-        new["summary"] = {
+        summary = {
             "operation": "compact",
             "ts_ms": int(time.time() * 1000),
             "compacted_buckets": len(todo),
             **({"sort_by": sort_by, "files_per_bucket": files_per_bucket}
                if sort_by else {}),
         }
-        return self._commit(new), todo
+        rewritten = {b: new_files.get(b, []) for b in todo}
+        v, _ = self._commit_cow(
+            m, todo, rewritten, properties, summary, drop_empty=True
+        )
+        return v, todo
 
     def delete_where(
         self,
@@ -1772,21 +1787,7 @@ class LakeTable:
         )
         n_deleted = n_before - n_after
         touched = set(delta_todo) | set(carried)
-        new_buckets = {
-            b: list(files)
-            for b, files in m["buckets"].items()
-            if int(b) not in touched
-        }
-        for b in sorted(touched):
-            files = carried.get(b, []) + new_files.get(b, [])
-            if files:  # a bucket emptied by the delete drops out
-                new_buckets[str(b)] = files
-        new = dict(m)
-        new["version"] = m["version"] + 1
-        new["parent"] = m["version"]
-        new["buckets"] = new_buckets
-        new["properties"] = {**m["properties"], **(properties or {})}
-        new["summary"] = {
+        summary = {
             "operation": "delete-where",
             "ts_ms": int(time.time() * 1000),
             "preds": {
@@ -1798,7 +1799,15 @@ class LakeTable:
             "rewritten_files": len(rewrite_entries),
             "resolved_buckets": len(delta_todo),
         }
-        return self._commit(new), int(n_deleted)
+        rewritten = {
+            b: carried.get(b, []) + new_files.get(b, [])
+            for b in sorted(touched)
+        }
+        v, _ = self._commit_cow(
+            m, sorted(touched), rewritten, properties, summary,
+            drop_empty=True,
+        )
+        return v, int(n_deleted)
 
     def truncate(self, properties: dict[str, str] | None = None) -> int:
         """TRUNCATE TABLE as an atomic empty-overwrite commit: the next

@@ -119,3 +119,33 @@ def test_conflict_on_schema_raises(spark, tmp_path, monkeypatch):
     ch = spark.createDataFrame([("c7", 0, "UPDATED", False)], CH_SCHEMA)
     with pytest.raises(CommitConflictError, match="schema or bucket layout"):
         t.merge(spark, ch)
+
+
+def test_compact_and_delete_where_rebase_too(spark, tmp_path, monkeypatch):
+    """The maintenance commits share the same rebase: a property-only
+    racer beats a delete_where commit and both survive."""
+    t = _mk(spark, tmp_path / "t")
+    orig = LakeTable._commit
+    state = {"fired": False}
+
+    def racy(self, manifest):
+        if (
+            not state["fired"]
+            and manifest.get("summary", {}).get("operation") == "delete-where"
+        ):
+            state["fired"] = True
+            h = self.manifest()
+            race = dict(h)
+            race["version"] = h["version"] + 1
+            race["parent"] = h["version"]
+            race["properties"] = {**h["properties"], "racer": "1"}
+            race["summary"] = {"operation": "racer", "ts_ms": 0}
+            orig(self, race)
+        return orig(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_commit", racy)
+    v, n = t.delete_where(spark, {"turn_idx": (2, None)})
+    assert state["fired"] and n > 0
+    assert t.properties()["racer"] == "1"
+    assert t.manifest()["summary"]["rebased_from"] == v - 2
+    assert t.read(spark).filter("turn_idx >= 2").count() == 0
