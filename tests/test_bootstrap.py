@@ -115,3 +115,31 @@ def test_bootstrap_lineage_row(spark, stream, tmp_path):
     assert rec["write_mode"] == "bootstrap"
     assert rec["file_end"] == f and rec["pos_end"] == p
     assert rec["rows_in"] == snap_df.count()
+
+
+def test_bootstrap_then_streaming_catchup(spark, stream, full_state, tmp_path):
+    """Bootstrap composes with the Structured Streaming front-end: seed
+    + fence via the stream job's inner apply job, then the availableNow
+    drain replays everything — the fence skips the pre-snapshot prefix
+    (rows_applied 0, table version unchanged by those epochs) and the
+    final state equals the never-bootstrapped full apply."""
+    from mysql_tracker_spark.streaming import CdcStreamJob
+
+    snap_df, (f, p) = _snapshot_at(spark, stream, tmp_path, 2)
+    sj = CdcStreamJob(
+        spark,
+        stream,
+        str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8,
+        max_files_per_trigger=1,
+    )
+    v_boot = sj.job.bootstrap_snapshot(snap_df, f, p)
+    stats = sj.run_available()
+    assert len(stats) == 4
+    assert [s.skipped for s in stats[:2]] == [True, True]
+    assert all(not s.skipped for s in stats[2:])
+    assert all(s.snapshot_version is None for s in stats[:2])  # no commits
+    got = normalize(sj.job.table.read(spark).toPandas())
+    pd.testing.assert_frame_equal(got[CMP], full_state[CMP])
+    assert sj.job.table.current_version() > v_boot
