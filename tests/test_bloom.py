@@ -171,3 +171,44 @@ def test_bloom_stamping_under_data_rooted_table_path(spark, tmp_path):
     entries = [fe for fs in t.manifest()["buckets"].values() for fe in fs]
     assert entries and all("text" in (fe.get("bloom") or {}) for fe in entries)
     assert t.validate(spark, deep=True)["ok"]
+
+
+def test_read_where_in_randomized_equivalence(spark, tmp_path):
+    """Randomized model check: for random corpora (duplicated texts,
+    NULLs, multi-bucket layouts) and random probe sets (present +
+    absent values), read_where_in == full-scan isin, always — pruning
+    is an optimization, never a semantic filter."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(97)
+    for it in range(3):
+        t = LakeTable.create(
+            str(tmp_path / f"t{it}"),
+            SCHEMA,
+            key_cols=["conv_id", "turn_idx"],
+            bucket_by="conv_id",
+            n_buckets=rng.choice([2, 4, 8]),
+            bloom_cols=["text"],
+        )
+        vocab = [f"w{i}" for i in range(rng.randint(5, 40))]
+        rows = [
+            Row(
+                conv_id=f"c{rng.randint(0, 30)}",
+                turn_idx=i,
+                text=rng.choice(vocab) if rng.random() > 0.1 else None,
+            )
+            for i in range(rng.randint(50, 200))
+        ]
+        t.overwrite(spark.createDataFrame(rows, SCHEMA))
+        probes = rng.sample(vocab, k=min(5, len(vocab))) + ["absent-1", "absent-2"]
+        got = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in t.read_where_in(spark, "text", probes).collect()
+        )
+        exp = sorted(
+            (r["conv_id"], r["turn_idx"], r["text"])
+            for r in t.read(spark).filter(F.col("text").isin(probes)).collect()
+        )
+        assert got == exp, f"iteration {it} diverged"
