@@ -453,16 +453,33 @@ class LakeTable:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> int:
-        """Atomic optimistic commit: exclusive-create of the next version."""
+        """Atomic optimistic commit, torn-write-proof: the manifest is
+        fully written and fsynced to a sideways temp file first, then
+        hard-LINKed to the next version name. link(2) is atomic and
+        fails with EEXIST when a concurrent writer claimed the version
+        (same loser-detection contract as the previous O_EXCL create —
+        callers catch ``FileExistsError``), but unlike create-then-
+        write a crash at ANY instruction leaves either no v-file or a
+        COMPLETE one — never a truncated manifest squatting on the
+        table head that every subsequent reader would choke on.
+        Crash-stranded temps (dot-prefixed, invisible to the version
+        scan) are reclaimed by :meth:`gc_orphans`."""
         v = manifest["version"]
         target = os.path.join(self.snap_dir, f"v{v:08d}.json")
         payload = json.dumps(manifest, indent=None, separators=(",", ":"))
-        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        tmp = os.path.join(
+            self.snap_dir, f".tmp-v{v:08d}-{uuid.uuid4().hex[:12]}.json"
+        )
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, payload.encode())
             os.fsync(fd)
         finally:
             os.close(fd)
+        try:
+            os.link(tmp, target)  # atomic exclusive claim of version v
+        finally:
+            os.unlink(tmp)
         return v
 
     def properties(self, version: int | None = None) -> dict:
@@ -2459,6 +2476,17 @@ class LakeTable:
                     and rel not in live
                     and now - os.path.getmtime(full) >= min_age_s
                 ):
+                    os.remove(full)
+                    removed += 1
+        # crash-stranded commit temps (written-but-never-linked, or the
+        # unlink after a successful/lost link never ran) — same age
+        # guard covers an in-flight committer
+        if os.path.isdir(self.snap_dir):
+            for fn in os.listdir(self.snap_dir):
+                if not fn.startswith(".tmp-v"):
+                    continue
+                full = os.path.join(self.snap_dir, fn)
+                if now - os.path.getmtime(full) >= min_age_s:
                     os.remove(full)
                     removed += 1
         return removed

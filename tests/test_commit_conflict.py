@@ -149,3 +149,83 @@ def test_compact_and_delete_where_rebase_too(spark, tmp_path, monkeypatch):
     assert t.properties()["racer"] == "1"
     assert t.manifest()["summary"]["rebased_from"] == v - 2
     assert t.read(spark).filter("turn_idx >= 2").count() == 0
+
+
+# ---------------------------------------------------------------- torn writes
+
+
+def test_commit_is_torn_write_proof(spark, tmp_path, monkeypatch):
+    """A crash mid-manifest-write must never strand a truncated v-file
+    at the table head: the payload goes to a sideways temp and only an
+    atomic link publishes it. Simulate the crash by failing os.write
+    after a partial write and assert (a) no v-file appeared, (b) the
+    prior head still parses, (c) a retry commits cleanly."""
+    import os as _os
+
+    t = _mk(spark, tmp_path / "t")
+    v0 = t.current_version()
+    orig_write = _os.write
+    state = {"boom": True}
+
+    def torn_write(fd, data):
+        if state["boom"] and len(data) > 64:
+            state["boom"] = False
+            orig_write(fd, data[: len(data) // 2])  # half the payload lands
+            raise OSError(28, "No space left on device (injected)")
+        return orig_write(fd, data)
+
+    monkeypatch.setattr(_os, "write", torn_write)
+    ch = spark.createDataFrame([("c7", 0, "UPDATED", False)], CH_SCHEMA)
+    with pytest.raises(OSError, match="injected"):
+        t.merge(spark, ch)
+    monkeypatch.setattr(_os, "write", orig_write)
+
+    # head untouched and fully parseable; the claimed version never appeared
+    assert t.current_version() == v0
+    assert t.manifest()["version"] == v0
+    import os
+    assert not os.path.exists(os.path.join(t.snap_dir, f"v{v0 + 1:08d}.json"))
+
+    # retry lands (merge rewrites its delta; data work is re-done)
+    v, _ = t.merge(spark, ch)
+    assert v == v0 + 1
+    got = {r["text"] for r in t.read(spark).filter("conv_id='c7' and turn_idx=0").collect()}
+    assert got == {"UPDATED"}
+
+
+def test_commit_leaves_no_temp_and_conflict_contract_holds(spark, tmp_path):
+    """Normal commits and losing commits both clean their sideways
+    temp; a version collision still surfaces as FileExistsError (the
+    contract every optimistic caller catches)."""
+    import os
+
+    t = _mk(spark, tmp_path / "t")
+    m = t.manifest()
+    loser = dict(m)
+    loser["version"] = m["version"]  # claim an ALREADY-TAKEN version
+    with pytest.raises(FileExistsError):
+        t._commit(loser)
+    winner = dict(m)
+    winner["version"] = m["version"] + 1
+    winner["parent"] = m["version"]
+    assert t._commit(winner) == m["version"] + 1
+    stray = [f for f in os.listdir(t.snap_dir) if f.startswith(".tmp-v")]
+    assert stray == []
+
+
+def test_gc_orphans_reclaims_stranded_commit_temp(spark, tmp_path):
+    """A crash between temp-write and link strands a dot-temp in
+    snapshots/: invisible to the version scan, reclaimed by gc once
+    aged, never reclaimed while younger than the in-flight guard."""
+    import os
+
+    t = _mk(spark, tmp_path / "t")
+    stranded = os.path.join(t.snap_dir, ".tmp-v00000099-deadbeef.json")
+    open(stranded, "w").write('{"version": 99')  # torn payload, typical debris
+    v0 = t.current_version()
+    assert t.current_version() == v0  # version scan ignores dot-temps
+    assert t.gc_orphans(min_age_s=3600) == 0  # too young: in-flight guard
+    os.utime(stranded, (1, 1))
+    assert t.gc_orphans(min_age_s=3600) == 1
+    assert not os.path.exists(stranded)
+    assert t.manifest()["version"] == v0
