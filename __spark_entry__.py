@@ -2484,6 +2484,60 @@ def q_cdc_retention_delete(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_split_buckets_migration(spark, sf_dir):
+    """Online PROGRESSIVE bucket-count growth under live ingest
+    (lakestore/table.py::split_buckets — the Iceberg partition-
+    evolution analogue for bucket(N,key), metadata-only): apply the
+    first flagship batch at 8 buckets, split 8 -> 32 between micro-
+    batches with ZERO data movement (child buckets reference parent
+    files through read-time residual predicates), apply the remaining
+    batches (COW merges migrate their affected children organically),
+    compact the leftover shared backlog in one bounded step, and
+    return the final transcripts — which must equal the SAME LWW
+    oracle as the uninterrupted flagship replay: a layout migration
+    must never change table content."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.lakestore import LakeTable
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_split_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8).run(max_batches=1)
+        t = LakeTable.load(tbl_dir)
+        v = t.split_buckets(4)
+        assert t.manifest()["n_buckets"] == 32
+        assert t.read_changes(spark, v - 1, v).count() == 0, (
+            "split must be a content no-op"
+        )
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        stats = job.run()
+        assert stats[0].skipped, "replay fence must survive the split"
+        job.table.compact(spark)
+        assert job.table.shared_buckets() == [], "migration must complete"
+        rep = job.table.validate(spark, deep=True)
+        assert rep["ok"], rep["issues"]
+        result = job.table.read(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            "score",
+        ).orderBy("conv_id", "turn_idx")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 REDACT_ORACLE_DUMP = "/tmp/mts_flagship_oracle/redact_flat.parquet"
 
 
@@ -3243,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_mor_final_state": q_cdc_apply_mor_final_state,
         "cdc_bootstrap_catchup": q_cdc_bootstrap_catchup,
         "cdc_retention_delete": q_cdc_retention_delete,
+        "cdc_split_buckets_migration": q_cdc_split_buckets_migration,
         "cdc_ingest_redaction": q_cdc_ingest_redaction,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
         "cdc_changelog_stream": q_cdc_changelog_stream,
@@ -4307,6 +4362,28 @@ def oracle_sql() -> dict[str, str]:
         # DELETE winners drop out). Must equal the engine's replayed
         # lakestore table byte-for-byte.
         "cdc_apply_transcripts_final": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """,
+        # Online split migration must be content-neutral: identical
+        # oracle to the uninterrupted flagship replay.
+        "cdc_split_buckets_migration": f"""
             WITH e AS (
                 SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
                 WHERE op IN ('INSERT','UPDATE','DELETE')

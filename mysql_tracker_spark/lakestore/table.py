@@ -359,6 +359,28 @@ def _has_delta(entries: list[dict]) -> bool:
     return any(fe.get("delta") for fe in entries)
 
 
+def _residual_key(fe: dict) -> tuple | None:
+    """Hashable grouping key of a SHARED entry's residual (None for an
+    owned file). Shared entries exist after :meth:`LakeTable.split_buckets`:
+    the child bucket references its parent's physical file plus a
+    read-time predicate selecting only the child's rows."""
+    r = fe.get("residual")
+    if not r:
+        return None
+    return (r["col"], r["sid"], r["n"], r["id"])
+
+
+def _residual_pred(rk: tuple, renames: list | None):
+    """Read-time predicate of a residual group: rows whose CURRENT
+    bucket placement equals the child id. The stored column name is the
+    bucket key at split time (schema ``sid``), mapped through the
+    rename chain so the predicate follows a later column rename. Sound
+    under nested splits: the newest residual implies every older one
+    (``pmod(h, k*n) == c`` forces ``pmod(h, n) == c % n``)."""
+    col, sid, n, child = rk
+    return _bucket_expr(_current_name(col, sid, renames), n) == F.lit(child)
+
+
 def _bucket_expr(key_col: str | F.Column, n_buckets: int):
     """Bucket id of a key — DELIBERATELY Spark's own Murmur3 ``hash()``
     (seed 42) mod n_buckets: ``HashPartitioning`` places a row of
@@ -503,11 +525,57 @@ class LakeTable:
         """Read a list of file entries (each ``{"path","schema_id",...}``)
         grouped by schema_id and align every group to ``target``: missing
         columns become null, widened columns cast, renamed columns mapped
-        through the rename chain (schema evolution without rewrite)."""
-        groups: dict[int, list[str]] = {}
+        through the rename chain (schema evolution without rewrite).
+
+        SHARED entries (``residual`` present, from :meth:`split_buckets`)
+        reference a parent-layout physical file holding a superset of
+        their bucket's rows; each residual group scans filtered to its
+        own rows. When every sibling of a shared path is in scope the
+        groups are COLLAPSED to one unfiltered scan of the path (their
+        residuals partition the file exactly), so a full-table read of
+        a freshly split table costs the same one pass it did before the
+        split — no k-fold read amplification."""
+        plain: list[dict] = []
+        shared: list[dict] = []
         for fe in entries:
+            (shared if fe.get("residual") else plain).append(fe)
+        if shared:
+            # full-coverage collapse: a path whose in-scope residual ids
+            # cover ALL children of its parent bucket reads once, plain
+            by_path: dict[str, list[dict]] = {}
+            for fe in shared:
+                by_path.setdefault(fe["path"], []).append(fe)
+            shared = []
+            for path, fes in by_path.items():
+                r0 = fes[0]["residual"]
+                ids = {fe["residual"]["id"] for fe in fes}
+                same = all(
+                    fe["residual"]["n"] == r0["n"]
+                    and fe["residual"]["col"] == r0["col"]
+                    for fe in fes
+                )
+                # children of parent bucket p under period P are
+                # {p + i*P : i}: full coverage iff ids == that set
+                if same and len(ids) > 1:
+                    P = r0["n"] // len(ids)
+                    full = (
+                        r0["n"] % len(ids) == 0
+                        and ids == {min(ids) % P + i * P for i in range(len(ids))}
+                    )
+                else:
+                    full = False
+                if full:
+                    plain.append({k: v for k, v in fes[0].items() if k != "residual"})
+                else:
+                    shared.extend(fes)
+        groups: dict[int, list[str]] = {}
+        for fe in plain:
             groups.setdefault(fe["schema_id"], []).append(os.path.join(self.path, fe["path"]))
-        if not groups:
+        sgroups: dict[tuple, list[str]] = {}
+        for fe in shared:
+            k = (fe["schema_id"],) + _residual_key(fe)
+            sgroups.setdefault(k, []).append(os.path.join(self.path, fe["path"]))
+        if not groups and not sgroups:
             return spark.createDataFrame([], target)
         parts = []
         for sid, paths in sorted(groups.items()):
@@ -517,6 +585,14 @@ class LakeTable:
                 sid=sid, renames=renames, schemas=schemas, cur_sid=cur_sid,
             )
             parts.append(df.select(*cols))
+        for gk, paths in sorted(sgroups.items()):
+            sid, rk = gk[0], gk[1:]
+            old = T.StructType.fromJson(schemas[str(sid)])
+            df, cols = self._aligned_scan(
+                spark, paths, old, target,
+                sid=sid, renames=renames, schemas=schemas, cur_sid=cur_sid,
+            )
+            parts.append(df.select(*cols).filter(_residual_pred(rk, renames)))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -627,14 +703,22 @@ class LakeTable:
                 renames=renames, cur_sid=cur_sid,
             )
 
-        # group files by (schema_id, seq): every file in a group shares
-        # one parquet schema and one commit precedence level
-        groups: dict[tuple[int, int, bool], list[str]] = {}
+        # group files by (schema_id, seq, residual): every file in a
+        # group shares one parquet schema, one commit precedence level,
+        # and (for shared post-split entries) one row-ownership filter
+        groups: dict[tuple, list[str]] = {}
         for fe in delta_entries:
-            k = (fe["schema_id"], fe.get("seq", 0), bool(fe.get("delta")))
+            k = (
+                fe["schema_id"],
+                fe.get("seq", 0),
+                bool(fe.get("delta")),
+                _residual_key(fe),
+            )
             groups.setdefault(k, []).append(os.path.join(self.path, fe["path"]))
         parts = []
-        for (sid, seq, is_delta), paths in sorted(groups.items()):
+        for (sid, seq, is_delta, rk), paths in sorted(
+            groups.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2], kv[0][3] or ())
+        ):
             old = T.StructType.fromJson(schemas[str(sid)])
             extra = (
                 [T.StructField(_TOMBSTONE, T.BooleanType())] if is_delta else None
@@ -648,11 +732,12 @@ class LakeTable:
                 if is_delta
                 else F.lit(False)
             )
-            parts.append(
-                df.select(
-                    *cols, tomb.alias("__is_del"), F.lit(seq).alias("__seq")
-                )
+            part = df.select(
+                *cols, tomb.alias("__is_del"), F.lit(seq).alias("__seq")
             )
+            if rk is not None:
+                part = part.filter(_residual_pred(rk, renames))
+            parts.append(part)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
@@ -1254,6 +1339,86 @@ class LakeTable:
         }
         return self._commit(new)
 
+    def split_buckets(
+        self, factor: int, properties: dict[str, str] | None = None
+    ) -> int:
+        """PROGRESSIVE bucket-count growth — the 100 TB migration lever
+        :meth:`rescale_buckets` (one full-table rewrite job) cannot be:
+        multiply the bucket count by an integer ``factor`` in a
+        METADATA-ONLY commit, instantly, at any table size, with zero
+        data movement (Iceberg partition-evolution analogue for the
+        ``bucket(N, key)`` transform, restricted to compatible N→k·N
+        splits).
+
+        Spark's placement satisfies ``pmod(h, k·N) ≡ pmod(h, N)
+        (mod N)``, so old bucket ``b`` splits into exactly the child
+        buckets ``{b + i·N}``. The commit re-references each of old
+        bucket ``b``'s physical files from all ``k`` children, each
+        carrying a ``residual`` — a read-time predicate selecting only
+        that child's rows. Every read/merge/delete path applies
+        residuals automatically (and a full-table scan collapses
+        complete sibling sets back to one plain pass, see
+        :meth:`_read_aligned`), pruning stats/blooms stay sound because
+        the parent's are a superset of each child's.
+
+        Migration then completes INCREMENTALLY: any COW merge rewrites
+        its affected child buckets into owned files as a side effect,
+        and :meth:`compact` (which auto-targets shared buckets, or
+        explicit ``bucket_ids`` for bounded per-step work) materializes
+        the rest — k child buckets at a time, never one monolithic job.
+        Orphaned parent files are reclaimed by snapshot expiry / gc
+        once no child references them.
+
+        Shared entries drop their ``rows`` stat (a child's share is
+        unknown without reading), so manifest-only ``row_count`` falls
+        back to a counting read until migration completes — the honest
+        trade for an O(1) layout change. Returns the new version."""
+        m = self.manifest()
+        if not isinstance(factor, int) or factor < 2:
+            raise ValueError(f"split factor must be an integer >= 2, got {factor!r}")
+        old_n = m["n_buckets"]
+        new_n = old_n * factor
+        residual_base = {"col": m["bucket_by"], "sid": m["schema_id"], "n": new_n}
+        new_buckets: dict[str, list[dict]] = {}
+        for b_str, files in m["buckets"].items():
+            b = int(b_str)
+            for i in range(factor):
+                child = b + i * old_n
+                new_buckets[str(child)] = [
+                    {
+                        **{k: v for k, v in fe.items() if k not in ("rows", "residual")},
+                        # a re-split replaces the residual: the newest
+                        # (finest) predicate implies every older one
+                        "residual": {**residual_base, "id": child},
+                    }
+                    for fe in files
+                ]
+        new = dict(m)
+        new["version"] = m["version"] + 1
+        new["parent"] = m["version"]
+        new["n_buckets"] = new_n
+        new["buckets"] = new_buckets
+        new["properties"] = {**m["properties"], **(properties or {})}
+        new["summary"] = {
+            "operation": "split-buckets",
+            "factor": factor,
+            "from_n_buckets": old_n,
+            "to_n_buckets": new_n,
+            "ts_ms": int(time.time() * 1000),
+        }
+        return self._commit(new)
+
+    def shared_buckets(self, version: int | None = None) -> list[int]:
+        """Bucket ids still referencing SHARED (residual) files from a
+        :meth:`split_buckets` — the migration backlog meter; empty once
+        merges/compaction have materialized every child."""
+        m = self.manifest(version)
+        return sorted(
+            int(b)
+            for b, files in m["buckets"].items()
+            if any(fe.get("residual") for fe in files)
+        )
+
     def merge(
         self,
         spark: SparkSession,
@@ -1405,6 +1570,7 @@ class LakeTable:
                 "wap": {
                     "id": stage_as,
                     "mode": "delta",
+                    "n_buckets": nb,
                     "delta_files": {str(b): fs for b, fs in new_files.items()},
                     "properties": dict(properties or {}),
                 },
@@ -1418,7 +1584,7 @@ class LakeTable:
             }
             self._stage_write(staged, stage_as)
             return None, staged["summary"]
-        return self._commit_delta(new_files, properties)
+        return self._commit_delta(new_files, properties, base_n_buckets=nb)
 
     def adopt_delta(
         self,
@@ -1438,6 +1604,7 @@ class LakeTable:
         write-audit-publish instead of committing (see
         :meth:`merge_mor` — same composable delta-stage semantics)."""
         m = self.manifest()
+        nb = m["n_buckets"]
         dest = f"mor-{uuid.uuid4().hex[:12]}"
         os.replace(staged_dir, os.path.join(self.data_dir, dest))
         sid = m["schema_id"]
@@ -1471,6 +1638,7 @@ class LakeTable:
                 "wap": {
                     "id": stage_as,
                     "mode": "delta",
+                    "n_buckets": nb,
                     "delta_files": {str(b): fs for b, fs in new_files.items()},
                     "properties": dict(properties or {}),
                 },
@@ -1484,7 +1652,7 @@ class LakeTable:
             }
             self._stage_write(staged, stage_as)
             return None, staged["summary"]
-        return self._commit_delta(new_files, properties)
+        return self._commit_delta(new_files, properties, base_n_buckets=nb)
 
     def _commit_delta(
         self,
@@ -1492,19 +1660,31 @@ class LakeTable:
         properties: dict[str, str] | None,
         max_retries: int = 5,
         extra_summary: dict | None = None,
+        base_n_buckets: int | None = None,
     ) -> tuple[int, dict]:
         """Append delta entries (stamped ``delta=True, seq=version``) to
         their buckets and commit — WITH optimistic-conflict retry
         (Iceberg commit semantics): on a version collision the manifest
         is re-read and the append replayed against it. Safe because a
-        delta append composes with ANY concurrent commit: a concurrent
-        compaction/COW rewrite leaves our entries strictly newer (seq =
-        latest version + 1 > any base seq), and a concurrent delta
-        append just interleaves at commit order — the same ordering an
-        Iceberg equality-delete append gets."""
+        delta append composes with ANY concurrent commit EXCEPT a
+        bucket-layout change: a concurrent compaction/COW rewrite
+        leaves our entries strictly newer (seq = latest version + 1 >
+        any base seq), and a concurrent delta append just interleaves
+        at commit order — the same ordering an Iceberg equality-delete
+        append gets. The delta FILES, though, were partitioned under
+        the layout the caller saw (``base_n_buckets``); if a concurrent
+        rescale/split changed ``n_buckets``, composing them would file
+        rows into buckets that no longer own them — that raises
+        ``CommitConflictError``: re-merge against the new head."""
         last: FileExistsError | None = None
         for _ in range(max_retries):
             m = self.manifest()
+            if base_n_buckets is not None and m["n_buckets"] != base_n_buckets:
+                raise CommitConflictError(
+                    f"bucket layout changed ({base_n_buckets} -> "
+                    f"{m['n_buckets']} buckets) under this delta append "
+                    "— re-merge against the new head"
+                )
             new_version = m["version"] + 1
             new_buckets = {b: list(files) for b, files in m["buckets"].items()}
             n_delta = 0
@@ -1651,8 +1831,12 @@ class LakeTable:
         ids)."""
         m = self.manifest()
         if bucket_ids is None:
+            # deltas to fold, plus post-split SHARED buckets to
+            # materialize (split_buckets migration backlog)
             todo = sorted(
-                int(b) for b, files in m["buckets"].items() if _has_delta(files)
+                int(b)
+                for b, files in m["buckets"].items()
+                if _has_delta(files) or any(fe.get("residual") for fe in files)
             )
         else:
             todo = sorted(bucket_ids)
@@ -2127,7 +2311,9 @@ class LakeTable:
             }
             props = {**s["wap"].get("properties", {}), **(properties or {})}
             v, summary = self._commit_delta(
-                delta_files, props, extra_summary={"wap_id": wap_id}
+                delta_files, props, extra_summary={"wap_id": wap_id},
+                # legacy stages carry no layout stamp -> no check
+                base_n_buckets=s["wap"].get("n_buckets"),
             )
         os.unlink(self._staged_path(wap_id))
         return v, summary

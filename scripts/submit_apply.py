@@ -146,6 +146,14 @@ def main() -> None:
         "rewrite committed as a snapshot, content unchanged)",
     )
     ap.add_argument(
+        "--split-buckets", type=int, default=None, metavar="K",
+        help="before applying, multiply the bucket count by integer K "
+        "in a METADATA-ONLY commit (progressive bucket evolution: "
+        "child buckets read parent files through residual predicates; "
+        "migration completes via later merges / --compact, content "
+        "unchanged) — the O(1) alternative to --rescale-buckets",
+    )
+    ap.add_argument(
         "--expect", action="append", default=None, metavar="SPEC",
         help="blocking data-quality gate per batch (write-audit-publish; "
         "repeatable). SPEC: not_null:col | unique:colA+colB | "
@@ -240,6 +248,23 @@ def main() -> None:
         v = LakeTable.load(args.table).rescale_buckets(spark, args.rescale_buckets)
         print(
             json.dumps({"rescale_buckets": args.rescale_buckets, "new_version": v}),
+            file=sys.stderr,
+        )
+
+    if args.split_buckets is not None:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        t = LakeTable.load(args.table)
+        v = t.split_buckets(args.split_buckets)
+        print(
+            json.dumps(
+                {
+                    "split_buckets_factor": args.split_buckets,
+                    "n_buckets": t.manifest()["n_buckets"],
+                    "new_version": v,
+                    "shared_buckets": len(t.shared_buckets()),
+                }
+            ),
             file=sys.stderr,
         )
 
