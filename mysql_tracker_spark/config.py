@@ -78,6 +78,12 @@ class JobConfig:
     # makes a violation fail the batch (table + watermark untouched)
     expectations: list[dict] = field(default_factory=list)
     table_expectations: list[dict] = field(default_factory=list)
+    # autonomous layout growth: when mean live rows/bucket exceeds
+    # this, the runner doubles the bucket count metadata-only
+    # (lakestore split_buckets) and migrates auto_split_migrate_per_
+    # batch shared buckets per subsequent batch; None disables
+    auto_split_rows_per_bucket: int | None = None
+    auto_split_migrate_per_batch: int = 16
     # ingest transform hook (Debezium single-message-transform
     # analogue) as an importable dotted path "package.module:callable";
     # the callable takes and returns the batch change-set DataFrame

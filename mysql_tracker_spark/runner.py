@@ -108,6 +108,12 @@ class ApplyStats:
     # no compaction ran)
     write_mode: str | None = None
     compacted_buckets: list | None = None
+    # autonomous layout growth (auto_split_rows_per_bucket): the new
+    # bucket count when this batch triggered a metadata-only split, and
+    # the bounded slice of shared (post-split) buckets this batch
+    # materialized toward completing the migration
+    split_to: int | None = None
+    migrated_buckets: int | None = None
     # per-PARTITION lineage (north_star: offset ranges, row counts,
     # snapshot ids per partition): rows this commit wrote into each
     # affected bucket, from parquet footer stats — delta rows (LWW
@@ -191,6 +197,8 @@ class CdcApplyJob:
         compact_files_per_bucket: int = 1,
         transform=None,
         bloom_cols: list[str] | None = None,
+        auto_split_rows_per_bucket: int | None = None,
+        auto_split_migrate_per_batch: int = 16,
     ):
         """``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
@@ -278,6 +286,17 @@ class CdcApplyJob:
         # stamped at every write; read via table.read_where_in) —
         # point-read pruning on high-cardinality non-key columns
         self.bloom_cols = list(bloom_cols) if bloom_cols else None
+        # autonomous layout growth: once mean live rows/bucket exceeds
+        # this threshold, split_buckets doubles the count (metadata-
+        # only) and subsequent batches migrate <= auto_split_migrate_
+        # per_batch shared buckets each — the table's layout follows
+        # its growth with bounded extra work per batch, no operator
+        if auto_split_rows_per_bucket is not None and auto_split_rows_per_bucket < 1:
+            raise ValueError("auto_split_rows_per_bucket must be >= 1")
+        if auto_split_migrate_per_batch < 1:
+            raise ValueError("auto_split_migrate_per_batch must be >= 1")
+        self.auto_split_rows_per_bucket = auto_split_rows_per_bucket
+        self.auto_split_migrate_per_batch = auto_split_migrate_per_batch
         # F1/F2 stream filters (reference filterRegex + filterMap,
         # TrackerConf.java:206-216). This job applies ONE target table,
         # so a filter that excludes the target is a misconfiguration:
@@ -331,6 +350,12 @@ class CdcApplyJob:
             table_expectations=_specs(getattr(cfg, "table_expectations", None)),
             write_mode=getattr(cfg, "write_mode", "cow"),
             mor_compact_threshold=getattr(cfg, "mor_compact_threshold", 8),
+            auto_split_rows_per_bucket=getattr(
+                cfg, "auto_split_rows_per_bucket", None
+            ),
+            auto_split_migrate_per_batch=getattr(
+                cfg, "auto_split_migrate_per_batch", 16
+            ),
             compact_sort_by=getattr(cfg, "compact_sort_by", None),
             compact_files_per_bucket=getattr(cfg, "compact_files_per_bucket", 1),
             transform=_resolve_transform(getattr(cfg, "transform", None)),
@@ -1178,6 +1203,7 @@ class CdcApplyJob:
         stats.wall_ms = int((time.time() - t0) * 1000)
         if m["max_ts_s"] is not None:
             stats.lag_s = time.time() - float(m["max_ts_s"])
+        self._maybe_grow(stats)
         if self.expire_keep_last is not None:
             self.table.expire_snapshots(keep_last=self.expire_keep_last)
         self._append_lineage(stats)
@@ -1397,10 +1423,52 @@ class CdcApplyJob:
         stats.wall_ms = int((time.time() - t0) * 1000)
         if rng["max_ts"] is not None:
             stats.lag_s = time.time() - rng["max_ts"].timestamp()
+        self._maybe_grow(stats)
         if self.expire_keep_last is not None:
             self.table.expire_snapshots(keep_last=self.expire_keep_last)
         self._append_lineage(stats)
         return stats
+
+    def _maybe_grow(self, stats: ApplyStats) -> None:
+        """Autonomous layout growth (``auto_split_rows_per_bucket``):
+        the 10^10-event service outgrows any fixed bucket count, so the
+        runner grows it unattended. After each commit: if a split
+        migration is in flight, materialize a BOUNDED slice of the
+        shared backlog (``auto_split_migrate_per_batch`` buckets — the
+        per-batch tax is capped, and COW merges migrate their own
+        touched children for free); otherwise, when mean live
+        rows/bucket exceeds the threshold, double the bucket count with
+        a metadata-only ``split_buckets`` (O(1) at any size, picked up
+        by the next batch's merge). The heuristic row count folds from
+        manifest footer stats — delta entries overcount superseded
+        rows slightly, which only makes growth marginally eager.
+        Like compaction, growth is maintenance, not correctness: any
+        optimistic-commit race just defers it to a later batch."""
+        if self.auto_split_rows_per_bucket is None:
+            return
+        shared = self.table.shared_buckets()
+        if shared:
+            step = shared[: self.auto_split_migrate_per_batch]
+            try:
+                _, done = self.table.compact(self.spark, bucket_ids=step)
+            except FileExistsError:
+                return
+            stats.migrated_buckets = done
+            return
+        m = self.table.manifest()
+        rows = sum(
+            fe.get("rows") or 0
+            for fs in m["buckets"].values()
+            for fe in fs
+        )
+        nb = m["n_buckets"]
+        if rows / nb <= self.auto_split_rows_per_bucket:
+            return
+        try:
+            self.table.split_buckets(2)
+        except FileExistsError:
+            return
+        stats.split_to = nb * 2
 
     def _maybe_compact(self, stats: ApplyStats) -> None:
         """Bounded read amplification under merge-on-read: after a MOR
@@ -1561,6 +1629,8 @@ class CdcApplyJob:
             "table_audit": stats.table_audit,
             "write_mode": stats.write_mode,
             "compacted_buckets": stats.compacted_buckets,
+            "split_to": stats.split_to,
+            "migrated_buckets": stats.migrated_buckets,
             "bucket_rows": stats.bucket_rows,
             "ts_ms": int(time.time() * 1000),
         }

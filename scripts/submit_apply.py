@@ -146,6 +146,13 @@ def main() -> None:
         "rewrite committed as a snapshot, content unchanged)",
     )
     ap.add_argument(
+        "--auto-split-rows-per-bucket", type=int, default=None, metavar="N",
+        help="autonomous layout growth: when mean live rows/bucket "
+        "exceeds N, the job doubles the bucket count (metadata-only "
+        "split) and migrates a bounded slice of shared buckets per "
+        "batch — no operator action as the table grows",
+    )
+    ap.add_argument(
         "--split-buckets", type=int, default=None, metavar="K",
         help="before applying, multiply the bucket count by integer K "
         "in a METADATA-ONLY commit (progressive bucket evolution: "
@@ -345,6 +352,8 @@ def main() -> None:
                 cfg.compact_files_per_bucket = args.compact_files_per_bucket
             if args.bloom_cols is not None:
                 cfg.bloom_cols = [c for c in args.bloom_cols.split(",") if c]
+            if args.auto_split_rows_per_bucket is not None:
+                cfg.auto_split_rows_per_bucket = args.auto_split_rows_per_bucket
             job2 = CdcApplyJob.from_config(spark, cfg)
             job2.expectations = expectations or job2.expectations
         else:
@@ -370,6 +379,7 @@ def main() -> None:
                 bloom_cols=[c for c in args.bloom_cols.split(",") if c]
                 if args.bloom_cols
                 else None,
+                auto_split_rows_per_bucket=args.auto_split_rows_per_bucket,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last

@@ -263,3 +263,51 @@ def test_apply_job_converges_across_mid_stream_split(spark, tmp_path):
     assert job.table.shared_buckets() == []
     rep = job.table.validate(spark, deep=True)
     assert rep["ok"], rep["issues"]
+
+
+def test_auto_split_grows_layout_unattended(spark, tmp_path):
+    """auto_split_rows_per_bucket: the runner doubles the bucket count
+    (metadata-only) whenever mean live rows/bucket exceeds the
+    threshold and migrates bounded slices of the shared backlog on
+    later batches — table layout follows table growth with no operator
+    action, and the final state still matches the sequential oracle."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig, expected_final_state, gen_change_events, write_batches,
+    )
+    from .conftest import normalize
+
+    cfg = GenConfig(n_events=4000, n_conversations=150, seed=17)
+    ev = gen_change_events(cfg)
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=5)
+    job = CdcApplyJob(
+        spark, d, str(tmp_path / "t"), n_buckets=4,
+        auto_split_rows_per_bucket=50, auto_split_migrate_per_batch=4,
+    )
+    stats = job.run()
+    nb = job.table.manifest()["n_buckets"]
+    assert nb > 4, "growth must have triggered"
+    assert any(s.split_to for s in stats), "a batch must record its split"
+    cmp_cols = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[cmp_cols], exp[cmp_cols])
+    # steady state: mean rows/bucket is back under the threshold
+    assert job.table.row_count(spark) / nb <= 50
+    # lineage records the growth events for the operator
+    lineage = [
+        json.loads(line)
+        for line in open(os.path.join(str(tmp_path / "t"), "lineage.jsonl"))
+    ]
+    assert any(r.get("split_to") for r in lineage)
+    # finish any leftover migration; table is clean and fsck-green
+    job.table.compact(spark)
+    assert job.table.shared_buckets() == []
+    rep = job.table.validate(spark, deep=True)
+    assert rep["ok"], rep["issues"]
