@@ -311,3 +311,64 @@ def test_auto_split_grows_layout_unattended(spark, tmp_path):
     assert job.table.shared_buckets() == []
     rep = job.table.validate(spark, deep=True)
     assert rep["ok"], rep["issues"]
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_randomized_ops_model_check(spark, tmp_path, seed):
+    """Randomized interleavings of merge / merge_mor / split / bounded
+    compact / delete_where against a driver-side dict model: after
+    EVERY operation the resolved table equals the model exactly, and
+    the final table passes deep fsck. Catches interaction bugs no
+    hand-written scenario covers (e.g. delete over half-migrated
+    shared buckets, MoR deltas over twice-split bases)."""
+    import random
+
+    rng = random.Random(seed)
+    t, model = _mk(spark, tmp_path / "t", n_buckets=2, n_convs=20)
+    keys = [(f"c{i}", j) for i in range(24) for j in range(3)]  # some new
+    n_splits = 0
+
+    def rand_change(n):
+        recs = []
+        for c, j in rng.sample(keys, n):
+            if rng.random() < 0.25:
+                recs.append((c, j, None, None, True))
+            else:
+                recs.append((c, j, f"s{seed}-{rng.randrange(1000)}", T0, False))
+        return recs
+
+    for step in range(12):
+        op = rng.choice(["merge", "mor", "split", "compact", "delete"])
+        if op == "split" and n_splits < 3:
+            t.split_buckets(rng.choice([2, 3]))
+            n_splits += 1
+        elif op == "compact":
+            backlog = t.shared_buckets()
+            if backlog and rng.random() < 0.5:
+                t.compact(spark, bucket_ids=backlog[: max(1, len(backlog) // 2)])
+            else:
+                t.compact(spark)
+        elif op == "delete":
+            lo = rng.randrange(3)
+            _, n = t.delete_where(spark, {"turn_idx": (lo, lo)})
+            dropped = [k for k in model if k[1] == lo]
+            assert n == len(dropped), f"step {step}: deleted {n} != {len(dropped)}"
+            for k in dropped:
+                model.pop(k)
+        else:
+            recs = rand_change(rng.randrange(1, 8))
+            ch = spark.createDataFrame(recs, CH_SCHEMA)
+            (t.merge if op == "merge" else t.merge_mor)(spark, ch)
+            for c, j, text, _ts, dele in recs:
+                if dele:
+                    model.pop((c, j), None)
+                else:
+                    model[(c, j)] = text
+        got = _state(spark, t)
+        assert got == model, (
+            f"seed {seed} step {step} op {op}: {len(got)} vs {len(model)} rows"
+        )
+    t.compact(spark)
+    assert t.shared_buckets() == []
+    rep = t.validate(spark, deep=True)
+    assert rep["ok"], rep["issues"]
