@@ -540,8 +540,18 @@ class LakeTable:
         for fe in entries:
             (shared if fe.get("residual") else plain).append(fe)
         if shared:
-            # full-coverage collapse: a path whose in-scope residual ids
-            # cover ALL children of its parent bucket reads once, plain
+            # full-coverage collapse: the physical file holds exactly
+            # the rows of one PARENT-layout bucket (residue class
+            # ``id mod parent_n``); its children under the current
+            # layout are the FULL set {id%parent_n + i*parent_n}. Only
+            # when every one of them is in scope (none migrated away,
+            # none pruned by the caller) do their residuals partition
+            # the file exactly — then one unfiltered scan replaces k
+            # filtered passes. An equally-spaced PARTIAL subset must
+            # NOT collapse (its absent siblings' rows live in migrated
+            # files — an unfiltered scan would duplicate them), which
+            # is why the true parent period is stamped at split time
+            # rather than inferred from the in-scope count.
             by_path: dict[str, list[dict]] = {}
             for fe in shared:
                 by_path.setdefault(fe["path"], []).append(fe)
@@ -549,21 +559,21 @@ class LakeTable:
             for path, fes in by_path.items():
                 r0 = fes[0]["residual"]
                 ids = {fe["residual"]["id"] for fe in fes}
+                pn = r0.get("parent_n")
                 same = all(
                     fe["residual"]["n"] == r0["n"]
                     and fe["residual"]["col"] == r0["col"]
                     for fe in fes
                 )
-                # children of parent bucket p under period P are
-                # {p + i*P : i}: full coverage iff ids == that set
-                if same and len(ids) > 1:
-                    P = r0["n"] // len(ids)
-                    full = (
-                        r0["n"] % len(ids) == 0
-                        and ids == {min(ids) % P + i * P for i in range(len(ids))}
-                    )
-                else:
-                    full = False
+                full = (
+                    same
+                    and pn is not None
+                    and ids
+                    == {
+                        min(ids) % pn + i * pn
+                        for i in range(r0["n"] // pn)
+                    }
+                )
                 if full:
                     plain.append({k: v for k, v in fes[0].items() if k != "residual"})
                 else:
@@ -1388,8 +1398,19 @@ class LakeTable:
                     {
                         **{k: v for k, v in fe.items() if k not in ("rows", "residual")},
                         # a re-split replaces the residual: the newest
-                        # (finest) predicate implies every older one
-                        "residual": {**residual_base, "id": child},
+                        # (finest) predicate implies every older one.
+                        # parent_n = the layout the FILE was written
+                        # under (carried through re-splits): the file
+                        # holds exactly one parent-layout bucket's rows,
+                        # which is what the read-side sibling-collapse
+                        # coverage check keys off
+                        "residual": {
+                            **residual_base,
+                            "id": child,
+                            "parent_n": (fe.get("residual") or {}).get(
+                                "parent_n", old_n
+                            ),
+                        },
                     }
                     for fe in files
                 ]

@@ -372,3 +372,23 @@ def test_randomized_ops_model_check(spark, tmp_path, seed):
     assert t.shared_buckets() == []
     rep = t.validate(spark, deep=True)
     assert rep["ok"], rep["issues"]
+
+
+def test_equally_spaced_partial_siblings_do_not_collapse(spark, tmp_path):
+    """Regression: after a factor-4 split, migrating exactly every
+    OTHER child of one parent file leaves an equally-spaced remainder
+    ({b, b+2P} of {b, b+P, b+2P, b+3P}) whose spacing mimics a complete
+    factor-2 sibling set. The read-side collapse must key off the
+    file's stamped parent period — an unfiltered scan here would
+    duplicate the rows whose live versions moved to the migrated
+    children's files."""
+    t, base = _mk(spark, tmp_path / "t", n_buckets=4)
+    t.split_buckets(4)  # children of parent b: {b, b+4, b+8, b+12}
+    t.compact(spark, bucket_ids=[4, 12])  # migrate every other child of parent 0
+    left = t.shared_buckets()
+    assert 0 in left and 8 in left and 4 not in left and 12 not in left
+    got = _state(spark, t)
+    assert got == base  # no duplicates, no losses
+    assert t.read(spark).count() == len(base)
+    rep = t.validate(spark, deep=True)
+    assert rep["ok"], rep["issues"]
