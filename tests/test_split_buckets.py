@@ -392,3 +392,34 @@ def test_equally_spaced_partial_siblings_do_not_collapse(spark, tmp_path):
     assert t.read(spark).count() == len(base)
     rep = t.validate(spark, deep=True)
     assert rep["ok"], rep["issues"]
+
+
+def test_streaming_front_end_grows_layout_too(spark, tmp_path):
+    """CdcStreamJob forwards job kwargs to the batch runner and shares
+    its epilogue, so autonomous growth works identically under the
+    Structured Streaming front-end."""
+    import pandas as pd
+
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig, expected_final_state, gen_change_events, write_batches,
+    )
+    from mysql_tracker_spark.streaming import CdcStreamJob
+    from .conftest import normalize
+
+    cfg = GenConfig(n_events=4000, n_conversations=150, seed=31)
+    ev = gen_change_events(cfg)
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=5)
+    job = CdcStreamJob(
+        spark, d, str(tmp_path / "t"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=4, auto_split_rows_per_bucket=50,
+        auto_split_migrate_per_batch=4,
+    )
+    job.run_available()
+    t = job.job.table
+    assert t.manifest()["n_buckets"] > 4
+    cmp_cols = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
+    got = normalize(t.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[cmp_cols], exp[cmp_cols])
