@@ -370,6 +370,47 @@ def _residual_key(fe: dict) -> tuple | None:
     return (r["col"], r["sid"], r["n"], r["id"])
 
 
+def _collapse_shared(entries: list[dict]) -> list[dict]:
+    """Replace COMPLETE sibling sets of shared entries with one
+    residual-free entry per physical file. The file holds exactly the
+    rows of one parent-layout bucket (residue class ``id mod
+    parent_n``, stamped at split time); its children under the current
+    layout are the FULL set {id%parent_n + i*parent_n}. Only when every
+    one of them is present (none migrated away, none pruned by the
+    caller's bucket scope) do their residuals partition the file
+    exactly — then one unfiltered scan replaces k filtered passes. An
+    equally-spaced PARTIAL subset must NOT collapse: its absent
+    siblings' rows live in migrated files, and an unfiltered scan would
+    duplicate them — which is why coverage keys off the stamped parent
+    period, never the in-scope count."""
+    out = [fe for fe in entries if not fe.get("residual")]
+    shared = [fe for fe in entries if fe.get("residual")]
+    if not shared:
+        return entries
+    by_path: dict[str, list[dict]] = {}
+    for fe in shared:
+        by_path.setdefault(fe["path"], []).append(fe)
+    for path, fes in by_path.items():
+        r0 = fes[0]["residual"]
+        ids = {fe["residual"]["id"] for fe in fes}
+        pn = r0.get("parent_n")
+        same = all(
+            fe["residual"]["n"] == r0["n"]
+            and fe["residual"]["col"] == r0["col"]
+            for fe in fes
+        )
+        full = (
+            same
+            and pn is not None
+            and ids == {min(ids) % pn + i * pn for i in range(r0["n"] // pn)}
+        )
+        if full:
+            out.append({k: v for k, v in fes[0].items() if k != "residual"})
+        else:
+            out.extend(fes)
+    return out
+
+
 def _residual_pred(rk: tuple, renames: list | None):
     """Read-time predicate of a residual group: rows whose CURRENT
     bucket placement equals the child id. The stored column name is the
@@ -502,6 +543,14 @@ class LakeTable:
             os.link(tmp, target)  # atomic exclusive claim of version v
         finally:
             os.unlink(tmp)
+        # persist the DIRECTORY entry too: without this a power loss
+        # after return could roll back a commit the caller already
+        # acted on (e.g. publish_staged deletes its stage file next)
+        dfd = os.open(self.snap_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         return v
 
     def properties(self, version: int | None = None) -> dict:
@@ -535,49 +584,11 @@ class LakeTable:
         residuals partition the file exactly), so a full-table read of
         a freshly split table costs the same one pass it did before the
         split — no k-fold read amplification."""
+        collapsed = _collapse_shared(entries)
         plain: list[dict] = []
         shared: list[dict] = []
-        for fe in entries:
+        for fe in collapsed:
             (shared if fe.get("residual") else plain).append(fe)
-        if shared:
-            # full-coverage collapse: the physical file holds exactly
-            # the rows of one PARENT-layout bucket (residue class
-            # ``id mod parent_n``); its children under the current
-            # layout are the FULL set {id%parent_n + i*parent_n}. Only
-            # when every one of them is in scope (none migrated away,
-            # none pruned by the caller) do their residuals partition
-            # the file exactly — then one unfiltered scan replaces k
-            # filtered passes. An equally-spaced PARTIAL subset must
-            # NOT collapse (its absent siblings' rows live in migrated
-            # files — an unfiltered scan would duplicate them), which
-            # is why the true parent period is stamped at split time
-            # rather than inferred from the in-scope count.
-            by_path: dict[str, list[dict]] = {}
-            for fe in shared:
-                by_path.setdefault(fe["path"], []).append(fe)
-            shared = []
-            for path, fes in by_path.items():
-                r0 = fes[0]["residual"]
-                ids = {fe["residual"]["id"] for fe in fes}
-                pn = r0.get("parent_n")
-                same = all(
-                    fe["residual"]["n"] == r0["n"]
-                    and fe["residual"]["col"] == r0["col"]
-                    for fe in fes
-                )
-                full = (
-                    same
-                    and pn is not None
-                    and ids
-                    == {
-                        min(ids) % pn + i * pn
-                        for i in range(r0["n"] // pn)
-                    }
-                )
-                if full:
-                    plain.append({k: v for k, v in fes[0].items() if k != "residual"})
-                else:
-                    shared.extend(fes)
         groups: dict[int, list[str]] = {}
         for fe in plain:
             groups.setdefault(fe["schema_id"], []).append(os.path.join(self.path, fe["path"]))
@@ -715,9 +726,12 @@ class LakeTable:
 
         # group files by (schema_id, seq, residual): every file in a
         # group shares one parquet schema, one commit precedence level,
-        # and (for shared post-split entries) one row-ownership filter
+        # and (for shared post-split entries) one row-ownership filter.
+        # Complete sibling sets collapse to one unfiltered scan first —
+        # same as the clean path — so a post-split MOR read doesn't pay
+        # k passes over each shared base file
         groups: dict[tuple, list[str]] = {}
-        for fe in delta_entries:
+        for fe in _collapse_shared(delta_entries):
             k = (
                 fe["schema_id"],
                 fe.get("seq", 0),
@@ -1612,6 +1626,7 @@ class LakeTable:
         staged_dir: str,
         properties: dict[str, str] | None = None,
         stage_as: str | None = None,
+        base_n_buckets: int | None = None,
     ) -> tuple[int | None, dict]:
         """Zero-job MOR commit: ADOPT an already-materialized
         bucket-partitioned change set (``__bucket=N/*.parquet`` dirs,
@@ -1625,7 +1640,10 @@ class LakeTable:
         write-audit-publish instead of committing (see
         :meth:`merge_mor` — same composable delta-stage semantics)."""
         m = self.manifest()
-        nb = m["n_buckets"]
+        # the layout guard must check the layout the CALLER bucketed
+        # the staged dir under — reading it here would be vacuous (a
+        # split between the caller's write and this adopt would pass)
+        nb = base_n_buckets if base_n_buckets is not None else m["n_buckets"]
         dest = f"mor-{uuid.uuid4().hex[:12]}"
         os.replace(staged_dir, os.path.join(self.data_dir, dest))
         sid = m["schema_id"]

@@ -110,10 +110,10 @@ class ApplyStats:
     compacted_buckets: list | None = None
     # autonomous layout growth (auto_split_rows_per_bucket): the new
     # bucket count when this batch triggered a metadata-only split, and
-    # the bounded slice of shared (post-split) buckets this batch
+    # the bucket ids of the bounded shared-backlog slice this batch
     # materialized toward completing the migration
     split_to: int | None = None
-    migrated_buckets: int | None = None
+    migrated_buckets: list | None = None
     # per-PARTITION lineage (north_star: offset ranges, row counts,
     # snapshot ids per partition): rows this commit wrote into each
     # affected bucket, from parquet footer stats — delta rows (LWW
@@ -1173,7 +1173,8 @@ class CdcApplyJob:
             # table size. Compaction below bounds read amplification.
             version, summary = self._commit_with_audit(
                 lambda wap: self.table.adopt_delta(
-                    delta_dir, properties=props, stage_as=wap
+                    delta_dir, properties=props, stage_as=wap,
+                    base_n_buckets=nb,
                 ),
                 stats,
             )
@@ -1429,6 +1430,38 @@ class CdcApplyJob:
         self._append_lineage(stats)
         return stats
 
+    def _resolved_sort_by(self):
+        """The job's ``compact_sort_by`` resolved through any applied
+        RENAME COLUMN; None (with a warning) if a column no longer
+        exists (dropped / typo) — maintenance compactions then fall
+        back to unclustered rather than crashing the apply loop."""
+        sort_by = self.compact_sort_by
+        if not sort_by:
+            return None
+        current = {f.name for f in self.table.schema().fields}
+        aliases = self.table.column_aliases()
+        cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        resolved = []
+        for c in cols:
+            if c in current:
+                resolved.append(c)
+                continue
+            hit = next(
+                (cur for cur, old in aliases.items() if c in old), None
+            )
+            if hit is not None:
+                resolved.append(hit)
+        if len(resolved) != len(cols):
+            import warnings
+
+            warnings.warn(
+                f"compact_sort_by={cols!r} not resolvable against "
+                f"schema {sorted(current)} — compacting unclustered",
+                stacklevel=2,
+            )
+            return None
+        return resolved[0] if len(resolved) == 1 else resolved
+
     def _maybe_grow(self, stats: ApplyStats) -> None:
         """Autonomous layout growth (``auto_split_rows_per_bucket``):
         the 10^10-event service outgrows any fixed bucket count, so the
@@ -1439,19 +1472,28 @@ class CdcApplyJob:
         touched children for free); otherwise, when mean live
         rows/bucket exceeds the threshold, double the bucket count with
         a metadata-only ``split_buckets`` (O(1) at any size, picked up
-        by the next batch's merge). The heuristic row count folds from
+        by the next batch's merge). Migration rewrites honor the job's
+        configured clustering (``compact_sort_by``), so file-skipping
+        bounds survive the move. The heuristic row count folds from
         manifest footer stats — delta entries overcount superseded
         rows slightly, which only makes growth marginally eager.
         Like compaction, growth is maintenance, not correctness: any
         optimistic-commit race just defers it to a later batch."""
         if self.auto_split_rows_per_bucket is None:
             return
+        from .lakestore import CommitConflictError
+
         shared = self.table.shared_buckets()
         if shared:
             step = shared[: self.auto_split_migrate_per_batch]
             try:
-                _, done = self.table.compact(self.spark, bucket_ids=step)
-            except FileExistsError:
+                _, done = self.table.compact(
+                    self.spark,
+                    bucket_ids=step,
+                    sort_by=self._resolved_sort_by(),
+                    files_per_bucket=self.compact_files_per_bucket,
+                )
+            except (FileExistsError, CommitConflictError):
                 return
             stats.migrated_buckets = done
             return
@@ -1466,7 +1508,7 @@ class CdcApplyJob:
             return
         try:
             self.table.split_buckets(2)
-        except FileExistsError:
+        except (FileExistsError, CommitConflictError):
             return
         stats.split_to = nb * 2
 
@@ -1479,50 +1521,21 @@ class CdcApplyJob:
         most K deltas per bucket. The compaction commit carries no
         watermark change — crash between apply-commit and compaction
         loses nothing (the next run just compacts later)."""
+        from .lakestore import CommitConflictError
+
         counts = self.table.delta_counts()
         todo = sorted(
             b for b, n in counts.items() if n >= self.mor_compact_threshold
         )
         if todo:
-            # resolve the configured sort column through any applied
-            # RENAME COLUMN; if it no longer exists (dropped / typo),
-            # fall back to unclustered compaction instead of crashing
-            # the apply loop — compaction is maintenance, not
-            # correctness
-            sort_by = self.compact_sort_by
-            if sort_by:
-                current = {f.name for f in self.table.schema().fields}
-                aliases = self.table.column_aliases()
-                cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
-                resolved = []
-                for c in cols:
-                    if c in current:
-                        resolved.append(c)
-                        continue
-                    hit = next(
-                        (cur for cur, old in aliases.items() if c in old), None
-                    )
-                    if hit is not None:
-                        resolved.append(hit)
-                if len(resolved) != len(cols):
-                    import warnings
-
-                    warnings.warn(
-                        f"compact_sort_by={cols!r} not resolvable against "
-                        f"schema {sorted(current)} — compacting unclustered",
-                        stacklevel=2,
-                    )
-                    sort_by = None
-                else:
-                    sort_by = resolved[0] if len(resolved) == 1 else resolved
             try:
                 _, done = self.table.compact(
                     self.spark,
                     todo,
-                    sort_by=sort_by,
+                    sort_by=self._resolved_sort_by(),
                     files_per_bucket=self.compact_files_per_bucket,
                 )
-            except FileExistsError:
+            except (FileExistsError, CommitConflictError):
                 # optimistic-commit collision with a concurrent writer:
                 # compaction is maintenance, not correctness — the data
                 # is already committed, so just compact on a later batch
