@@ -1638,7 +1638,11 @@ class LakeTable:
         (moved); crash between move and commit leaves an orphan dir
         that :meth:`gc_orphans` reaps. ``stage_as=<wap_id>`` stages for
         write-audit-publish instead of committing (see
-        :meth:`merge_mor` — same composable delta-stage semantics)."""
+        :meth:`merge_mor` — same composable delta-stage semantics).
+        ``base_n_buckets`` is the bucket count the CALLER partitioned
+        ``staged_dir`` under; pass it whenever the dir was written from
+        an earlier manifest read, so a concurrent rescale/split raises
+        ``CommitConflictError`` instead of silently mis-filing rows."""
         m = self.manifest()
         # the layout guard must check the layout the CALLER bucketed
         # the staged dir under — reading it here would be vacuous (a
