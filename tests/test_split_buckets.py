@@ -423,3 +423,23 @@ def test_streaming_front_end_grows_layout_too(spark, tmp_path):
     got = normalize(t.read(spark).toPandas())
     exp = normalize(expected_final_state(ev))
     pd.testing.assert_frame_equal(got[cmp_cols], exp[cmp_cols])
+
+
+def test_point_read_opens_only_the_parent_file_post_split(spark, tmp_path):
+    """Serving-path pruning survives the split: a point read on a
+    shared child bucket opens exactly its parent's physical file (1/N
+    of the pre-split table), never the whole table — the residual is a
+    row filter, not a scan widening."""
+    t, base = _mk(spark, tmp_path / "t")
+    n_files_total = len(t.live_files())
+    assert n_files_total >= 4  # one per non-empty parent bucket
+    t.split_buckets(4)
+    df = t.read_for_keys(spark, ["c7"])
+    opened = {f.rsplit("/data/", 1)[-1] for f in df.inputFiles()}
+    assert len(opened) == 1, opened
+    [b] = t.buckets_for_keys(spark, ["c7"])
+    manifest_paths = {
+        fe["path"].split("data/", 1)[-1]
+        for fe in t.manifest()["buckets"][str(b)]
+    }
+    assert opened <= manifest_paths
