@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
-from .text import normalize_text
+from .text import let_, normalize_text
 
 _P = 2_147_483_647  # 2^31 - 1 (Mersenne prime); (a*h + b) stays < 2^62: ANSI-safe
 
@@ -52,14 +52,22 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles of the normalized text (short docs fall
-    back to a single whole-text shingle)."""
+    back to a single whole-text shingle). The token array is let-bound
+    (:func:`text.let_`) so the normalize+split pipeline is evaluated
+    once per row — a captured subexpression inside a HOF lambda is
+    re-evaluated per window otherwise."""
     toks = F.split(normalize_text(col), " ")
-    joined = F.array_join(toks, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    return F.when(F.size(toks) < n, F.array(joined)).otherwise(grams)
+
+    def body(ts: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(ts, i + 1, n), " "),
+        )
+        return F.when(
+            F.size(ts) < n, F.array(F.array_join(ts, " "))
+        ).otherwise(grams)
+
+    return let_(toks, body)
 
 
 def shingle_hashes(col: Column, n: int = 3) -> Column:

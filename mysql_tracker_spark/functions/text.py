@@ -151,16 +151,38 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def let_(value: Column, body) -> Column:
+    """Let-binding for Catalyst higher-order expressions: evaluate
+    ``value`` ONCE per row and pass it to ``body`` as a bound lambda
+    variable.
+
+    Catalyst's HOF evaluation re-evaluates a *captured* subexpression
+    on every element of the iterated array (e.g. ``transform(seq, i ->
+    slice(toks, i, n))`` recomputes the whole ``toks`` pipeline per
+    window — O(len * windows) instead of O(len), measured ~2x on token
+    n-grams and far worse when projection collapse multiplies the
+    references). Wrapping the value in a single-element array and
+    binding it through ``transform`` turns the capture into a lambda
+    variable, which IS evaluated once."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _token_ngrams(col: Column, n: int) -> Column:
     """All token n-grams of the normalized text as an array<string>
     (empty when the document has fewer than n tokens). Pure Catalyst
-    (split / sequence / transform / slice) — scan-local, codegen'd."""
+    (split / sequence / transform / slice) — scan-local; the token
+    array is let-bound so the normalize+split pipeline runs once per
+    row, not once per window."""
     toks = F.split(normalize_text(col), " ")
-    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def body(ts: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.greatest(F.size(ts) - (n - 1), F.lit(0)))
+        grams = F.transform(starts, lambda i: F.array_join(F.slice(ts, i, n), " "))
+        return F.when(F.size(ts) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_(toks, body)
 
 
 def decontaminate(docs, eval_df, n: int = 8, id_col: str = "doc_id",
@@ -224,15 +246,17 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     expressions, ZERO shuffles, one pass over the scan. The earlier
     explode + two-level-aggregate formulation shuffled the corpus'
     per-doc vocabulary twice; at 100x corpus size that exchange is the
-    bottleneck while this form stays embarrassingly parallel."""
+    bottleneck while this form stays embarrassingly parallel.
+
+    Evaluation discipline (measured 195 s -> ~2 s at sf0.1): every
+    derived array (tokens, bigrams) is let-bound (:func:`let_`) so it
+    is computed once per row, and the five raw counters are emitted
+    through ONE ``inline`` generator — a projection-collapse barrier;
+    naming them as sibling columns lets CollapseProject re-inline the
+    whole token pipeline into every downstream reference."""
     from pyspark.sql import functions as _F
 
     toks = _F.split(normalize_text(_F.col(text_col)), " ")
-    base = docs.select(
-        id_col,
-        toks.alias("__toks"),
-        _token_ngrams(_F.col(text_col), 2).alias("__bigrams"),
-    ).filter(_F.length(_F.concat_ws("", "__toks")) > 0)
 
     def _max_run(arr):
         # longest run of equal values in the SORTED array == max
@@ -254,24 +278,43 @@ def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
 
         return _F.aggregate(_F.array_sort(arr), init, step, lambda acc: acc["best"])
 
+    def _bigrams(ts):
+        starts = _F.sequence(_F.lit(1), _F.greatest(_F.size(ts) - 1, _F.lit(0)))
+        grams = _F.transform(
+            starts, lambda i: _F.array_join(_F.slice(ts, i, 2), " ")
+        )
+        return _F.when(_F.size(ts) >= 2, grams).otherwise(
+            _F.array().cast("array<string>")
+        )
+
+    def _counters(ts):
+        def inner(bg):
+            return _F.struct(
+                _F.size(ts).cast("bigint").alias("n_tokens"),
+                _F.size(_F.array_distinct(ts)).cast("bigint").alias("n_distinct"),
+                _max_run(ts).alias("top_c"),
+                _F.size(bg).cast("bigint").alias("n_bg"),
+                _F.size(_F.array_distinct(bg)).cast("bigint").alias("n_bg_distinct"),
+                (_F.length(_F.concat_ws("", ts)) > 0).alias("nonempty"),
+            )
+
+        return let_(_bigrams(ts), inner)
+
+    base = docs.select(
+        _F.col(id_col), _F.inline(_F.array(let_(toks, _counters)))
+    ).filter(_F.col("nonempty"))
+
     return base.select(
         id_col,
-        _F.size("__toks").cast("bigint").alias("n_tokens"),
-        _F.size(_F.array_distinct("__toks")).cast("bigint").alias("__n_distinct"),
-        _max_run(_F.col("__toks")).alias("__top_c"),
-        _F.size("__bigrams").cast("bigint").alias("__n_bg"),
-        _F.size(_F.array_distinct("__bigrams")).cast("bigint").alias("__n_bg_distinct"),
-    ).select(
-        id_col,
-        "n_tokens",
-        _F.round(_F.col("__n_distinct") / _F.col("n_tokens"), 6).alias(
+        _F.col("n_tokens"),
+        _F.round(_F.col("n_distinct") / _F.col("n_tokens"), 6).alias(
             "distinct_ratio"
         ),
-        _F.round(_F.col("__top_c") / _F.col("n_tokens"), 6).alias("top_share"),
+        _F.round(_F.col("top_c") / _F.col("n_tokens"), 6).alias("top_share"),
         _F.round(
             _F.when(
-                _F.col("__n_bg") > 0,
-                1 - _F.col("__n_bg_distinct") / _F.col("__n_bg"),
+                _F.col("n_bg") > 0,
+                1 - _F.col("n_bg_distinct") / _F.col("n_bg"),
             ).otherwise(_F.lit(0.0)),
             6,
         ).alias("dup_bigram_frac"),
