@@ -1672,6 +1672,48 @@ def q_doc_seq_packing(spark, sf_dir):
     return pack_sequences(d, budget=256).orderBy("lang", "doc_id")
 
 
+def q_doc_mixture_sample(spark, sf_dir):
+    """Deterministic training-mixture Bernoulli sampling
+    (functions/sampling.py): keep each document with its language's
+    mixture weight, decided by a pure hash of (doc_id, salt) — kept
+    set identical across runs, cluster sizes, and the SQL oracle
+    (which re-derives the same md5-threshold draw). Scan-local filter,
+    zero shuffles."""
+    from mysql_tracker_spark.functions.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d,
+        {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1},
+        default_weight=0.05,
+        salt="mix-v1",
+    )
+    return out.select("doc_id", "lang", "sample_u").orderBy("doc_id")
+
+
+def q_doc_token_budget_sample(spark, sf_dir):
+    """Per-language token-budget downsampling
+    (functions/sampling.py): rows ranked inside each language by a
+    deterministic hash, kept while the running token total stays
+    within the language's budget — the budget-accurate curation pass
+    of a mixture builder. The oracle replays the identical hash order
+    and running sum in SQL."""
+    from mysql_tracker_spark.functions.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    out = token_budget_sample(
+        d,
+        {"en": 3000, "de": 1200, "zh": 600},
+        token_col="n_tokens",
+        salt="budget-v1",
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "running_tokens"
+    ).orderBy("doc_id")
+
+
 def q_doc_minhash_near_dups(spark, sf_dir):
     """MinHash-LSH near-dups, DRIVER-VERIFIED via properties the DuckDB
     oracle derives independently (SQL cannot simulate MinHash, so the
@@ -3278,6 +3320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_duplicate_spans": q_doc_duplicate_spans,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_token_budget_sample": q_doc_token_budget_sample,
         "doc_seq_packing": q_doc_seq_packing,
         "conv_dedup_exact": q_conv_dedup_exact,
         "conv_chat_render": q_conv_chat_render,
@@ -4028,6 +4072,34 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(1 - n_bg_distinct * 1.0 / n_bg, 0.0), 6) AS dup_bigram_frac
             FROM pt LEFT JOIN pb ON pt.doc_id = pb.doc_id
             ORDER BY pt.doc_id
+        """,
+        "doc_mixture_sample": r"""
+            SELECT doc_id, lang,
+                   round(cast(concat('0x', substr(md5(cast(doc_id as varchar) || 'mix-v1'), 1, 8)) as ubigint) / 4294967296.0, 9) AS sample_u
+            FROM documents
+            WHERE cast(concat('0x', substr(md5(cast(doc_id as varchar) || 'mix-v1'), 1, 8)) as ubigint) / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                              WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1 ELSE 0.05 END
+            ORDER BY doc_id
+        """,
+        "doc_token_budget_sample": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+                       cast(concat('0x', substr(md5(cast(doc_id as varchar) || 'budget-v1'), 1, 8)) as ubigint) / 4294967296.0 AS u
+                FROM documents
+                WHERE lang IN ('en', 'de', 'zh')
+            ), ranked AS (
+                SELECT doc_id, lang, n_tokens,
+                       CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_tokens
+                FROM toks
+            )
+            SELECT doc_id, lang, n_tokens, running_tokens
+            FROM ranked
+            WHERE running_tokens <= CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 1200 ELSE 600 END
+            ORDER BY doc_id
         """,
         "doc_seq_packing": r"""
             WITH RECURSIVE t AS (

@@ -1,0 +1,133 @@
+"""Deterministic sampling operators for training-data mixture
+construction: hash-threshold Bernoulli sampling per group (the
+pretraining "mixture weights" pass) and per-group token-budget
+downsampling (fill each language/source to a token budget).
+
+Why hash-threshold instead of ``DataFrame.sample``: a 100 TB mixture
+pass must be (a) reproducible across runs, engines, and cluster sizes
+— ``sample()`` depends on partition layout and RNG seeding per task —
+and (b) stable under re-partitioning, retries, and speculative
+execution. Keying the decision on ``md5(key || salt)`` makes the kept
+set a pure function of the data, so replays/audits re-derive it
+exactly; the same formula runs in ANSI SQL, which is what the DuckDB
+contract oracle does (``__spark_entry__.oracle_sql``).
+
+Scale shape: ``mixture_sample`` is a scan-local filter — zero
+shuffles, fully pushdown-friendly, embarrassingly parallel.
+``token_budget_sample`` sorts WITHIN each group by the same hash
+(one shuffle on the group column); for a group so hot that one
+reducer can't sort it, take the two-pass route instead: estimate the
+keep-rate from a mixture_sample pass, then apply the rate as a pure
+filter (see docstring).
+
+Reference surface: the reference engine has no sampling operators —
+this family extends §2 the way the dedup/sketch families do, as
+first-class training-data-pipeline coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_U32 = float(2**32)
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform draw in [0, 1): the first 8 hex chars of
+    ``md5(key || salt)`` as a 32-bit integer, scaled. Identical in
+    ANSI SQL: ``CAST(CONCAT('0x', SUBSTR(MD5(key || salt), 1, 8)) AS
+    UBIGINT) / 4294967296.0`` — the engine/oracle pair agrees
+    byte-for-byte."""
+    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(_U32)
+
+
+def hash_uniform_sql(key_sql: str, salt: str) -> str:
+    """The DuckDB twin of :func:`hash_uniform` (same bytes, same
+    scale)."""
+    return (
+        f"cast(concat('0x', substr(md5(cast({key_sql} as varchar) || '{salt}'), 1, 8)) "
+        f"as ubigint) / 4294967296.0"
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic Bernoulli mixture sampling: keep each row with
+    its group's probability (``weights[group]``; unlisted groups get
+    ``default_weight``). Adds ``sample_u`` (the row's uniform draw,
+    rounded to 9 dp) so the decision is auditable.
+
+    The kept set is a pure function of (key, salt, weights): re-runs,
+    replays, different cluster sizes, and the SQL oracle all agree
+    exactly. Upsampling (weight > 1) is out of scope here — repeat
+    the pass with distinct salts to draw multiple epochs.
+    """
+    for g, w in weights.items():
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight for {g!r} must be in [0, 1], got {w}")
+    if not 0.0 <= default_weight <= 1.0:
+        raise ValueError("default_weight must be in [0, 1]")
+    u = hash_uniform(F.col(key_col), salt)
+    p = F.lit(float(default_weight))
+    for g, w in sorted(weights.items()):
+        p = F.when(F.col(group_col) == g, F.lit(float(w))).otherwise(p)
+    return (
+        docs.withColumn("sample_u", F.round(u, 9))
+        .filter(u < p)
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    token_col: Column | str = "n_tokens",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Fill each group to a token budget with a deterministic,
+    hash-ordered prefix: rows are ranked inside their group by
+    ``hash_uniform(key)`` (a reproducible shuffle), and a row is kept
+    while the running token total INCLUDING the row stays within the
+    group's budget. Groups without a budget are dropped.
+
+    The kept set is again a pure function of the data — the SQL twin
+    ranks by the same hash and compares the same running sum, so the
+    oracle reproduces the exact prefix. The first over-budget row is
+    excluded (strict ``<=``): budgets are honored exactly, at the cost
+    of possibly undershooting by less than one document.
+
+    Scale: one shuffle on ``group_col`` + a per-group sort (the window
+    rank). Mixture passes have few groups (languages/sources), so the
+    sort is the classic skew risk at 10^9 rows per group; there, run
+    :func:`mixture_sample` with rate ≈ budget / group_tokens instead
+    and tolerate the ±sqrt noise, or pre-split hot groups by a salt
+    column. This exact-prefix form is for budget-accurate curation at
+    per-group cardinalities a single sort handles (<~10^8).
+    """
+    for g, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {g!r} must be >= 0, got {b}")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    u = hash_uniform(F.col(key_col), salt)
+    b = F.lit(None).cast("bigint")
+    for g, v in sorted(budgets.items()):
+        b = F.when(F.col(group_col) == g, F.lit(int(v))).otherwise(b)
+    w = Window.partitionBy(group_col).orderBy(u.asc(), F.col(key_col).asc())
+    run = F.sum(tok.cast("bigint")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.withColumn("__budget", b)
+        .filter(F.col("__budget").isNotNull())
+        .withColumn("running_tokens", run)
+        .filter(F.col("running_tokens") <= F.col("__budget"))
+        .drop("__budget")
+    )

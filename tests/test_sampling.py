@@ -1,0 +1,105 @@
+"""Deterministic sampling operators (functions/sampling.py):
+mixture_sample (hash-threshold Bernoulli) and token_budget_sample
+(hash-ordered budget prefix)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_tracker_spark.functions.sampling import (
+    hash_uniform,
+    mixture_sample,
+    token_budget_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_uniform_golden(spark):
+    # frozen draw: md5('7' || 's1')[:8] as u32 / 2^32 — recomputed here
+    # in python so an engine-side md5/conv regression is caught exactly
+    import hashlib
+
+    df = spark.range(7, 8).select(hash_uniform(F.col("id"), "s1").alias("u"))
+    got = df.first()["u"]
+    exp = int(hashlib.md5(b"7s1").hexdigest()[:8], 16) / 2**32
+    assert abs(got - exp) < 1e-12
+
+
+def test_mixture_sample_deterministic_and_rate(docs):
+    w = {"en": 0.8, "de": 0.5, "fr": 0.25, "es": 0.1}
+    a = mixture_sample(docs, w, default_weight=0.05).select("doc_id").collect()
+    b = mixture_sample(docs, w, default_weight=0.05).select("doc_id").collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+    kept = mixture_sample(docs, w, default_weight=0.05)
+    rates = {
+        r["lang"]: r["rate"]
+        for r in kept.groupBy("lang").count()
+        .join(docs.groupBy("lang").agg(F.count("*").alias("n")), "lang")
+        .select("lang", (F.col("count") / F.col("n")).alias("rate"))
+        .collect()
+    }
+    for lang, weight in w.items():
+        # Bernoulli over ~60-220 rows per lang: generous 3-sigma-ish band
+        tol = 3 * (weight * (1 - weight) / 60) ** 0.5 + 0.02
+        assert abs(rates[lang] - weight) < tol, (lang, rates[lang], weight)
+
+
+def test_mixture_sample_is_scan_local(docs):
+    plan = mixture_sample(docs, {"en": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_validates_weights(docs):
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"en": 1.5})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"en": 0.5}, default_weight=-0.1)
+
+
+def test_token_budget_exact_prefix(docs, spark):
+    budgets = {"en": 3000, "de": 1200, "zh": 600}
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    out = token_budget_sample(d, budgets, token_col="n_tokens", salt="budget-v1")
+    rows = out.collect()
+    # only budgeted groups appear, and budgets are never exceeded
+    per_group_max = {}
+    for r in rows:
+        assert r["lang"] in budgets
+        per_group_max[r["lang"]] = max(per_group_max.get(r["lang"], 0), r["running_tokens"])
+    for g, m in per_group_max.items():
+        assert m <= budgets[g]
+
+    # prefix is maximal: the hash-order successor of each group's last
+    # kept row would overflow the budget (recompute the order in python)
+    import hashlib
+
+    all_rows = d.filter(F.col("lang").isin(*budgets)).collect()
+    by_group = {}
+    for r in all_rows:
+        u = int(hashlib.md5(f"{r.doc_id}budget-v1".encode()).hexdigest()[:8], 16) / 2**32
+        by_group.setdefault(r.lang, []).append((u, r.doc_id, r.n_tokens))
+    kept_ids = {r.doc_id for r in rows}
+    for g, items in by_group.items():
+        items.sort()
+        running = 0
+        for u, doc_id, n in items:
+            running += n
+            if running <= budgets[g]:
+                assert doc_id in kept_ids, (g, doc_id)
+            else:
+                assert doc_id not in kept_ids, (g, doc_id)
+                break  # rows after the first overflow needn't be checked
+
+
+def test_token_budget_validates(docs):
+    with pytest.raises(ValueError):
+        token_budget_sample(docs, {"en": -1})
