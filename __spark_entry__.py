@@ -2744,6 +2744,99 @@ def q_cdc_incremental_minhash_index(spark, sf_dir):
     )
 
 
+def q_cdc_incremental_ann_index(spark, sf_dir):
+    """CDC x similarity-search COMPOSITION: an IVF ANN index over the
+    transcript table's turn embeddings maintained INCREMENTALLY from
+    the engine's changelog. Apply batch 1; derive deterministic
+    feature-hashing embeddings (similarity.hashed_embedding — pure
+    Catalyst, a pure function of the text) per (conv_id, turn_idx);
+    train the coarse quantizer ONCE at that snapshot; build the full
+    cell-assignment index. Apply the rest; refresh the index from
+    read_changes under the FROZEN centroids (touched keys re-embedded
+    and re-assigned, untouched carried, deleted dropped) and assert it
+    equals a full re-assign of the final table — the FAISS-style
+    add/remove maintenance contract whose cost tracks the working set,
+    not the corpus. Oracle: the SQL twin re-derives the turn counts at
+    both snapshots and the touched-key count from the flat dump (same
+    LWW/diff CTEs as the changelog row) and pins the equivalence
+    booleans."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.functions.similarity import (
+        hashed_embedding,
+        incremental_ivf_index,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    def turn_emb(df):
+        return df.select(
+            "conv_id", "turn_idx",
+            hashed_embedding(F.col("text"), dim=16).alias("embedding"),
+        )
+
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    _write_changelog_cut(ev)
+    work = tempfile.mkdtemp(prefix="mts_entry_incann_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    try:
+        write_batches(ev, in_dir, n_batches=3)
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run(max_batches=1)
+        v1 = job.table.current_version()
+        emb1 = turn_emb(job.table.read(spark, version=v1))
+        cents = train_ivf_centroids(emb1, n_cells=8, seed=42)
+        i1 = {
+            (r.conv_id, r.turn_idx): r.cell
+            for r in ivf_assign(
+                emb1, cents, id_cols=("conv_id", "turn_idx")
+            ).collect()
+        }
+        job.run()  # remaining batches (applied ones fence out)
+        changes = job.table.read_changes(spark, v1)
+        touched = {
+            (r.conv_id, r.turn_idx)
+            for r in changes.select("conv_id", "turn_idx").distinct().collect()
+        }
+        final = job.table.read(spark)
+        prev = spark.createDataFrame(
+            [(c, t, cell) for (c, t), cell in i1.items()],
+            "conv_id string, turn_idx int, cell int",
+        )
+        inc = {
+            (r.conv_id, r.turn_idx): r.cell
+            for r in incremental_ivf_index(
+                turn_emb(final), prev, changes, cents
+            ).collect()
+        }
+        full = {
+            (r.conv_id, r.turn_idx): r.cell
+            for r in ivf_assign(
+                turn_emb(final), cents, id_cols=("conv_id", "turn_idx")
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    changed_keys = {k for k in set(i1) | set(inc) if i1.get(k) != inc.get(k)}
+    return spark.createDataFrame(
+        [
+            (
+                len(i1),
+                len(full),
+                len(touched),
+                inc == full,
+                len(changed_keys - touched) == 0,
+            )
+        ],
+        "n_turns_v1 long, n_turns_final long, n_touched_turns long, "
+        "incremental_equals_full boolean, changes_confined_to_touched boolean",
+    )
+
+
 def q_cdc_point_read_pruned(spark, sf_dir):
     """Serving path: engine apply -> ``LakeTable.read_for_keys`` (the
     bucket-pruned point lookup) for the three lexicographically-first
@@ -3347,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_stream": q_cdc_changelog_stream,
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
         "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
+        "cdc_incremental_ann_index": q_cdc_incremental_ann_index,
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
         "cdc_bloom_read_pruned": q_cdc_bloom_read_pruned,
         "cdc_ts_range_read_pruned": q_cdc_ts_range_read_pruned,
@@ -4960,6 +5054,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(DISTINCT conv_id) FROM s1) AS n_convs_v1,
                    (SELECT count(DISTINCT conv_id) FROM sf) AS n_convs_final,
                    (SELECT count(DISTINCT conv_id) FROM diff) AS n_touched_convs,
+                   true AS incremental_equals_full,
+                   true AS changes_confined_to_touched
+        """,
+        # Incremental-ANN-index oracle: same LWW/diff CTEs at TURN
+        # granularity — turn counts at the batch-1 snapshot and the
+        # final state, plus the touched-(conv_id,turn_idx) count; the
+        # incremental==full and confinement booleans are pinned (the
+        # embeddings/centroids are engine-side; equality is asserted
+        # in-engine and in tests/test_ivf_incremental.py).
+        "cdc_incremental_ann_index": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), cut AS (SELECT bf, bp FROM read_parquet('{CHANGELOG_CUT_DUMP}')),
+            s1 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                    WHERE file < (SELECT bf FROM cut)
+                       OR (file = (SELECT bf FROM cut) AND pos <= (SELECT bp FROM cut))
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            ), sf AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            ), diff AS (
+                SELECT COALESCE(sf.conv_id, s1.conv_id) AS conv_id,
+                       COALESCE(sf.turn_idx, s1.turn_idx) AS turn_idx
+                FROM s1 FULL OUTER JOIN sf
+                  ON s1.conv_id = sf.conv_id AND s1.turn_idx = sf.turn_idx
+                WHERE s1.conv_id IS NULL OR sf.conv_id IS NULL
+                   OR s1.role IS DISTINCT FROM sf.role
+                   OR s1.text IS DISTINCT FROM sf.text
+                   OR s1.tool IS DISTINCT FROM sf.tool
+                   OR s1.ts_text IS DISTINCT FROM sf.ts_text
+                   OR s1.score IS DISTINCT FROM sf.score
+            )
+            SELECT (SELECT count(*) FROM s1) AS n_turns_v1,
+                   (SELECT count(*) FROM sf) AS n_turns_final,
+                   (SELECT count(*) FROM diff) AS n_touched_turns,
                    true AS incremental_equals_full,
                    true AS changes_confined_to_touched
         """,

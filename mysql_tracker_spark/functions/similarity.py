@@ -96,6 +96,151 @@ def cosine_near_dups(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse IVF quantizer training: Lloyd iterations on one bounded
+    driver-side sample (spherical k-means — centroids re-normalized to
+    the unit sphere each step, so assignment == max cosine). Returns
+    the ``(n_cells, dim)`` unit-norm centroid matrix; at any corpus
+    size the collected sample is ``sample`` rows, never the table."""
+    samp = np.array(
+        [r[0] for r in vectors.select(vec_col).limit(sample).collect()],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(samp, axis=1, keepdims=True)
+    samp = samp / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = samp[rng.choice(len(samp), size=min(n_cells, len(samp)), replace=False)]
+    for _ in range(iters):
+        sims = samp @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = samp[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_cols: tuple[str, ...] = ("vec_id",),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(*id_cols, cell)`` — nearest-centroid (max-cosine) home-cell
+    assignment: the IVF INDEX table for a vector corpus. One vectorized
+    matmul per Arrow batch, centroids broadcast via closure —
+    scan-local, zero shuffles, deterministic (pure function of the
+    vector), so replays and re-partitionings re-derive identical
+    cells."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _home(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
+
+    # Generator barrier (same device as text.py's inline barrier): when
+    # vec_col is a DERIVED higher-order expression (hashed_embedding),
+    # projection collapse would inline the lambda-bearing HOF into the
+    # PythonUDF argument, which Catalyst cannot always extract — it then
+    # evaluates the PythonUDF interpreted and throws INTERNAL_ERROR. The
+    # inline() Generate node pins the embedding projection below the UDF.
+    pre = vectors.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    *[F.col(c) for c in id_cols], F.col(vec_col).alias("__emb")
+                )
+            )
+        )
+    )
+    return pre.select(*id_cols, _home(F.col("__emb")).alias("cell"))
+
+
+def incremental_ivf_index(
+    table_emb: DataFrame,
+    prev_index: DataFrame,
+    changes: DataFrame,
+    centroids: np.ndarray,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incrementally maintain the :func:`ivf_assign` ANN index from a
+    CDC changelog (``LakeTable.read_changes`` output): cells for keys
+    touched by the change set are recomputed from the current table's
+    embeddings, untouched rows carry forward from ``prev_index``, and
+    deleted keys drop out (touched, no surviving row). Centroids are
+    FROZEN between refreshes — the standard IVF maintenance contract
+    (FAISS add/remove against a trained quantizer); retrain + full
+    re-assign only on an explicit invalidation (e.g. when cell-size
+    skew degrades probe recall). Same working-set cost model as
+    ``conversations.incremental_conv_signatures``: at 10^10 rows the
+    per-batch refresh embeds and assigns only touched keys, never the
+    corpus. Equivalence to a full re-assign under the same centroids
+    is asserted in tests and in the cdc_incremental_ann_index contract
+    row."""
+    keys = list(key_cols)
+    touched = changes.select(*keys).distinct()
+    refreshed = ivf_assign(
+        table_emb.join(touched, keys, "left_semi"),
+        centroids,
+        id_cols=tuple(keys),
+        vec_col=vec_col,
+    )
+    carried = prev_index.join(touched, keys, "left_anti")
+    return carried.unionByName(refreshed)
+
+
+def hashed_embedding(text_col: Column, dim: int = 16, seed: int = 42) -> Column:
+    """Deterministic feature-hashing text embedding (the "hashing
+    trick", Weinberger et al. 2009): each whitespace token lands in
+    bucket ``xxhash64(token, seed) mod dim`` with a ±1 sign from an
+    independent hash; the embedding is the signed bucket-count vector
+    as ``array<double>``.
+
+    This is the engine's embedding seam for tables that carry no model
+    embeddings: a pure-Catalyst, scan-local derivation (no Python, no
+    shuffle) that is a pure function of the text — so CDC replays,
+    retries and incremental index refreshes re-derive byte-identical
+    vectors, which is what makes :func:`incremental_ivf_index` over a
+    TEXT table exactly equal a full recompute. The token array is
+    let-bound (``text.let_``) so the split pipeline evaluates once per
+    row, not once per output coordinate."""
+    from .text import let_
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(text_col, F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+
+    def body(ts: Column) -> Column:
+        def coord(i: Column) -> Column:
+            def add(acc: Column, t: Column) -> Column:
+                sign = F.when(
+                    F.pmod(F.xxhash64(t, F.lit(seed + 1)), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                hit = F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(dim)) == i
+                return acc + F.when(hit, sign).otherwise(F.lit(0.0))
+
+            return F.aggregate(ts, F.lit(0.0), add)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), coord)
+
+    return let_(toks, body)
+
+
 def ann_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -115,8 +260,8 @@ def ann_ivf(
     ``n_probe`` nearest cells and re-ranks only those candidates
     exactly.
 
-    Scale shape: training runs on a bounded driver-side SAMPLE (k-means
-    on ``sample`` vectors is tiny); the centroid matrix broadcasts via
+    Scale shape: training runs on a bounded driver-side SAMPLE
+    (:func:`train_ivf_centroids`); the centroid matrix broadcasts via
     closure; cell assignment is one vectorized pandas-UDF matmul per
     Arrow batch; the candidate join is an equi-join on cell id — at
     10^9+ vectors the vectors side can be bucketed/partitioned by cell
@@ -126,24 +271,10 @@ def ann_ivf(
     """
     from pyspark.sql import types as T
 
-    # --- train: bounded sample -> lloyd iterations on the driver ------
-    samp = np.array(
-        [r[0] for r in vectors.select(vec_col).limit(sample).collect()],
-        dtype=np.float64,
-    )
-    norms = np.linalg.norm(samp, axis=1, keepdims=True)
-    samp = samp / np.maximum(norms, 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = samp[rng.choice(len(samp), size=min(n_cells, len(samp)), replace=False)]
-    for _ in range(iters):
-        sims = samp @ cent.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(cent)):
-            members = samp[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
-    C = cent  # (cells, dim), unit norm
+    C = train_ivf_centroids(
+        vectors, n_cells=n_cells, sample=sample, iters=iters, seed=seed,
+        vec_col=vec_col,
+    )  # (cells, dim), unit norm
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vs: pd.Series) -> pd.Series:

@@ -1,0 +1,159 @@
+"""Incremental IVF ANN-index maintenance (similarity.ivf_assign /
+incremental_ivf_index) and the hashed_embedding derivation it indexes:
+the FAISS-style add/remove-under-a-frozen-quantizer contract, driven by
+the engine's own changelog."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from mysql_tracker_spark.functions.similarity import (
+    hashed_embedding,
+    incremental_ivf_index,
+    ivf_assign,
+    train_ivf_centroids,
+)
+from mysql_tracker_spark.lakestore import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+T0 = dt.datetime(1995, 1, 1)
+
+
+def _turn_emb(df):
+    return df.select(
+        "conv_id", "turn_idx", hashed_embedding(F.col("text"), dim=8).alias("embedding")
+    )
+
+
+def _rows(n_convs=12, turns=4):
+    out = []
+    for c in range(n_convs):
+        for t in range(turns):
+            out.append(
+                (
+                    f"conv{c:03d}",
+                    t,
+                    "user" if t % 2 == 0 else "assistant",
+                    f"turn text {c} {t} " + ("alpha beta " * (c % 3 + 1)),
+                    T0 + dt.timedelta(seconds=45 * t),
+                )
+            )
+    return out
+
+
+def _index_map(df):
+    return {(r.conv_id, r.turn_idx): r.cell for r in df.collect()}
+
+
+def test_hashed_embedding_deterministic_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [("a", "hello world hello"), ("b", None), ("c", ""), ("d", "  spaced   out ")],
+        "id string, text string",
+    )
+    e1 = {r.id: tuple(r.e) for r in df.select("id", hashed_embedding(F.col("text")).alias("e")).collect()}
+    e2 = {
+        r.id: tuple(r.e)
+        for r in df.repartition(7)
+        .select("id", hashed_embedding(F.col("text")).alias("e"))
+        .collect()
+    }
+    assert e1 == e2  # pure function of the text, layout-independent
+    assert e1["b"] == e1["c"] == (0.0,) * 16  # null/empty -> zero vector
+    assert any(v != 0.0 for v in e1["a"])
+    # repeated token counts, not just presence: "hello" x2 has twice the weight
+    single = {
+        r.id: tuple(r.e)
+        for r in spark.createDataFrame([("a", "hello world")], "id string, text string")
+        .select("id", hashed_embedding(F.col("text")).alias("e"))
+        .collect()
+    }
+    assert sum(abs(v) for v in e1["a"]) > sum(abs(v) for v in single["a"])
+
+
+def test_ivf_assign_deterministic_across_layout(spark):
+    df = _turn_emb(spark.createDataFrame(_rows(), SCHEMA))
+    cents = train_ivf_centroids(df, n_cells=4, seed=7)
+    a = _index_map(ivf_assign(df, cents, id_cols=("conv_id", "turn_idx")))
+    b = _index_map(
+        ivf_assign(df.repartition(11), cents, id_cols=("conv_id", "turn_idx"))
+    )
+    assert a == b
+    assert len(set(a.values())) > 1  # a real partition of the corpus
+
+
+def test_incremental_ivf_matches_full_reassign(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    t.overwrite(spark.createDataFrame(_rows(), SCHEMA))
+    v1 = t.current_version()
+    emb1 = _turn_emb(t.read(spark))
+    cents = train_ivf_centroids(emb1, n_cells=4, seed=7)
+    prev = ivf_assign(emb1, cents, id_cols=("conv_id", "turn_idx")).localCheckpoint()
+
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("__delete", T.BooleanType())])
+    ch = spark.createDataFrame(
+        [
+            # update: text change moves the embedding (and maybe the cell)
+            ("conv001", 1, "assistant", "completely different reply gamma", T0, False),
+            # delete a whole turn
+            ("conv002", 3, None, None, None, True),
+            # brand-new conversation
+            ("conv999", 0, "user", "fresh question delta", T0, False),
+            ("conv999", 1, "assistant", "fresh answer epsilon", T0, False),
+        ],
+        ch_schema,
+    )
+    t.merge(spark, ch)
+    changes = t.read_changes(spark, v1)
+    final_emb = _turn_emb(t.read(spark))
+
+    inc = _index_map(incremental_ivf_index(final_emb, prev, changes, cents))
+    full = _index_map(ivf_assign(final_emb, cents, id_cols=("conv_id", "turn_idx")))
+    assert inc == full
+    assert ("conv002", 3) not in inc  # deleted key dropped out
+    assert ("conv999", 0) in inc and ("conv999", 1) in inc
+
+    # untouched keys carried forward bit-identically from prev
+    touched = {(r.conv_id, r.turn_idx) for r in changes.select("conv_id", "turn_idx").collect()}
+    prev_map = _index_map(prev)
+    for k, cell in inc.items():
+        if k not in touched and k in prev_map:
+            assert cell == prev_map[k]
+
+
+def test_incremental_refresh_embeds_only_touched_keys(spark, tmp_path):
+    """The refresh side's embedding recompute is confined to the
+    touched working set: the refreshed half of the union contains
+    exactly the touched-and-surviving keys (carry side covers the
+    rest), so per-batch cost tracks the change set, not the corpus."""
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    t.overwrite(spark.createDataFrame(_rows(), SCHEMA))
+    v1 = t.current_version()
+    emb1 = _turn_emb(t.read(spark))
+    cents = train_ivf_centroids(emb1, n_cells=4, seed=7)
+
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("__delete", T.BooleanType())])
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("conv003", 0, "user", "edited zeta", T0, False)], ch_schema
+        ),
+    )
+    changes = t.read_changes(spark, v1)
+    final_emb = _turn_emb(t.read(spark))
+    touched = changes.select("conv_id", "turn_idx").distinct()
+    refreshed = final_emb.join(touched, ["conv_id", "turn_idx"], "left_semi")
+    assert refreshed.count() == 1  # one touched surviving key -> one re-embed
