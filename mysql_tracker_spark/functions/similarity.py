@@ -202,6 +202,63 @@ def incremental_ivf_index(
     return carried.unionByName(refreshed)
 
 
+def ivf_cell_stats(index: DataFrame) -> DataFrame:
+    """``(cell, n)`` occupancy of an :func:`ivf_assign` index — one
+    hash aggregation with map-side partials; at most ``n_cells`` rows
+    out."""
+    return index.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def ivf_skew(index: DataFrame, n_cells: int) -> float:
+    """Cell-balance factor of an IVF index: ``max cell share x
+    n_cells`` (perfectly balanced == 1.0; one cell holding everything
+    == n_cells). This is the documented RETRAIN TRIGGER for
+    :func:`incremental_ivf_index`'s frozen-centroid contract: drifted
+    data piles into few cells, probe recall degrades, and a skew above
+    a deployment bound (~4x is a common FAISS rule of thumb) means
+    invalidate the view, retrain centroids on a fresh sample and
+    re-assign once. Collects <= n_cells count rows — driver-safe at
+    any corpus size."""
+    rows = ivf_cell_stats(index).collect()
+    total = sum(r.n for r in rows)
+    if not total:
+        return 0.0
+    return max(r.n for r in rows) * n_cells / total
+
+
+def ann_index_view(
+    table,
+    view_dir: str,
+    centroids: np.ndarray,
+    embed,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    keep_last: int = 2,
+):
+    """The incremental IVF index packaged as a lakestore
+    :class:`~mysql_tracker_spark.views.MaterializedView`: call
+    ``sync(spark)`` after each micro-batch and the ANN index follows
+    the table — bootstrap is one full :func:`ivf_assign`, every later
+    sync is an :func:`incremental_ivf_index` working-set refresh, and
+    the view layer supplies the crash-safety/idempotence/no-op-at-
+    unchanged-version guarantees. ``embed`` maps the table DataFrame
+    to ``(*key_cols, embedding)`` (e.g. :func:`hashed_embedding` over
+    the text column, or a passthrough for tables that store model
+    vectors)."""
+    from ..views import MaterializedView
+
+    keys = tuple(key_cols)
+
+    def bootstrap(tdf: DataFrame) -> DataFrame:
+        return ivf_assign(embed(tdf), centroids, id_cols=keys)
+
+    def refresh(tdf: DataFrame, prev: DataFrame, changes: DataFrame) -> DataFrame:
+        return incremental_ivf_index(
+            embed(tdf), prev, changes, centroids, key_cols=keys
+        )
+
+    return MaterializedView(table, view_dir, bootstrap, refresh, keep_last=keep_last)
+
+
 def hashed_embedding(text_col: Column, dim: int = 16, seed: int = 42) -> Column:
     """Deterministic feature-hashing text embedding (the "hashing
     trick", Weinberger et al. 2009): each whitespace token lands in

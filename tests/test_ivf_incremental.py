@@ -132,6 +132,65 @@ def test_incremental_ivf_matches_full_reassign(spark, tmp_path):
             assert cell == prev_map[k]
 
 
+def test_ann_index_view_follows_the_table(spark, tmp_path):
+    """The incremental IVF index packaged as a MaterializedView: sync
+    after each commit keeps it equal to a full re-assign, and a sync at
+    an unchanged version is a no-op."""
+    from mysql_tracker_spark.functions.similarity import ann_index_view
+
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    t.overwrite(spark.createDataFrame(_rows(), SCHEMA))
+    cents = train_ivf_centroids(_turn_emb(t.read(spark)), n_cells=4, seed=7)
+    view = ann_index_view(t, str(tmp_path / "view"), cents, _turn_emb)
+
+    assert view.sync(spark) is True  # bootstrap
+    assert view.sync(spark) is False  # unchanged version -> no-op
+    full0 = _index_map(ivf_assign(_turn_emb(t.read(spark)), cents, id_cols=("conv_id", "turn_idx")))
+    assert _index_map(view.read(spark)) == full0
+
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("__delete", T.BooleanType())])
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [
+                ("conv000", 0, "user", "rewritten opener eta", T0, False),
+                ("conv001", 2, None, None, None, True),
+                ("conv777", 0, "user", "another thread theta", T0, False),
+            ],
+            ch_schema,
+        ),
+    )
+    assert view.sync(spark) is True  # incremental refresh
+    full1 = _index_map(ivf_assign(_turn_emb(t.read(spark)), cents, id_cols=("conv_id", "turn_idx")))
+    assert _index_map(view.read(spark)) == full1
+    assert ("conv001", 2) not in full1
+
+
+def test_ivf_skew_flags_drifted_corpus(spark):
+    """The retrain trigger: a balanced corpus sits near skew 1, a
+    drifted corpus piling into one cell approaches n_cells."""
+    from mysql_tracker_spark.functions.similarity import ivf_skew
+
+    df = _turn_emb(spark.createDataFrame(_rows(), SCHEMA))
+    cents = train_ivf_centroids(df, n_cells=4, seed=7)
+    balanced = ivf_assign(df, cents, id_cols=("conv_id", "turn_idx"))
+    s_bal = ivf_skew(balanced, n_cells=4)
+    assert 1.0 <= s_bal < 4.0
+
+    drifted_rows = [
+        (f"drift{c:03d}", 0, "user", "same drifted text iota kappa", T0)
+        for c in range(40)
+    ]
+    drifted = _turn_emb(spark.createDataFrame(drifted_rows, SCHEMA))
+    s_drift = ivf_skew(
+        ivf_assign(drifted, cents, id_cols=("conv_id", "turn_idx")), n_cells=4
+    )
+    assert s_drift == 4.0  # every vector identical -> one cell holds all
+    assert s_drift > s_bal
+
+
 def test_incremental_refresh_embeds_only_touched_keys(spark, tmp_path):
     """The refresh side's embedding recompute is confined to the
     touched working set: the refreshed half of the union contains
