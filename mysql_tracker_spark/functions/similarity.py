@@ -34,6 +34,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_clamped(a: Column, b: Column) -> Column:
+    """Cosine with the norm product clamped away from zero (the same
+    1e-12 floor every vectorized kernel here uses): a zero vector
+    scores 0 against everything instead of raising ANSI
+    DIVIDE_BY_ZERO. Derived embeddings (``hashed_embedding`` of an
+    empty or sign-cancelling text) CAN be exactly zero, so the serving
+    path must tolerate them; :func:`cosine` stays strict for corpora
+    where a zero vector indicates corrupt input."""
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
+
+
 def knn_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -257,6 +268,87 @@ def ann_index_view(
         )
 
     return MaterializedView(table, view_dir, bootstrap, refresh, keep_last=keep_last)
+
+
+def _probe_cells_udf(centroids: np.ndarray, n_probe: int):
+    """Pandas UDF: each query vector's ``n_probe`` nearest cells (max
+    cosine against the broadcast unit-norm centroid matrix)."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n = min(n_probe, len(C))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(M @ C.T), axis=1)[:, :n]
+        return pd.Series(list(top.astype("int32")))
+
+    return _probe
+
+
+def ann_search_indexed(
+    vectors: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k cosine search SERVED FROM a maintained index
+    (:func:`ivf_assign` output / a synced :func:`ann_index_view`):
+    queries probe their ``n_probe`` nearest cells, the INDEX — not a
+    fresh corpus-wide cell assignment — supplies the candidate keys in
+    those cells, and only those keys' vectors are fetched and re-ranked
+    exactly. Returns ``(query_id, *key_cols, cos, rank)``.
+
+    This is the read path the incremental maintenance exists for: the
+    per-query cost is ``n_probe/n_cells`` of the corpus via one
+    broadcast of the (small) probe set against the index, then an
+    equi-join on the table key to fetch candidate vectors — at 10^10
+    rows that key join is bucket-co-partitioned with the table, so a
+    probe touches only the candidate keys' buckets. With ``n_probe ==
+    n_cells`` the result is EXACTLY brute force (asserted in tests);
+    smaller probes trade recall for cost like any IVF deployment."""
+    keys = list(key_cols)
+    probe = _probe_cells_udf(centroids, n_probe)
+    # same generator barrier as ivf_assign: query embeddings may be
+    # derived HOF expressions (hashed_embedding)
+    qpre = queries.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(vec_col).alias("__qv"),
+                )
+            )
+        )
+    )
+    q = qpre.select(
+        "query_id", "__qv", F.explode(probe(F.col("__qv"))).alias("cell")
+    )
+    cands = index.join(F.broadcast(q), "cell").select("query_id", "__qv", *keys)
+    v = vectors.select(*keys, F.col(vec_col).alias("__v"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), *[F.asc(c) for c in keys]
+    )
+    return (
+        cands.join(v, keys)
+        .select(
+            "query_id",
+            *keys,
+            F.round(cosine_clamped(F.col("__qv"), F.col("__v")), round_to).alias("cos"),
+        )
+        .dropDuplicates(["query_id", *keys])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", *keys, "cos", "rank")
+    )
 
 
 def hashed_embedding(text_col: Column, dim: int = 16, seed: int = 42) -> Column:

@@ -191,6 +191,120 @@ def test_ivf_skew_flags_drifted_corpus(spark):
     assert s_drift > s_bal
 
 
+def _queries_df(spark):
+    rows = [
+        ("q0", "turn text 3 1 alpha beta"),
+        ("q1", "completely unrelated words sigma tau"),
+        ("q2", "alpha beta alpha beta alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, "query_id string, text string")
+    return df.select(
+        "query_id", hashed_embedding(F.col("text"), dim=8).alias("embedding")
+    )
+
+
+def test_indexed_search_full_probe_equals_brute_force(spark):
+    """Serving path: with n_probe == n_cells, searching FROM the index
+    returns exactly the brute-force top-k (rounded-cosine ordering,
+    key-order tie-break) — recomputed independently in numpy."""
+    from mysql_tracker_spark.functions.similarity import ann_search_indexed
+
+    emb = _turn_emb(spark.createDataFrame(_rows(), SCHEMA))
+    cents = train_ivf_centroids(emb, n_cells=4, seed=7)
+    index = ivf_assign(emb, cents, id_cols=("conv_id", "turn_idx"))
+    res = ann_search_indexed(
+        emb, index, cents, _queries_df(spark), k=3, n_probe=4
+    ).collect()
+
+    corpus = {(r.conv_id, r.turn_idx): np.array(r.embedding) for r in emb.collect()}
+    qs = {r.query_id: np.array(r.embedding) for r in _queries_df(spark).collect()}
+    expected = set()
+    for qid, qv in qs.items():
+        scored = []
+        for key, v in corpus.items():
+            c = float(qv @ v) / max(np.linalg.norm(qv) * np.linalg.norm(v), 1e-12)
+            scored.append((round(c, 6), key))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (c, key) in enumerate(scored[:3], 1):
+            expected.add((qid, key[0], key[1], c, rank))
+    got = {(r.query_id, r.conv_id, r.turn_idx, r.cos, r.rank) for r in res}
+    assert got == expected
+
+
+def test_indexed_search_partial_probe_confined_and_subset(spark):
+    """With a partial probe, every hit comes from a probed cell and the
+    hit set is a subset of the full-probe result."""
+    from mysql_tracker_spark.functions.similarity import ann_search_indexed
+
+    emb = _turn_emb(spark.createDataFrame(_rows(), SCHEMA))
+    cents = train_ivf_centroids(emb, n_cells=4, seed=7)
+    index = ivf_assign(emb, cents, id_cols=("conv_id", "turn_idx"))
+    qdf = _queries_df(spark)
+    part = ann_search_indexed(emb, index, cents, qdf, k=3, n_probe=1).collect()
+    full = {
+        (r.query_id, r.conv_id, r.turn_idx)
+        for r in ann_search_indexed(emb, index, cents, qdf, k=3, n_probe=4).collect()
+    }
+    cells = _index_map(index)
+    # probe set re-derived independently in numpy (n_probe=1 -> argmax)
+    probes = {}
+    for r in qdf.collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        probes[r.query_id] = {int((v @ cents.T).argmax())}
+    assert part  # probe-1 still finds something on this corpus
+    for r in part:
+        assert cells[(r.conv_id, r.turn_idx)] in probes[r.query_id]
+    # a query whose global best lives in its probed cell must return it
+    best_full = {}
+    for r in ann_search_indexed(emb, index, cents, qdf, k=3, n_probe=4).collect():
+        if r.rank == 1:
+            best_full[r.query_id] = (r.conv_id, r.turn_idx)
+    best_part = {r.query_id: (r.conv_id, r.turn_idx) for r in part if r.rank == 1}
+    for qid, key in best_full.items():
+        if cells[key] in probes[qid]:
+            assert best_part[qid] == key
+    assert full  # sanity: full probe produced results
+
+
+def test_indexed_search_from_synced_view_matches_full_reassign(spark, tmp_path):
+    from mysql_tracker_spark.functions.similarity import (
+        ann_index_view,
+        ann_search_indexed,
+    )
+
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    t.overwrite(spark.createDataFrame(_rows(), SCHEMA))
+    cents = train_ivf_centroids(_turn_emb(t.read(spark)), n_cells=4, seed=7)
+    view = ann_index_view(t, str(tmp_path / "view"), cents, _turn_emb)
+    view.sync(spark)
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("__delete", T.BooleanType())])
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("conv005", 2, "assistant", "revised answer lambda", T0, False)],
+            ch_schema,
+        ),
+    )
+    view.sync(spark)
+    emb = _turn_emb(t.read(spark))
+    qdf = _queries_df(spark)
+    from_view = ann_search_indexed(emb, view.read(spark), cents, qdf, k=3, n_probe=2)
+    from_full = ann_search_indexed(
+        emb,
+        ivf_assign(emb, cents, id_cols=("conv_id", "turn_idx")),
+        cents,
+        qdf,
+        k=3,
+        n_probe=2,
+    )
+    a = {tuple(r) for r in from_view.collect()}
+    b = {tuple(r) for r in from_full.collect()}
+    assert a == b and a
+
+
 def test_incremental_refresh_embeds_only_touched_keys(spark, tmp_path):
     """The refresh side's embedding recompute is confined to the
     touched working set: the refreshed half of the union contains
