@@ -250,6 +250,72 @@ def incremental_conv_signatures(
     return carried.unionByName(refreshed)
 
 
+def conv_band_index(
+    df: DataFrame, k: int = 32, bands: int = 8, n: int = 3, seed: int = 42
+) -> DataFrame:
+    """``(id, band, bh)`` — the persistent LSH BAND table over
+    per-conversation MinHash signatures (:func:`conv_signatures`,
+    Catalyst hash family): the index an at-ingest near-dup gate probes
+    with ``sketches.near_dup_lookup(use_fast=False)``."""
+    from .sketches import banded_signature_index
+
+    return banded_signature_index(
+        conv_signatures(df, k=k, n=n, seed=seed),
+        id_col="conv_id",
+        sig_col="sig",
+        k=k,
+        bands=bands,
+    )
+
+
+def incremental_conv_band_index(
+    table: DataFrame,
+    prev_index: DataFrame,
+    changes: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Incrementally maintain :func:`conv_band_index` from a CDC
+    changelog: touched conversations re-signed and re-banded from the
+    current table, untouched band rows carried forward, deleted
+    conversations drop out. Same working-set cost model as
+    :func:`incremental_conv_signatures` — per batch the corpus is
+    never re-shingled, only changed conversations are."""
+    touched = changes.select("conv_id").distinct()
+    refreshed = conv_band_index(
+        table.join(touched, "conv_id", "left_semi"), k=k, bands=bands, n=n, seed=seed
+    )
+    carried = prev_index.join(
+        touched, prev_index["id"] == touched["conv_id"], "left_anti"
+    )
+    return carried.unionByName(refreshed)
+
+
+def conv_band_index_view(
+    table, view_dir: str, k: int = 32, bands: int = 8, n: int = 3,
+    seed: int = 42, keep_last: int = 2,
+):
+    """:func:`conv_band_index` packaged as a lakestore
+    ``MaterializedView`` (the text twin of
+    ``similarity.ann_index_view``): one ``sync(spark)`` per micro-batch
+    keeps the near-dup gate's index in lock-step with the transcript
+    table, with the view layer's crash-safety and no-op-at-unchanged-
+    version semantics."""
+    from ..views import MaterializedView
+
+    def bootstrap(tdf: DataFrame) -> DataFrame:
+        return conv_band_index(tdf, k=k, bands=bands, n=n, seed=seed)
+
+    def refresh(tdf: DataFrame, prev: DataFrame, changes: DataFrame) -> DataFrame:
+        return incremental_conv_band_index(
+            tdf, prev, changes, k=k, bands=bands, n=n, seed=seed
+        )
+
+    return MaterializedView(table, view_dir, bootstrap, refresh, keep_last=keep_last)
+
+
 def boilerplate_turns(df: DataFrame, min_convs: int = 10) -> DataFrame:
     """``(text, n_convs, n_occurrences)`` — turn texts that appear in
     at least ``min_convs`` DISTINCT conversations, verbatim. These are

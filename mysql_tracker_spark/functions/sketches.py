@@ -323,6 +323,109 @@ def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def band_hashes(sig_col: Column, k: int = 32, bands: int = 8) -> Column:
+    """``array<struct<band:int, bh:bigint>>`` — the LSH band hashes of
+    a MinHash signature (k/bands rows per band, xxhash64 over each
+    slice). Factored out so the pair join (:func:`lsh_candidate_pairs`)
+    and the persistent band INDEX (:func:`banded_signature_index` /
+    lookup) band identically — a lookup against an index built by a
+    different banding would silently miss candidates."""
+    r = k // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(F.slice(sig_col, b * r + 1, r)).alias("bh"),
+        ),
+    )
+
+
+def banded_signature_index(
+    sigs: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """``(id, band, bh)`` — the persistent LSH BAND table of a
+    signature set: the index an at-ingest near-dup gate probes. One
+    narrow explode (``bands`` rows per doc), no shuffle; store it
+    partitioned/bucketed on ``(band, bh)`` and a probe's equi-join
+    touches only its own buckets."""
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(band_hashes(F.col(sig_col), k, bands)).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def near_dup_lookup(
+    probes: DataFrame,
+    band_index: DataFrame,
+    corpus_texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+    use_fast: bool = True,
+) -> DataFrame:
+    """At-ingest near-dup CHECK: probe INCOMING documents against a
+    maintained band index (:func:`banded_signature_index` output, e.g.
+    a synced materialized view) and return ``(probe_id, match_id,
+    jaccard)`` for every corpus member sharing >= 1 signature band,
+    verified by exact n-gram Jaccard >= threshold.
+
+    Scale shape — the reason the index exists: per batch, ONLY the new
+    documents are shingled/signed (bands x |batch| probe rows); the
+    corpus is touched via one equi-join on ``(band, bh)`` and the
+    candidate-only text fetch for exact verification. Nothing
+    corpus-sized is recomputed, which is what makes continuous dedup
+    against a 10^10-row corpus affordable. The probe's signature MUST
+    come from the same hash family AND ``(k, bands, n, seed)`` as the
+    index build: ``use_fast=True`` = Arrow ``minhash_signature_fast``
+    (SipHash grams), ``use_fast=False`` = Catalyst
+    ``minhash_signature`` (xxhash64 grams, what
+    ``conversations.conv_signatures`` uses) — the families are NOT
+    interchangeable and a mismatch silently matches nothing (tested)."""
+    sig_col = (
+        minhash_signature_fast(k, n, seed)(F.col(text_col))
+        if use_fast
+        else minhash_signature(F.col(text_col), k, n, seed)
+    )
+    sig = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(text_col).alias("__ptxt"),
+        sig_col.alias("__sig"),
+    )
+    probe_bands = sig.select(
+        "probe_id",
+        "__ptxt",
+        F.explode(band_hashes(F.col("__sig"), k, bands)).alias("e"),
+    ).select("probe_id", "__ptxt", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    cands = (
+        band_index.join(probe_bands, ["band", "bh"])
+        .filter(F.col("id") != F.col("probe_id"))  # re-ingest of the same key
+        .select("probe_id", "__ptxt", F.col("id").alias("match_id"))
+        .distinct()
+    )
+    corpus = corpus_texts.select(
+        F.col(id_col).alias("match_id"), F.col(text_col).alias("__mtxt")
+    )
+    return (
+        cands.join(corpus, "match_id")
+        .select(
+            "probe_id",
+            "match_id",
+            F.round(jaccard_ngram(F.col("__ptxt"), F.col("__mtxt"), n), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
