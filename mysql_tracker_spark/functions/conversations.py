@@ -28,6 +28,8 @@ partial aggregation. Nothing here is quadratic and nothing collects.
 """
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, functions as F, Window
 
 from .text import token_count
@@ -293,6 +295,9 @@ def incremental_conv_band_index(
     return carried.unionByName(refreshed)
 
 
+_BAND_PARAMS_FILE = "index_params.json"
+
+
 def conv_band_index_view(
     table, view_dir: str, k: int = 32, bands: int = 8, n: int = 3,
     seed: int = 42, keep_last: int = 2,
@@ -302,8 +307,37 @@ def conv_band_index_view(
     ``similarity.ann_index_view``): one ``sync(spark)`` per micro-batch
     keeps the near-dup gate's index in lock-step with the transcript
     table, with the view layer's crash-safety and no-op-at-unchanged-
-    version semantics."""
+    version semantics.
+
+    The index's PROVENANCE — hash family + (k, bands, n, seed) — is
+    stamped into ``index_params.json`` beside the view on first
+    construction and validated on every later one: an index is only
+    probeable under the exact banding it was built with, and a
+    parameter drift across restarts would otherwise mix incompatible
+    band rows (carried vs refreshed) with no error. Probe through
+    :func:`conv_gate_lookup`, which reads the stamp instead of trusting
+    the caller."""
+    import json
+
     from ..views import MaterializedView
+
+    os.makedirs(view_dir, exist_ok=True)
+    params = {"family": "catalyst", "k": k, "bands": bands, "n": n, "seed": seed}
+    ppath = os.path.join(view_dir, _BAND_PARAMS_FILE)
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"band index at {view_dir} was built with {stored}; got "
+                f"{params} — matching parameters are required (delete the "
+                "view dir to rebuild under new ones)"
+            )
+    else:
+        tmp = f"{ppath}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, ppath)
 
     def bootstrap(tdf: DataFrame) -> DataFrame:
         return conv_band_index(tdf, k=k, bands=bands, n=n, seed=seed)
@@ -314,6 +348,61 @@ def conv_band_index_view(
         )
 
     return MaterializedView(table, view_dir, bootstrap, refresh, keep_last=keep_last)
+
+
+def conv_gate_lookup(
+    spark,
+    view,
+    table_df: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The scale-correct at-ingest gate composition: check an INCOMING
+    transcript batch against a synced :func:`conv_band_index_view` and
+    return ``(probe_id, match_id, jaccard)`` near-dup flags.
+
+    Reads the banding parameters from the view's provenance stamp (so a
+    probe can never use the wrong hash family or (k, bands, n, seed) —
+    the silent-zero-matches trap), and restricts the corpus render to
+    the candidate conversations BEFORE the ``conv_full_text`` aggregate
+    (a semi-join on conv_id under the groupBy), so per batch the table
+    contributes only candidate rows — never a corpus-wide render."""
+    import json
+
+    from .sketches import jaccard_ngram, near_dup_candidates
+
+    with open(os.path.join(view.view_dir, _BAND_PARAMS_FILE)) as f:
+        p = json.load(f)
+    probes = conv_full_text(incoming)
+    cands = near_dup_candidates(
+        probes,
+        view.read(spark),
+        id_col="conv_id",
+        k=p["k"],
+        bands=p["bands"],
+        n=p["n"],
+        seed=p["seed"],
+        use_fast=(p["family"] == "fast"),
+    )
+    match_ids = cands.select(F.col("match_id").alias("conv_id")).distinct()
+    corpus = conv_full_text(table_df.join(match_ids, "conv_id", "left_semi")).select(
+        F.col("conv_id").alias("match_id"), F.col("text").alias("__mtxt")
+    )
+    ptxt = probes.select(
+        F.col("conv_id").alias("probe_id"), F.col("text").alias("__ptxt")
+    )
+    return (
+        cands.join(ptxt, "probe_id")
+        .join(corpus, "match_id")
+        .select(
+            "probe_id",
+            "match_id",
+            F.round(
+                jaccard_ngram(F.col("__ptxt"), F.col("__mtxt"), p["n"]), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def boilerplate_turns(df: DataFrame, min_convs: int = 10) -> DataFrame:

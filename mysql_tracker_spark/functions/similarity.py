@@ -240,7 +240,7 @@ def ivf_skew(index: DataFrame, n_cells: int) -> float:
 def ann_index_view(
     table,
     view_dir: str,
-    centroids: np.ndarray,
+    centroids: np.ndarray | None,
     embed,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     keep_last: int = 2,
@@ -254,8 +254,43 @@ def ann_index_view(
     unchanged-version guarantees. ``embed`` maps the table DataFrame
     to ``(*key_cols, embedding)`` (e.g. :func:`hashed_embedding` over
     the text column, or a passthrough for tables that store model
-    vectors)."""
+    vectors).
+
+    The quantizer is part of the index's identity: the centroid matrix
+    is PERSISTED beside the view on first construction and validated on
+    every later one — a restart that re-trained centroids (``limit()``
+    samples are partition-order dependent, and the table has grown)
+    would otherwise refresh touched keys under new cells while carrying
+    untouched rows assigned under the old ones, silently corrupting the
+    index. Pass ``centroids=None`` to load the persisted matrix; pass a
+    different matrix and construction raises — retraining means
+    deleting the view dir and rebuilding (the ``ivf_skew`` invalidation
+    path)."""
+    import os
+
     from ..views import MaterializedView
+
+    os.makedirs(view_dir, exist_ok=True)
+    cpath = os.path.join(view_dir, "centroids.npy")
+    if os.path.exists(cpath):
+        stored = np.load(cpath)
+        if centroids is None:
+            centroids = stored
+        elif not np.array_equal(stored, np.asarray(centroids, dtype=np.float64)):
+            raise ValueError(
+                f"ANN index at {view_dir} was assigned under a different "
+                "centroid matrix; pass centroids=None to reuse it, or delete "
+                "the view dir to retrain + rebuild"
+            )
+    else:
+        if centroids is None:
+            raise ValueError(
+                f"no persisted centroids at {cpath}: train "
+                "(train_ivf_centroids) and pass them on first construction"
+            )
+        tmp = os.path.join(view_dir, f".centroids.tmp-{os.getpid()}.npy")
+        np.save(tmp, np.asarray(centroids, dtype=np.float64))
+        os.replace(tmp, cpath)
 
     keys = tuple(key_cols)
 
@@ -365,7 +400,9 @@ def hashed_embedding(text_col: Column, dim: int = 16, seed: int = 42) -> Column:
     vectors, which is what makes :func:`incremental_ivf_index` over a
     TEXT table exactly equal a full recompute. The token array is
     let-bound (``text.let_``) so the split pipeline evaluates once per
-    row, not once per output coordinate."""
+    row, and each token's (bucket, sign) pair is let-bound inside the
+    single accumulator pass — 2 hashes per TOKEN, not 2 per (token x
+    coordinate), which matters on the 10^10-row scan this seam is for."""
     from .text import let_
 
     toks = F.filter(
@@ -374,18 +411,28 @@ def hashed_embedding(text_col: Column, dim: int = 16, seed: int = 42) -> Column:
     )
 
     def body(ts: Column) -> Column:
-        def coord(i: Column) -> Column:
-            def add(acc: Column, t: Column) -> Column:
-                sign = F.when(
+        def add(acc: Column, t: Column) -> Column:
+            bs = F.struct(
+                F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(dim))
+                .cast("int")
+                .alias("b"),
+                F.when(
                     F.pmod(F.xxhash64(t, F.lit(seed + 1)), F.lit(2)) == 0,
                     F.lit(1.0),
-                ).otherwise(F.lit(-1.0))
-                hit = F.pmod(F.xxhash64(t, F.lit(seed)), F.lit(dim)) == i
-                return acc + F.when(hit, sign).otherwise(F.lit(0.0))
+                )
+                .otherwise(F.lit(-1.0))
+                .alias("s"),
+            )
+            return let_(
+                bs,
+                lambda x: F.transform(
+                    acc,
+                    lambda v, i: v
+                    + F.when(i == x["b"], x["s"]).otherwise(F.lit(0.0)),
+                ),
+            )
 
-            return F.aggregate(ts, F.lit(0.0), add)
-
-        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), coord)
+        return F.aggregate(ts, F.array_repeat(F.lit(0.0), dim), add)
 
     return let_(toks, body)
 

@@ -183,7 +183,6 @@ def lsh_candidate_pairs(
     id_b. Shuffle cost: one exchange on (band, band_hash).
     ``use_fast`` picks the Arrow signature (default); False uses the
     pure-Catalyst reference implementation."""
-    r = k // bands
     sig_col = (
         minhash_signature_fast(k, n, seed)(F.col(text_col))
         if use_fast
@@ -191,16 +190,7 @@ def lsh_candidate_pairs(
     )
     sig = df.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
     banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("bh"),
-                ),
-            )
-        ).alias("e"),
+        "id", F.explode(band_hashes(F.col("sig"), k, bands)).alias("e")
     ).select("id", "e.band", "e.bh")
     left = banded.alias("l")
     right = banded.alias("r")
@@ -326,10 +316,17 @@ def jaccard_ngram(a: Column, b: Column, n: int = 3) -> Column:
 def band_hashes(sig_col: Column, k: int = 32, bands: int = 8) -> Column:
     """``array<struct<band:int, bh:bigint>>`` — the LSH band hashes of
     a MinHash signature (k/bands rows per band, xxhash64 over each
-    slice). Factored out so the pair join (:func:`lsh_candidate_pairs`)
-    and the persistent band INDEX (:func:`banded_signature_index` /
-    lookup) band identically — a lookup against an index built by a
-    different banding would silently miss candidates."""
+    slice). The single banding implementation: the pair join
+    (:func:`lsh_candidate_pairs`) and the persistent band INDEX
+    (:func:`banded_signature_index` / lookup) both call it, so they
+    cannot desync — a lookup against an index banded differently would
+    silently miss candidates."""
+    if bands > k or k % bands:
+        # bands > k would slice EMPTY bands (one constant hash -> every
+        # doc matches every doc: the corpus-sized blow-up the index
+        # exists to prevent); k % bands != 0 would silently never band
+        # the signature tail (recall loss with no signal)
+        raise ValueError(f"bands must divide k: k={k}, bands={bands}")
     r = k // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -388,33 +385,29 @@ def near_dup_lookup(
     (SipHash grams), ``use_fast=False`` = Catalyst
     ``minhash_signature`` (xxhash64 grams, what
     ``conversations.conv_signatures`` uses) — the families are NOT
-    interchangeable and a mismatch silently matches nothing (tested)."""
-    sig_col = (
-        minhash_signature_fast(k, n, seed)(F.col(text_col))
-        if use_fast
-        else minhash_signature(F.col(text_col), k, n, seed)
+    interchangeable and a mismatch silently matches nothing (tested).
+
+    ``corpus_texts`` is only joined on the CANDIDATE ids — but if it is
+    an aggregate (e.g. ``conv_full_text`` of the whole table), Catalyst
+    cannot push that join below the groupBy and the render itself goes
+    corpus-sized; restrict the underlying rows to the candidate ids
+    BEFORE aggregating (``conversations.conv_gate_lookup`` does)."""
+    cands = near_dup_candidates(
+        probes, band_index, id_col=id_col, text_col=text_col,
+        k=k, bands=bands, n=n, seed=seed, use_fast=use_fast,
     )
-    sig = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(text_col).alias("__ptxt"),
-        sig_col.alias("__sig"),
-    )
-    probe_bands = sig.select(
-        "probe_id",
-        "__ptxt",
-        F.explode(band_hashes(F.col("__sig"), k, bands)).alias("e"),
-    ).select("probe_id", "__ptxt", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    cands = (
-        band_index.join(probe_bands, ["band", "bh"])
-        .filter(F.col("id") != F.col("probe_id"))  # re-ingest of the same key
-        .select("probe_id", "__ptxt", F.col("id").alias("match_id"))
-        .distinct()
+    # texts join in AFTER the band explode/join/distinct, so whole
+    # documents cross a shuffle once per candidate pair, not once per
+    # (band x candidate)
+    ptxt = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(text_col).alias("__ptxt")
     )
     corpus = corpus_texts.select(
         F.col(id_col).alias("match_id"), F.col(text_col).alias("__mtxt")
     )
     return (
-        cands.join(corpus, "match_id")
+        cands.join(ptxt, "probe_id")
+        .join(corpus, "match_id")
         .select(
             "probe_id",
             "match_id",
@@ -423,6 +416,40 @@ def near_dup_lookup(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_dup_candidates(
+    probes: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    seed: int = 42,
+    use_fast: bool = True,
+) -> DataFrame:
+    """Candidate half of :func:`near_dup_lookup`: ``(probe_id,
+    match_id)`` pairs sharing >= 1 signature band, texts NOT carried
+    through the explode/join/distinct. Use directly when the caller
+    stages the verification fetch itself (semi-join the raw table to
+    the match ids BEFORE an aggregate render — the scale-correct gate
+    composition, see ``conversations.conv_gate_lookup``)."""
+    sig_col = (
+        minhash_signature_fast(k, n, seed)(F.col(text_col))
+        if use_fast
+        else minhash_signature(F.col(text_col), k, n, seed)
+    )
+    sig = probes.select(F.col(id_col).alias("probe_id"), sig_col.alias("__sig"))
+    probe_bands = sig.select(
+        "probe_id", F.explode(band_hashes(F.col("__sig"), k, bands)).alias("e")
+    ).select("probe_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    return (
+        band_index.join(probe_bands, ["band", "bh"])
+        .filter(F.col("id") != F.col("probe_id"))  # re-ingest of the same key
+        .select("probe_id", F.col("id").alias("match_id"))
+        .distinct()
     )
 
 

@@ -168,6 +168,33 @@ def test_ann_index_view_follows_the_table(spark, tmp_path):
     assert ("conv001", 2) not in full1
 
 
+def test_ann_index_view_persists_and_validates_centroids(spark, tmp_path):
+    """The quantizer is part of the index identity: reconstruction with
+    centroids=None reuses the persisted matrix; a different matrix
+    raises instead of silently mixing assignments."""
+    import pytest
+
+    from mysql_tracker_spark.functions.similarity import ann_index_view
+
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    t.overwrite(spark.createDataFrame(_rows(), SCHEMA))
+    cents = train_ivf_centroids(_turn_emb(t.read(spark)), n_cells=4, seed=7)
+    vdir = str(tmp_path / "view")
+    view = ann_index_view(t, vdir, cents, _turn_emb)
+    view.sync(spark)
+    # restart path: reuse without re-passing the matrix
+    view2 = ann_index_view(t, vdir, None, _turn_emb)
+    assert _index_map(view2.read(spark)) == _index_map(view.read(spark))
+    other = train_ivf_centroids(_turn_emb(t.read(spark)), n_cells=4, seed=99)
+    assert not np.array_equal(other, cents)
+    with pytest.raises(ValueError, match="different centroid matrix"):
+        ann_index_view(t, vdir, other, _turn_emb)
+    with pytest.raises(ValueError, match="no persisted centroids"):
+        ann_index_view(t, str(tmp_path / "fresh"), None, _turn_emb)
+
+
 def test_ivf_skew_flags_drifted_corpus(spark):
     """The retrain trigger: a balanced corpus sits near skew 1, a
     drifted corpus piling into one cell approaches n_cells."""
@@ -231,9 +258,12 @@ def test_indexed_search_full_probe_equals_brute_force(spark):
     assert got == expected
 
 
-def test_indexed_search_partial_probe_confined_and_subset(spark):
-    """With a partial probe, every hit comes from a probed cell and the
-    hit set is a subset of the full-probe result."""
+def test_indexed_search_partial_probe_confinement(spark):
+    """With a partial probe, every hit comes from a probed cell, and a
+    query whose GLOBAL best neighbor lives in its probed cell must
+    return that neighbor at rank 1. (Partial top-k is NOT a subset of
+    full top-k in general — an unprobed cell's absence pulls lower-cos
+    keys into the cutoff.)"""
     from mysql_tracker_spark.functions.similarity import ann_search_indexed
 
     emb = _turn_emb(spark.createDataFrame(_rows(), SCHEMA))
@@ -241,10 +271,7 @@ def test_indexed_search_partial_probe_confined_and_subset(spark):
     index = ivf_assign(emb, cents, id_cols=("conv_id", "turn_idx"))
     qdf = _queries_df(spark)
     part = ann_search_indexed(emb, index, cents, qdf, k=3, n_probe=1).collect()
-    full = {
-        (r.query_id, r.conv_id, r.turn_idx)
-        for r in ann_search_indexed(emb, index, cents, qdf, k=3, n_probe=4).collect()
-    }
+    full_rows = ann_search_indexed(emb, index, cents, qdf, k=3, n_probe=4).collect()
     cells = _index_map(index)
     # probe set re-derived independently in numpy (n_probe=1 -> argmax)
     probes = {}
@@ -252,19 +279,16 @@ def test_indexed_search_partial_probe_confined_and_subset(spark):
         v = np.array(r.embedding, dtype=np.float64)
         v = v / max(np.linalg.norm(v), 1e-12)
         probes[r.query_id] = {int((v @ cents.T).argmax())}
-    assert part  # probe-1 still finds something on this corpus
+    assert part and full_rows  # probe-1 still finds something here
     for r in part:
         assert cells[(r.conv_id, r.turn_idx)] in probes[r.query_id]
-    # a query whose global best lives in its probed cell must return it
-    best_full = {}
-    for r in ann_search_indexed(emb, index, cents, qdf, k=3, n_probe=4).collect():
-        if r.rank == 1:
-            best_full[r.query_id] = (r.conv_id, r.turn_idx)
+    best_full = {
+        r.query_id: (r.conv_id, r.turn_idx) for r in full_rows if r.rank == 1
+    }
     best_part = {r.query_id: (r.conv_id, r.turn_idx) for r in part if r.rank == 1}
     for qid, key in best_full.items():
         if cells[key] in probes[qid]:
             assert best_part[qid] == key
-    assert full  # sanity: full probe produced results
 
 
 def test_indexed_search_from_synced_view_matches_full_reassign(spark, tmp_path):

@@ -11,6 +11,7 @@ from mysql_tracker_spark.functions.conversations import (
     conv_band_index,
     conv_band_index_view,
     conv_full_text,
+    conv_gate_lookup,
     incremental_conv_band_index,
 )
 from mysql_tracker_spark.functions.sketches import (
@@ -179,14 +180,33 @@ def test_band_index_view_gates_an_incoming_batch(spark, tmp_path):
         ],
         SCHEMA,
     )
-    hits = near_dup_lookup(
-        conv_full_text(incoming),
-        view.read(spark),
-        conv_full_text(t.read(spark)),
-        id_col="conv_id",
-        threshold=0.5,
-        use_fast=False,
-    ).collect()
-    got = {(r.probe_id, r.match_id) for r in hits}
+    hits = conv_gate_lookup(spark, view, t.read(spark), incoming, threshold=0.5)
+    got = {(r.probe_id, r.match_id) for r in hits.collect()}
     assert ("new000", "conv004") in got
     assert not any(p == "new111" for p, _ in got)
+
+
+def test_band_hashes_rejects_non_dividing_bands(spark):
+    import pytest
+
+    from mysql_tracker_spark.functions.sketches import band_hashes
+
+    for k, bands in [(32, 64), (30, 8)]:
+        with pytest.raises(ValueError, match="bands must divide k"):
+            band_hashes(F.lit(None), k=k, bands=bands)
+
+
+def test_band_index_view_provenance_stamp(spark, tmp_path):
+    """Reconstructing the view with drifted banding parameters raises —
+    a restart must not mix band rows from two incompatible bandings."""
+    import pytest
+
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    t.overwrite(spark.createDataFrame(_conv_rows(), SCHEMA))
+    vdir = str(tmp_path / "view")
+    conv_band_index_view(t, vdir, k=32, bands=8)
+    conv_band_index_view(t, vdir, k=32, bands=8)  # same params: fine
+    with pytest.raises(ValueError, match="built with"):
+        conv_band_index_view(t, vdir, k=32, bands=4)
