@@ -2837,6 +2837,72 @@ def q_cdc_incremental_ann_index(spark, sf_dir):
     )
 
 
+def q_cdc_near_dup_gate(spark, sf_dir):
+    """CDC x at-ingest-dedup COMPOSITION: the LSH band-index view
+    synced at the batch-1 snapshot, then an INCOMING batch gated
+    against it (conversations.conv_gate_lookup): a planted exact copy
+    of the lexicographically-first stored conversation must be flagged
+    against exactly that conversation with jaccard 1.0 (identical
+    rendered text -> identical signature -> all bands shared), and an
+    alien probe sharing no 3-gram with the corpus must pass. Oracle:
+    the SQL twin re-derives the index size (LWW conv count at the cut)
+    and the planted target (min conv_id) from the flat dump and pins
+    the gate booleans, which tests/test_near_dup_gate.py asserts at
+    the operator level."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.functions.conversations import (
+        conv_band_index_view,
+        conv_full_text,
+        conv_gate_lookup,
+    )
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    _write_changelog_cut(ev)
+    work = tempfile.mkdtemp(prefix="mts_entry_gate_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    try:
+        write_batches(ev, in_dir, n_batches=3)
+        job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8)
+        job.run(max_batches=1)
+        view = conv_band_index_view(job.table, os.path.join(work, "view"))
+        view.sync(spark)
+        v1 = job.table.read(spark)
+        n_index_convs = v1.select("conv_id").distinct().count()
+        target = conv_full_text(v1).orderBy("conv_id").limit(1).collect()[0]
+        incoming = spark.createDataFrame(
+            [
+                ("planted", 0, "user", target.text, None),
+                ("alien", 0, "user", "zzz qqq www eee rrr ttt yyy uuu iii", None),
+            ],
+            "conv_id string, turn_idx int, role string, text string, ts timestamp",
+        )
+        hits = conv_gate_lookup(spark, view, v1, incoming, threshold=0.7).collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    planted_found = any(
+        r.probe_id == "planted" and r.match_id == target.conv_id and r.jaccard == 1.0
+        for r in hits
+    )
+    alien_flagged = sum(1 for r in hits if r.probe_id == "alien")
+    return spark.createDataFrame(
+        [
+            (
+                n_index_convs,
+                target.conv_id,
+                planted_found,
+                alien_flagged,
+            )
+        ],
+        "n_index_convs long, planted_target string, planted_found boolean, "
+        "n_alien_flagged long",
+    )
+
+
 def q_cdc_point_read_pruned(spark, sf_dir):
     """Serving path: engine apply -> ``LakeTable.read_for_keys`` (the
     bucket-pruned point lookup) for the three lexicographically-first
@@ -3441,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
         "cdc_incremental_minhash_index": q_cdc_incremental_minhash_index,
         "cdc_incremental_ann_index": q_cdc_incremental_ann_index,
+        "cdc_near_dup_gate": q_cdc_near_dup_gate,
         "cdc_point_read_pruned": q_cdc_point_read_pruned,
         "cdc_bloom_read_pruned": q_cdc_bloom_read_pruned,
         "cdc_ts_range_read_pruned": q_cdc_ts_range_read_pruned,
@@ -5106,6 +5173,36 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM diff) AS n_touched_turns,
                    true AS incremental_equals_full,
                    true AS changes_confined_to_touched
+        """,
+        # Near-dup-gate oracle: index size = LWW conv count at the
+        # batch-1 cut, planted target = min conv_id at that snapshot
+        # (the engine plants an exact copy of exactly that conversation
+        # by the same rule); the found/alien booleans are pinned (gate
+        # behavior is operator-tested in tests/test_near_dup_gate.py).
+        "cdc_near_dup_gate": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), cut AS (SELECT bf, bp FROM read_parquet('{CHANGELOG_CUT_DUMP}')),
+            s1 AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY conv_id, turn_idx
+                        ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                    FROM d
+                    WHERE file < (SELECT bf FROM cut)
+                       OR (file = (SELECT bf FROM cut) AND pos <= (SELECT bp FROM cut))
+                ) WHERE rn = 1 AND op <> 'DELETE'
+            )
+            SELECT (SELECT count(DISTINCT conv_id) FROM s1) AS n_index_convs,
+                   (SELECT min(conv_id) FROM s1) AS planted_target,
+                   true AS planted_found,
+                   CAST(0 AS BIGINT) AS n_alien_flagged
         """,
         "cdc_eventlog_append": f"""
             WITH d AS (
