@@ -394,3 +394,87 @@ def test_heartbeat_probe_and_reload(spark, tmp_path):
     exp = normalize(expected_final_state(ev))
     cmp_cols = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
     pd.testing.assert_frame_equal(got[cmp_cols], exp[cmp_cols])
+
+
+def test_stream_syncs_index_views_per_microbatch(spark, tmp_path):
+    """The views hook: ANN and band-index materialized views attached to
+    the stream trail the table by at most one micro-batch — after each
+    drain both equal a full recompute of the current table, and a
+    replayed (fenced-out) drain leaves their synced versions unchanged."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mysql_tracker_spark.functions.conversations import (
+        conv_band_index,
+        conv_band_index_view,
+    )
+    from mysql_tracker_spark.functions.similarity import (
+        ann_index_view,
+        hashed_embedding,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    def emb(df):
+        return df.select(
+            "conv_id", "turn_idx", hashed_embedding(F.col("text"), dim=8).alias("embedding")
+        )
+
+    ev = gen_change_events(CFG)
+    in_dir = str(tmp_path / "in")
+    all_paths = write_batches(ev, in_dir, n_batches=4)
+    hidden = []
+    for p in all_paths[2:]:
+        dst = str(tmp_path / os.path.basename(p))
+        shutil.move(p, dst)
+        hidden.append((dst, p))
+
+    job = CdcStreamJob(
+        spark, in_dir, str(tmp_path / "tbl"), checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8,
+    )
+    # bootstrap the views' fixed parameters off the first staged files:
+    # apply nothing yet — train centroids after the first drain instead
+    job.run_available()
+    t = job.job.table
+    cents = train_ivf_centroids(emb(t.read(spark)), n_cells=4, seed=7)
+    ann = ann_index_view(t, str(tmp_path / "ann"), cents, emb)
+    band = conv_band_index_view(t, str(tmp_path / "band"))
+    job.views = [ann, band]
+    ann.sync(spark), band.sync(spark)
+
+    # remaining files arrive; a fresh query (same checkpoint) drains them
+    # and the foreachBatch epilogue keeps both views current
+    for dst, orig in hidden:
+        shutil.move(dst, orig)
+    job2 = CdcStreamJob(
+        spark, in_dir, str(tmp_path / "tbl"), checkpoint_dir=str(tmp_path / "ckpt"),
+        n_buckets=8, views=[ann, band],
+    )
+    job2.run_available()
+
+    cur = t.read(spark)
+    full_ann = {
+        (r.conv_id, r.turn_idx): r.cell
+        for r in ivf_assign(emb(cur), cents, id_cols=("conv_id", "turn_idx")).collect()
+    }
+    got_ann = {(r.conv_id, r.turn_idx): r.cell for r in ann.read(spark).collect()}
+    assert got_ann == full_ann
+    full_band = {(r.id, r.band, r.bh) for r in conv_band_index(cur).collect()}
+    got_band = {(r.id, r.band, r.bh) for r in band.read(spark).collect()}
+    assert got_band == full_band
+    assert ann.synced_version() == t.current_version()
+
+    # replay: a THIRD query with a fresh checkpoint re-reads every file;
+    # all batches fence out, the table version is unchanged, and the
+    # view sync is a version-check no-op
+    v_before = ann.synced_version()
+    job3 = CdcStreamJob(
+        spark, in_dir, str(tmp_path / "tbl"), checkpoint_dir=str(tmp_path / "ckpt2"),
+        n_buckets=8, views=[ann, band],
+    )
+    job3.run_available()
+    assert ann.synced_version() == v_before == t.current_version()
+    assert {(r.conv_id, r.turn_idx): r.cell for r in ann.read(spark).collect()} == full_ann
