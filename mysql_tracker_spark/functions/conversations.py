@@ -300,7 +300,7 @@ _BAND_PARAMS_FILE = "index_params.json"
 
 def conv_band_index_view(
     table, view_dir: str, k: int = 32, bands: int = 8, n: int = 3,
-    seed: int = 42, keep_last: int = 2,
+    seed: int = 42, keep_last: int = 2, n_view_buckets: int | None = None,
 ):
     """:func:`conv_band_index` packaged as a lakestore
     ``MaterializedView`` (the text twin of
@@ -316,10 +316,16 @@ def conv_band_index_view(
     parameter drift across restarts would otherwise mix incompatible
     band rows (carried vs refreshed) with no error. Probe through
     :func:`conv_gate_lookup`, which reads the stamp instead of trusting
-    the caller."""
+    the caller.
+
+    ``n_view_buckets`` opts into bucketed view storage
+    (``views.BucketedMaterializedView``): per sync only buckets with
+    touched conversations are re-signed and rewritten, the rest carry
+    by hardlink — working-set write cost at any index size. Per-conv
+    signatures are bucket-local on conv_id, so the contract holds."""
     import json
 
-    from ..views import MaterializedView
+    from ..views import BucketedMaterializedView, MaterializedView
 
     os.makedirs(view_dir, exist_ok=True)
     params = {"family": "catalyst", "k": k, "bands": bands, "n": n, "seed": seed}
@@ -341,6 +347,12 @@ def conv_band_index_view(
 
     def bootstrap(tdf: DataFrame) -> DataFrame:
         return conv_band_index(tdf, k=k, bands=bands, n=n, seed=seed)
+
+    if n_view_buckets:
+        return BucketedMaterializedView(
+            table, view_dir, bootstrap, key_col="conv_id",
+            n_buckets=n_view_buckets, keep_last=keep_last, view_key_col="id",
+        )
 
     def refresh(tdf: DataFrame, prev: DataFrame, changes: DataFrame) -> DataFrame:
         return incremental_conv_band_index(

@@ -244,6 +244,7 @@ def ann_index_view(
     embed,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     keep_last: int = 2,
+    n_view_buckets: int | None = None,
 ):
     """The incremental IVF index packaged as a lakestore
     :class:`~mysql_tracker_spark.views.MaterializedView`: call
@@ -265,10 +266,18 @@ def ann_index_view(
     index. Pass ``centroids=None`` to load the persisted matrix; pass a
     different matrix and construction raises — retraining means
     deleting the view dir and rebuilding (the ``ivf_skew`` invalidation
-    path)."""
+    path).
+
+    ``n_view_buckets`` opts into bucketed view STORAGE
+    (:class:`~mysql_tracker_spark.views.BucketedMaterializedView`):
+    per sync only buckets containing touched keys are recomputed and
+    rewritten, untouched bucket files carry by hardlink — at a
+    10^10-row index the per-batch write cost drops from view-sized to
+    working-set-sized. Cell assignment is per-turn (bucket-local on the
+    conversation key), so the bucket-local recompute contract holds."""
     import os
 
-    from ..views import MaterializedView
+    from ..views import BucketedMaterializedView, MaterializedView
 
     os.makedirs(view_dir, exist_ok=True)
     cpath = os.path.join(view_dir, "centroids.npy")
@@ -296,6 +305,12 @@ def ann_index_view(
 
     def bootstrap(tdf: DataFrame) -> DataFrame:
         return ivf_assign(embed(tdf), centroids, id_cols=keys)
+
+    if n_view_buckets:
+        return BucketedMaterializedView(
+            table, view_dir, bootstrap, key_col=keys[0],
+            n_buckets=n_view_buckets, keep_last=keep_last,
+        )
 
     def refresh(tdf: DataFrame, prev: DataFrame, changes: DataFrame) -> DataFrame:
         return incremental_ivf_index(

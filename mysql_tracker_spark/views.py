@@ -103,6 +103,13 @@ class MaterializedView:
         tmp = os.path.join(self.view_dir, f"{data_name}.tmp-{os.getpid()}")
         # prev data dir stays alive while `new` (lazy over it) executes
         new.write.mode("overwrite").parquet(tmp)
+        return self._commit(cur, tmp, data_name)
+
+    def _commit(self, cur: int, tmp: str, data_name: str) -> bool:
+        """Promote a fully-written tmp data dir: rename to its final
+        name, then commit the tiny meta JSON with ``O_EXCL`` — the
+        commit point. First committer wins; the loser's data is the
+        orphan and is removed."""
         final = os.path.join(self.view_dir, data_name)
         shutil.rmtree(final, ignore_errors=True)  # orphan of a killed sync
         os.rename(tmp, final)
@@ -140,3 +147,117 @@ class MaterializedView:
                 continue
             if d not in live and (d.startswith("data_v") or ".tmp-" in d):
                 shutil.rmtree(full, ignore_errors=True)
+
+
+class BucketedMaterializedView(MaterializedView):
+    """A materialized view stored ONE HIVE PARTITION PER KEY BUCKET
+    (``__bucket=K`` subdirs, ``pmod(hash(key), n_buckets)``), refreshed
+    by recomputing ONLY the buckets containing touched keys and
+    HARDLINKING every other bucket's files from the previous version.
+
+    Why: the base class's refresh COMPUTE is working-set-sized, but its
+    WRITE is not — every sync rewrites the whole view dataset, which at
+    a 10^10-row index is corpus-sized I/O per micro-batch. Here the
+    write (and the read feeding it) tracks the changed buckets: an
+    untouched bucket costs one ``os.link`` per file — the same
+    carry-by-reference economics the lakestore's COW commit has.
+
+    Contract: the view must be BUCKET-LOCAL — ``bootstrap(rows of key
+    set S)`` must produce exactly the view rows for S (true for any
+    per-key / per-conversation derivation: signatures, band index, ANN
+    cells, stats; NOT true for corpus-global aggregates like
+    boilerplate detection — keep those on the base class). ``refresh``
+    is therefore derived, not user-supplied: a changed bucket is
+    re-bootstrapped from the current table slice, so deletes fall out
+    naturally. Crash-safety/first-commit-wins/no-op-at-unchanged-
+    version are inherited (same tmp dir + ``O_EXCL`` meta commit;
+    hardlinks keep old versions readable until GC unlinks their
+    names)."""
+
+    def __init__(
+        self,
+        table: LakeTable,
+        view_dir: str,
+        bootstrap: Callable[[DataFrame], DataFrame],
+        key_col: str,
+        n_buckets: int = 16,
+        keep_last: int = 2,
+        view_key_col: str | None = None,
+    ):
+        """``key_col`` names the bucketing key in the TABLE (and in
+        ``read_changes`` output); ``view_key_col`` names the same key in
+        the VIEW's output rows when the bootstrap renames it (e.g. the
+        band index emits ``id`` for the table's ``conv_id``). Same
+        values → same hash → a view row always lands in the bucket its
+        table rows were recomputed from."""
+        super().__init__(table, view_dir, bootstrap, refresh=None, keep_last=keep_last)
+        self.key_col = key_col
+        self.view_key_col = view_key_col or key_col
+        self.n_buckets = int(n_buckets)
+
+    def _bucket_of(self, col_name: str):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.hash(F.col(col_name)), F.lit(self.n_buckets))
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return super().read(spark, version).drop("__bucket")
+
+    def _write_slice(self, df: DataFrame, dest: str, parts: int) -> None:
+        from pyspark.sql import functions as F
+
+        (
+            df.repartition(max(parts, 1), F.col(self.view_key_col))
+            .withColumn("__bucket", self._bucket_of(self.view_key_col))
+            .write.partitionBy("__bucket")
+            .mode("append")
+            .parquet(dest)
+        )
+
+    def sync(self, spark: SparkSession) -> bool:
+        from pyspark.sql import functions as F
+
+        cur = self.table.current_version()
+        if cur is None:
+            raise FileNotFoundError("backing table has no snapshots")
+        last = self.synced_version()
+        if last == cur:
+            return False
+        data_name = f"data_v{cur:08d}"
+        tmp = os.path.join(self.view_dir, f"{data_name}.tmp-{os.getpid()}")
+        os.makedirs(tmp, exist_ok=True)
+        if last is None:
+            self._write_slice(
+                self.bootstrap(self.table.read(spark)), tmp, self.n_buckets
+            )
+        else:
+            changes = self.table.read_changes(spark, last, cur)
+            changed = {
+                r.b
+                for r in changes.select(
+                    self._bucket_of(self.key_col).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+            # carry untouched buckets by hardlink: no read, no write
+            prev_data = os.path.join(self.view_dir, self._meta(last)["data"])
+            for d in os.listdir(prev_data):
+                if not d.startswith("__bucket="):
+                    continue
+                if int(d.split("=", 1)[1]) in changed:
+                    continue
+                src, dst = os.path.join(prev_data, d), os.path.join(tmp, d)
+                os.makedirs(dst, exist_ok=True)
+                for f in os.listdir(src):
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+            if changed:
+                # bucket-local recompute from the CURRENT table slice —
+                # updated keys re-derive, deleted keys fall out
+                slice_df = self.bootstrap(
+                    self.table.read(spark).filter(
+                        self._bucket_of(self.key_col).isin(*changed)
+                    )
+                )
+                self._write_slice(slice_df, tmp, len(changed))
+        return self._commit(cur, tmp, data_name)
