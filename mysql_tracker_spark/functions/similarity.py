@@ -401,6 +401,51 @@ def ann_search_indexed(
     )
 
 
+def rebuild_ann_index(
+    spark,
+    table,
+    view_dir: str,
+    embed,
+    n_cells: int = 16,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    skew_bound: float | None = None,
+    n_view_buckets: int | None = None,
+    **train_kw,
+):
+    """The :func:`ivf_skew` RECOVERY path, packaged: invalidate the
+    persisted index (delete the view dir), retrain centroids on the
+    CURRENT table, rebuild + sync, and return the fresh
+    ``(view, centroids)``.
+
+    With ``skew_bound`` set this is conditional maintenance: the
+    existing synced index's skew is measured first and the rebuild only
+    runs when it exceeds the bound (returns the existing view + its
+    persisted centroids otherwise) — call it from the same maintenance
+    cadence as compaction. Cost when it fires: one bounded-sample
+    retrain + one corpus-wide re-assign (the same price as the original
+    bootstrap) — which is exactly why the frozen-centroid incremental
+    path exists for every sync in between."""
+    import os
+    import shutil
+
+    cpath = os.path.join(view_dir, "centroids.npy")
+    if skew_bound is not None and os.path.exists(cpath):
+        existing = ann_index_view(table, view_dir, None, embed,
+                                  key_cols=key_cols, n_view_buckets=n_view_buckets)
+        existing.sync(spark)
+        stored = np.load(cpath)
+        if ivf_skew(existing.read(spark), n_cells=len(stored)) <= skew_bound:
+            return existing, stored
+    shutil.rmtree(view_dir, ignore_errors=True)
+    cents = train_ivf_centroids(
+        embed(table.read(spark)), n_cells=n_cells, **train_kw
+    )
+    view = ann_index_view(table, view_dir, cents, embed,
+                          key_cols=key_cols, n_view_buckets=n_view_buckets)
+    view.sync(spark)
+    return view, cents
+
+
 def hashed_embedding(text_col: Column, dim: int = 16, seed: int = 42) -> Column:
     """Deterministic feature-hashing text embedding (the "hashing
     trick", Weinberger et al. 2009): each whitespace token lands in

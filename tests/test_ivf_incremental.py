@@ -195,6 +195,53 @@ def test_ann_index_view_persists_and_validates_centroids(spark, tmp_path):
         ann_index_view(t, str(tmp_path / "fresh"), None, _turn_emb)
 
 
+def test_rebuild_ann_index_on_skew(spark, tmp_path):
+    """Conditional retrain: under the bound the existing view and its
+    persisted centroids come back untouched; after drift pushes skew
+    over the bound, the rebuild retrains on the current table and the
+    new index's skew drops back."""
+    from mysql_tracker_spark.functions.similarity import (
+        ivf_skew,
+        rebuild_ann_index,
+    )
+
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), SCHEMA, ["conv_id", "turn_idx"], "conv_id", n_buckets=4
+    )
+    t.overwrite(spark.createDataFrame(_rows(), SCHEMA))
+    vdir = str(tmp_path / "view")
+    view1, c1 = rebuild_ann_index(spark, t, vdir, _turn_emb, n_cells=4, seed=7)
+    # healthy index: conditional call is a no-op returning the same quantizer
+    view2, c2 = rebuild_ann_index(
+        spark, t, vdir, _turn_emb, n_cells=4, seed=7, skew_bound=3.9
+    )
+    assert np.array_equal(c1, c2)
+    assert _index_map(view2.read(spark)) == _index_map(view1.read(spark))
+
+    # drift: replace the corpus with near-identical texts -> one cell
+    drifted = [
+        (f"drift{c:03d}", 0, "user", "same drifted text iota kappa", T0)
+        for c in range(60)
+    ]
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("__delete", T.BooleanType())])
+    dels = [
+        (r[0], r[1], None, None, None, True)
+        for r in _rows()
+    ]
+    t.merge(spark, spark.createDataFrame(
+        dels + [(c, i, r, x, ts, False) for (c, i, r, x, ts) in drifted], ch_schema
+    ))
+    view3, c3 = rebuild_ann_index(
+        spark, t, vdir, _turn_emb, n_cells=4, seed=7, skew_bound=3.9
+    )
+    assert not np.array_equal(c3, c1)  # retrained on the drifted corpus
+    assert view3.synced_version() == t.current_version()
+    assert ivf_skew(view3.read(spark), n_cells=4) <= 4.0
+    assert _index_map(view3.read(spark)).keys() == {
+        (f"drift{c:03d}", 0) for c in range(60)
+    }
+
+
 def test_ivf_skew_flags_drifted_corpus(spark):
     """The retrain trigger: a balanced corpus sits near skew 1, a
     drifted corpus piling into one cell approaches n_cells."""
