@@ -87,12 +87,15 @@ class MaterializedView:
 
     def sync(self, spark: SparkSession) -> bool:
         """Bring the view to the table head. Returns True iff work ran."""
+        import time
+
         cur = self.table.current_version()
         if cur is None:
             raise FileNotFoundError("backing table has no snapshots")
         last = self.synced_version()
         if last == cur:
             return False
+        t0 = time.time()
         if last is None:
             new = self.bootstrap(self.table.read(spark))
         else:
@@ -103,7 +106,28 @@ class MaterializedView:
         tmp = os.path.join(self.view_dir, f"{data_name}.tmp-{os.getpid()}")
         # prev data dir stays alive while `new` (lazy over it) executes
         new.write.mode("overwrite").parquet(tmp)
-        return self._commit(cur, tmp, data_name)
+        ok = self._commit(cur, tmp, data_name)
+        if ok:
+            self._append_lineage(
+                {
+                    "table_version": cur,
+                    "from_version": last,
+                    "mode": "bootstrap" if last is None else "refresh",
+                    "wall_ms": int((time.time() - t0) * 1000),
+                }
+            )
+        return ok
+
+    def _append_lineage(self, rec: dict) -> None:
+        """Per-sync lineage row (the view-side twin of the apply job's
+        ``lineage.jsonl``): which table versions the sync spanned, what
+        work ran, how long it took. Observability only — the ``O_EXCL``
+        meta commit is the correctness-bearing record."""
+        import time
+
+        rec = {**rec, "ts_ms": int(time.time() * 1000)}
+        with open(os.path.join(self.view_dir, "lineage.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def _commit(self, cur: int, tmp: str, data_name: str) -> bool:
         """Promote a fully-written tmp data dir: rename to its final
@@ -215,6 +239,8 @@ class BucketedMaterializedView(MaterializedView):
         )
 
     def sync(self, spark: SparkSession) -> bool:
+        import time
+
         from pyspark.sql import functions as F
 
         cur = self.table.current_version()
@@ -223,6 +249,8 @@ class BucketedMaterializedView(MaterializedView):
         last = self.synced_version()
         if last == cur:
             return False
+        t0 = time.time()
+        changed: set | None = None
         data_name = f"data_v{cur:08d}"
         tmp = os.path.join(self.view_dir, f"{data_name}.tmp-{os.getpid()}")
         os.makedirs(tmp, exist_ok=True)
@@ -260,4 +288,18 @@ class BucketedMaterializedView(MaterializedView):
                     )
                 )
                 self._write_slice(slice_df, tmp, len(changed))
-        return self._commit(cur, tmp, data_name)
+        ok = self._commit(cur, tmp, data_name)
+        if ok:
+            self._append_lineage(
+                {
+                    "table_version": cur,
+                    "from_version": last,
+                    "mode": "bootstrap" if last is None else "refresh",
+                    "changed_buckets": sorted(changed) if changed is not None else None,
+                    "carried_buckets": (
+                        self.n_buckets - len(changed) if changed is not None else 0
+                    ),
+                    "wall_ms": int((time.time() - t0) * 1000),
+                }
+            )
+        return ok

@@ -173,3 +173,27 @@ def test_bucketed_factories_equal_classic_views(spark, tmp_path):
     got_band = {(r.id, r.band, r.bh) for r in band.read(spark).collect()}
     full_band = {(r.id, r.band, r.bh) for r in conv_band_index(t.read(spark)).collect()}
     assert got_band == full_band
+
+
+def test_sync_lineage_records_modes_and_buckets(spark, tmp_path):
+    import json
+
+    t, view = _mk(spark, tmp_path)
+    view.sync(spark)
+    ch_schema = T.StructType(SCHEMA.fields + [T.StructField("__delete", T.BooleanType())])
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("conv001", 3, "assistant", "new turn", T0, False)], ch_schema
+        ),
+    )
+    view.sync(spark)
+    view.sync(spark)  # no-op: must NOT add a row
+    with open(os.path.join(view.view_dir, "lineage.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert len(recs) == 2
+    assert recs[0]["mode"] == "bootstrap" and recs[0]["from_version"] is None
+    assert recs[1]["mode"] == "refresh"
+    assert recs[1]["carried_buckets"] == N_VIEW_BUCKETS - len(recs[1]["changed_buckets"])
+    assert len(recs[1]["changed_buckets"]) == 1
+    assert all("wall_ms" in r and "ts_ms" in r for r in recs)
