@@ -157,13 +157,25 @@ def main() -> None:
     if run_queries:
         import __spark_entry__ as entrymod
 
+        # min of BENCH_QUERY_REPS runs per query (same protocol + rationale
+        # as the headline apply's min-of-reps): the first execution of a
+        # query pays a one-time janino/JIT compile of its generated code —
+        # measured data-independent (a 10-row input pays the same ~7-20 s
+        # for the heaviest HOF trees, then ~1-2 s steady-state at sf0.1) —
+        # plus this host's documented multi-minute 2x slowdown windows.
+        # Amortized steady-state is the scale-relevant number: at 100 TB
+        # the compile happens once per job, not once per partition.
+        q_reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
         for name, fn in entrymod.queries().items():
             if name == "cdc_apply_transcripts_final":
                 continue  # covered by the headline apply above
-            t0 = time.time()
+            q_walls = []
             try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                results[name] = round(time.time() - t0, 3)
+                for _ in range(max(q_reps, 1)):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    q_walls.append(time.time() - t0)
+                results[name] = round(min(q_walls), 3)
             except Exception as e:  # keep the bench line intact
                 results[name] = -1.0
                 print(f"bench error {name}: {e}", file=sys.stderr)
