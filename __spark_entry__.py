@@ -2239,6 +2239,108 @@ def _write_changelog_cut(ev=None) -> None:
     )
 
 
+CONSISTENT_CUT_DUMP = "/tmp/mts_flagship_oracle/consistent_cut.parquet"
+
+
+def _write_consistent_cut(ev=None) -> None:
+    """The (file,pos) watermark the engine commits after batch 2 of 3 —
+    the laggard target's fence in the consistent-read fixture. Same
+    frame-split authority as :func:`_write_changelog_cut`
+    (``binlog_gen.frame_cuts``), so the SQL oracle cuts the stream at
+    exactly the engine's common fence by construction."""
+    import pandas as pd
+
+    from mysql_tracker_spark.sources.binlog_gen import frame_cuts
+
+    if ev is None:
+        ev = _flagship_events()
+    frame_no, cuts = frame_cuts(ev, 3)  # n_batches=3
+    chunk01 = ev[frame_no < cuts[2]]  # batches 1..2
+    last = chunk01.iloc[-1]
+    _atomic_parquet_dump(
+        pd.DataFrame({"bf": [last["file"]], "bp": [int(last["pos"])]}),
+        CONSISTENT_CUT_DUMP,
+    )
+
+
+def q_cdc_consistent_multi_read(spark, sf_dir):
+    """Cross-table SNAPSHOT-CONSISTENT read over the multi-target
+    fan-out (``runner.consistent_read``): the reference's single binlog
+    cursor makes all its per-table sinks trivially consistent — one
+    position is THE position (``HandlerMagpieKafka.java:966-1103``);
+    our per-target fencing re-establishes that read-side. Fixture: two
+    targets over the same 3-batch stream; the noise-table target stops
+    after batch 2 (the laggard), the transcripts target applies all 3.
+    ``consistent_read`` must time-travel the LEADER back to the
+    laggard's fence, and BOTH tables must equal the LWW state over
+    exactly the events at or before that fence — which the DuckDB
+    oracle recomputes per table in pure SQL (prefix cut replicated
+    deterministically from the shared frame-split rule). The fence the
+    engine picks is asserted in-query against that deterministic cut."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from mysql_tracker_spark.runner import MultiApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    _write_consistent_cut(ev)
+    work = tempfile.mkdtemp(prefix="mts_entry_consread_")
+    in_dir = os.path.join(work, "in")
+    try:
+        write_batches(ev, in_dir, n_batches=3)
+        multi = MultiApplyJob(
+            spark,
+            in_dir,
+            {
+                ("chat", "transcripts"): os.path.join(work, "t_main"),
+                ("chat", "noise_tbl"): os.path.join(work, "t_noise"),
+            },
+            n_buckets=8,
+        )
+        res = multi.run(max_batches=2)  # both targets fence at batch 2
+        if res["errors"]:
+            raise RuntimeError(f"multi apply errors: {res['errors']}")
+        multi.jobs[("chat", "transcripts")].run()  # leader finishes
+        frames, fence = multi.consistent_read()
+        cut = pd.read_parquet(CONSISTENT_CUT_DUMP).iloc[0]
+        if (fence[0], int(fence[1])) != (str(cut["bf"]), int(cut["bp"])):
+            raise AssertionError(
+                f"engine fence {fence} != deterministic batch-2 cut "
+                f"({cut['bf']}, {cut['bp']})"
+            )
+        parts = []
+        for key in sorted(frames):
+            frame = frames[key]
+            score = (
+                F.col("score").cast("bigint")
+                if "score" in frame.columns
+                else F.lit(None).cast("bigint")
+            )
+            parts.append(
+                frame.select(
+                    F.lit(f"{key[0]}.{key[1]}").alias("src_table"),
+                    "conv_id",
+                    F.col("turn_idx").cast("int").alias("turn_idx"),
+                    "role",
+                    "text",
+                    "tool",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+                    score.alias("score"),
+                )
+            )
+        result = parts[0].unionByName(parts[1]).orderBy(
+            "src_table", "conv_id", "turn_idx"
+        )
+        rows = result.collect()  # materialize before the work dir vanishes
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_changelog_snapshot_diff(spark, sf_dir):
     """Incremental CHANGELOG scan of the lakestore table (Iceberg
     changelog analogue; the reference's S6 Kafka verification consumer
@@ -3502,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_retention_delete": q_cdc_retention_delete,
         "cdc_split_buckets_migration": q_cdc_split_buckets_migration,
         "cdc_ingest_redaction": q_cdc_ingest_redaction,
+        "cdc_consistent_multi_read": q_cdc_consistent_multi_read,
         "cdc_changelog_snapshot_diff": q_cdc_changelog_snapshot_diff,
         "cdc_changelog_stream": q_cdc_changelog_stream,
         "cdc_conv_dedup_applied": q_cdc_conv_dedup_applied,
@@ -4981,6 +5084,43 @@ def oracle_sql() -> dict[str, str]:
         # final LWW state, diffed in SQL — insert (final only), delete
         # (pre-image, earlier state only), update (post-image, any
         # column differs null-safely).
+        # Cross-table consistent read: both tables' LWW states cut at
+        # the SAME fence (the laggard's batch-2 watermark, replicated
+        # deterministically from the shared frame-split rule) — the
+        # leader's post-fence events must be invisible.
+        "cdc_consistent_multi_read": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat'
+                  AND table_name IN ('transcripts', 'noise_tbl')
+            ), cut AS (SELECT bf, bp FROM read_parquet('{CONSISTENT_CUT_DUMP}')),
+            d AS (
+                SELECT DISTINCT file, pos, row_idx, op, table_name,
+                                conv_id, turn_idx, role, text, tool,
+                                ts_text, score
+                FROM e
+                WHERE file < (SELECT bf FROM cut)
+                   OR (file = (SELECT bf FROM cut) AND pos <= (SELECT bp FROM cut))
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY table_name, conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT 'chat.' || table_name AS src_table,
+                   conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text,
+                   tool, ts_text,
+                   -- the ADD COLUMN score DDL targets ONLY
+                   -- chat.transcripts: per-table schema evolution means
+                   -- the noise table never gains the column, so its
+                   -- after-map score values (stamped stream-wide by the
+                   -- generator) are rightly dropped by the engine
+                   CAST(CASE WHEN table_name = 'transcripts' THEN score END
+                        AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY src_table, conv_id, turn_idx
+        """,
         "cdc_changelog_snapshot_diff": f"""
             WITH e AS (
                 SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')

@@ -845,6 +845,32 @@ class LakeTable:
         Same read path as :meth:`read` at :meth:`version_at`."""
         return self.read(spark, version=self.version_at(ts))
 
+    def watermark_history(self) -> list[dict]:
+        """Replay-watermark lineage of every retained snapshot, oldest
+        first: ``{version, offset_file, offset_pos, txn_end_file,
+        txn_end_pos}`` (positions ``None`` where the snapshot carries no
+        checkpoint — the create commit, or a C5-cleared checkpoint).
+        Driver-side manifest reads only; the cross-table consistent-read
+        fence (:func:`mysql_tracker_spark.runner.consistent_read`) is
+        derived from this."""
+        out = []
+        for fn in sorted(os.listdir(self.snap_dir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.snap_dir, fn)) as f:
+                m = json.load(f)
+            p = m.get("properties", {})
+            out.append(
+                {
+                    "version": m["version"],
+                    "offset_file": p.get("offset_file") or None,
+                    "offset_pos": int(p["offset_pos"]) if p.get("offset_pos") else None,
+                    "txn_end_file": p.get("txn_end_file") or None,
+                    "txn_end_pos": int(p["txn_end_pos"]) if p.get("txn_end_pos") else None,
+                }
+            )
+        return out
+
     def row_count(
         self, spark: SparkSession | None = None, version: int | None = None
     ) -> int:

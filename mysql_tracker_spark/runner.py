@@ -1708,3 +1708,94 @@ class MultiApplyJob:
                 errors[key] = e
         out["errors"] = errors
         return out
+
+    def consistent_read(self, txn_aligned: bool = False):
+        """Transactionally-aligned snapshot set across all targets —
+        see :func:`consistent_read`. Targets must have been prepared
+        (run at least once)."""
+        spark = next(iter(self.jobs.values())).spark
+        tables = {}
+        for key, job in self.jobs.items():
+            if job.table is None:
+                job.prepare()
+            tables[key] = job.table
+        return consistent_read(spark, tables, txn_aligned=txn_aligned)
+
+
+class ConsistencyError(RuntimeError):
+    """No snapshot set with a common replay fence exists across the
+    requested tables (lagging target never committed, or the common
+    version was expired from a leader's history)."""
+
+
+def consistent_read(
+    spark: SparkSession,
+    tables: dict,
+    txn_aligned: bool = False,
+):
+    """Cross-table SNAPSHOT-CONSISTENT read over a multi-target fan-out
+    (reference parity: the tracker's single binlog cursor makes every
+    downstream HBase table/Kafka topic trivially consistent — one
+    position is THE position, ``HandlerMagpieKafka.java:966-1103``; our
+    per-target fencing re-establishes that guarantee read-side).
+
+    All :class:`MultiApplyJob` targets consume the SAME offset-ordered
+    input batching, so their snapshot histories carry the same sequence
+    of replay watermarks — only each target's progress along it
+    differs. The common fence W is the greatest (offset_file,
+    offset_pos) present in EVERY table's retained history; each table
+    is read at its LAST snapshot carrying W (i.e. just before its fence
+    advanced past W, so in-place maintenance committed while the fence
+    stood at W — compaction, splits — is included, and every table
+    reflects exactly the change events at or before W).
+
+    ``txn_aligned=True`` restricts candidate fences to snapshots whose
+    batch ended exactly at a transaction boundary (``offset ==
+    txn_end``, the reference's Xid-gated positions, C4): the returned
+    set is then also transaction-atomic — no transcript transaction is
+    split across the returned tables even if a txn straddled a batch
+    cut.
+
+    Returns ``({key: DataFrame}, (fence_file, fence_pos))``. Raises
+    :class:`ConsistencyError` when no common fence exists (a target
+    never committed, or expiry removed the leader's snapshot at the
+    laggard's fence — retain more history or catch the laggard up).
+
+    Scale shape: driver-side manifest reads only (O(retained snapshots)
+    per table); the returned DataFrames are ordinary time-travel scans.
+    """
+    per_table: dict = {}
+    for key, tbl in tables.items():
+        fences: dict = {}
+        for h in tbl.watermark_history():
+            f, p = h["offset_file"], h["offset_pos"]
+            if f is None or p is None:
+                continue
+            if txn_aligned and not (
+                h["txn_end_file"] == f and h["txn_end_pos"] == p
+            ):
+                continue
+            cur = fences.get((f, p))
+            if cur is None or h["version"] > cur:
+                fences[(f, p)] = h["version"]
+        per_table[key] = fences
+    common = None
+    for fences in per_table.values():
+        ks = set(fences)
+        common = ks if common is None else (common & ks)
+    if not common:
+        raise ConsistencyError(
+            "no common replay fence across targets"
+            + (" (txn-aligned)" if txn_aligned else "")
+            + ": "
+            + ", ".join(
+                f"{k}: {max(v) if v else 'never committed'}"
+                for k, v in per_table.items()
+            )
+        )
+    fence = max(common)
+    out = {
+        key: tbl.read(spark, version=per_table[key][fence])
+        for key, tbl in tables.items()
+    }
+    return out, fence

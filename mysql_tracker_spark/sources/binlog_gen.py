@@ -609,16 +609,48 @@ def write_jsonl_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) 
     return paths
 
 
-def write_batches(events: pd.DataFrame, out_dir: str, n_batches: int = 8) -> list[str]:
+def snap_cuts_to_txn(events: pd.DataFrame, frame_no, cuts):
+    """Snap interior frame cuts FORWARD to the next transaction
+    boundary (a frame whose op is COMMIT, or a DDL — the reference's
+    isEndEvent rule, ``MysqlTracker.java:339-346``), so every batch
+    ends exactly at a txn end — the standalone tracker's Xid-gated
+    flush (C4). Falls back to the nearest preceding boundary when none
+    follows; duplicate cuts collapse to empty batches (skipped by the
+    writers)."""
+    is_end = (events["op"].astype(str) == "COMMIT") | events["is_ddl"].astype(bool)
+    # frame f is a valid cut-BEFORE point when frame f-1 ends a txn
+    end_frames = np.unique(frame_no[is_end.to_numpy()])
+    candidates = end_frames + 1
+    out = [cuts[0]]
+    for c in cuts[1:-1]:
+        fwd = candidates[candidates >= c]
+        bwd = candidates[candidates < c]
+        snapped = int(fwd[0]) if len(fwd) else int(bwd[-1])
+        out.append(min(snapped, int(cuts[-1])))
+    out.append(cuts[-1])
+    return np.array(out)
+
+
+def write_batches(
+    events: pd.DataFrame,
+    out_dir: str,
+    n_batches: int = 8,
+    txn_aligned: bool = False,
+) -> list[str]:
     """Write the stream as offset-contiguous parquet micro-batches
     ``batch_00000.parquet``… — the engine's replay input. Splits never
-    tear an event frame (rows sharing (file,pos) stay together)."""
+    tear an event frame (rows sharing (file,pos) stay together);
+    ``txn_aligned`` additionally snaps every split to a transaction
+    boundary (:func:`snap_cuts_to_txn`), so each batch's last event IS
+    its txn end — the fixture shape for Xid-gated (C4) fences."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     ev = events.drop(columns=["event_len"], errors="ignore")
     frame_no, cuts = frame_cuts(ev, n_batches)
+    if txn_aligned:
+        cuts = snap_cuts_to_txn(ev, frame_no, cuts)
     paths = []
     map_ty = pa.map_(pa.string(), pa.string())
     schema = pa.schema(

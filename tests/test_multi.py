@@ -86,3 +86,110 @@ def test_late_added_target_catches_up(spark, tmp_path):
         got[["conv_id", "turn_idx", "role", "text", "tool"]],
         exp[["conv_id", "turn_idx", "role", "text", "tool"]],
     )
+
+
+def _prefix(ev, fence):
+    f, p = fence
+    return ev[(ev["file"] < f) | ((ev["file"] == f) & (ev["pos"] <= p))]
+
+
+def test_consistent_read_pins_leader_at_laggard_fence(spark, tmp_path):
+    """Snapshot-consistent cross-table read: target B lags 2/3 batches
+    behind target A; consistent_read returns A time-travelled back to
+    B's fence, and BOTH tables equal the sequential oracle applied to
+    exactly the events at or before that fence (the reference's
+    single-cursor consistency, re-established read-side)."""
+    ev = gen_change_events(CFG)
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+    multi = MultiApplyJob(
+        spark,
+        in_dir,
+        {
+            ("chat", "transcripts"): str(tmp_path / "t_main"),
+            ("chat", "noise_tbl"): str(tmp_path / "t_noise"),
+        },
+        n_buckets=4,
+    )
+    # laggard: both targets consume 2 batches, then only A finishes
+    assert multi.run(max_batches=2)["errors"] == {}
+    jA = multi.jobs[("chat", "transcripts")]
+    jB = multi.jobs[("chat", "noise_tbl")]
+    wm_b = jB.watermark()[:2]
+    jA.run()
+    assert jA.watermark()[:2] > wm_b  # A really is ahead
+
+    frames, fence = multi.consistent_read()
+    assert fence == wm_b  # greatest COMMON fence == the laggard's
+    pre = _prefix(ev, fence)
+    for key, frame in frames.items():
+        got = normalize(frame.toPandas())
+        exp = normalize(expected_final_state(pre, *key))
+        cols = [c for c in ["conv_id", "turn_idx", "role", "text", "tool"] if c in got]
+        assert len(got) == len(exp) and len(exp) > 0
+        pd.testing.assert_frame_equal(got[cols], exp[cols])
+    # and the leader's CURRENT state differs from its pinned state
+    # (events landed past the fence), so the time travel was real
+    cur = normalize(multi.jobs[("chat", "transcripts")].table.read(spark).toPandas())
+    pinned = normalize(frames[("chat", "transcripts")].toPandas())
+    assert not cur[["conv_id", "turn_idx", "text"]].equals(
+        pinned[["conv_id", "turn_idx", "text"]]
+    )
+
+
+def test_consistent_read_txn_aligned_fence(spark, tmp_path):
+    """txn_aligned=True restricts the fence to Xid-gated snapshots
+    (offset == txn_end): over a txn-aligned input cut every commit
+    qualifies, and the fence is a true transaction boundary (the
+    snapshot's last applied event is a COMMIT/DDL frame)."""
+    ev = gen_change_events(CFG)
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3, txn_aligned=True)
+    multi = MultiApplyJob(
+        spark,
+        in_dir,
+        {
+            ("chat", "transcripts"): str(tmp_path / "t_main"),
+            ("chat", "noise_tbl"): str(tmp_path / "t_noise"),
+        },
+        n_buckets=4,
+    )
+    assert multi.run(max_batches=2)["errors"] == {}
+    multi.jobs[("chat", "transcripts")].run()
+    frames, fence = multi.consistent_read(txn_aligned=True)
+    # the fence event really ends a transaction in the source stream
+    at = ev[(ev["file"] == fence[0]) & (ev["pos"] == fence[1])]
+    assert ((at["op"] == "COMMIT") | at["is_ddl"]).any()
+    pre = _prefix(ev, fence)
+    for key, frame in frames.items():
+        got = normalize(frame.toPandas())
+        exp = normalize(expected_final_state(pre, *key))
+        cols = [c for c in ["conv_id", "turn_idx", "role", "text", "tool"] if c in got]
+        pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+def test_consistent_read_raises_when_no_common_fence(spark, tmp_path):
+    """A target that never committed (or whose common snapshot was
+    expired away) cannot join a consistent set — explicit error, never
+    a silently-inconsistent read."""
+    import pytest
+
+    from mysql_tracker_spark.runner import ConsistencyError
+
+    ev = gen_change_events(CFG)
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+    multi = MultiApplyJob(
+        spark,
+        in_dir,
+        {
+            ("chat", "transcripts"): str(tmp_path / "t_main"),
+            ("chat", "noise_tbl"): str(tmp_path / "t_noise"),
+        },
+        n_buckets=4,
+    )
+    # only A runs; B exists but never committed a batch
+    multi.jobs[("chat", "transcripts")].run()
+    multi.jobs[("chat", "noise_tbl")].prepare()
+    with pytest.raises(ConsistencyError):
+        multi.consistent_read()
