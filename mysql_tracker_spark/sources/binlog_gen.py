@@ -625,8 +625,10 @@ def snap_cuts_to_txn(events: pd.DataFrame, frame_no, cuts):
     for c in cuts[1:-1]:
         fwd = candidates[candidates >= c]
         bwd = candidates[candidates < c]
-        snapped = int(fwd[0]) if len(fwd) else int(bwd[-1])
-        out.append(min(snapped, int(cuts[-1])))
+        snapped = int(fwd[0]) if len(fwd) else (int(bwd[-1]) if len(bwd) else int(c))
+        # monotone non-decreasing, never past the end: a degenerate snap
+        # collapses to an empty batch rather than overlapping a prior one
+        out.append(min(max(snapped, out[-1]), int(cuts[-1])))
     out.append(cuts[-1])
     return np.array(out)
 

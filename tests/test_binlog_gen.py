@@ -58,3 +58,29 @@ def test_oracle_shape():
     assert (exp.groupby(["conv_id", "turn_idx"]).size() == 1).all()
     # widened scores exceed int32 after second DDL
     assert (exp["score"].dropna().astype("int64") > 2**31).any()
+
+
+def test_snap_cuts_to_txn_alignment_and_monotonicity():
+    """Interior cuts snap FORWARD to the frame after a COMMIT/DDL; cuts
+    stay monotone (degenerate snaps collapse to empty batches, never
+    overlap) and the ends are pinned. A stream with no txn ends leaves
+    the cuts unchanged rather than crashing."""
+    import pandas as pd
+
+    from mysql_tracker_spark.sources.binlog_gen import frame_cuts, snap_cuts_to_txn
+
+    rows = [
+        {"file": "b.1", "pos": f * 10, "op": "COMMIT" if f in (2, 7) else "INSERT", "is_ddl": False}
+        for f in range(10)
+    ]
+    ev = pd.DataFrame(rows)
+    frame_no, cuts = frame_cuts(ev, 4)
+    snapped = snap_cuts_to_txn(ev, frame_no, cuts)
+    assert list(snapped) == sorted(snapped)
+    assert snapped[0] == cuts[0] and snapped[-1] == cuts[-1]
+    assert set(snapped[1:-1]) <= {3, 8}  # only just-after-COMMIT frames
+
+    ev2 = ev.assign(op="INSERT")
+    fn2, c2 = frame_cuts(ev2, 3)
+    s2 = snap_cuts_to_txn(ev2, fn2, c2)
+    assert list(s2) == sorted(s2) and list(s2) == list(c2)
