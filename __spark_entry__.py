@@ -2332,7 +2332,9 @@ def q_cdc_consistent_multi_read(spark, sf_dir):
                     score.alias("score"),
                 )
             )
-        result = parts[0].unionByName(parts[1]).orderBy(
+        from functools import reduce as _reduce
+
+        result = _reduce(lambda a, b: a.unionByName(b), parts).orderBy(
             "src_table", "conv_id", "turn_idx"
         )
         rows = result.collect()  # materialize before the work dir vanishes

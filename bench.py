@@ -175,10 +175,11 @@ def main() -> None:
                     t0 = time.time()
                     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                     q_walls.append(time.time() - t0)
-                results[name] = round(min(q_walls), 3)
             except Exception as e:  # keep the bench line intact
-                results[name] = -1.0
                 print(f"bench error {name}: {e}", file=sys.stderr)
+            # a transient failure on a later rep must not discard an
+            # already-measured wall from an earlier successful rep
+            results[name] = round(min(q_walls), 3) if q_walls else -1.0
 
     total = round(sum(v for v in results.values() if v > 0), 3)
     out = {

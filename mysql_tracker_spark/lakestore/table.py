@@ -806,6 +806,19 @@ class LakeTable:
         m = self.manifest(version)
         return self._read_state(spark, m)
 
+    def _iter_snapshot_manifests(self):
+        """Yield each retained snapshot's manifest dict, oldest first —
+        THE one home of the snapshot-dir iteration idiom (version_at,
+        history, watermark_history all derive from it). Driver-side
+        json reads; a manifest carries the full bucket→file lists, so a
+        full-history walk is O(retained snapshots × manifest size) —
+        keep retention bounded (expire_snapshots) on hot tables."""
+        for fn in sorted(os.listdir(self.snap_dir)):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            with open(os.path.join(self.snap_dir, fn)) as f:
+                yield json.load(f)
+
     def version_at(self, ts) -> int:
         """Largest retained version committed at or before ``ts`` (the
         Iceberg/Delta ``FOR TIMESTAMP AS OF`` resolution): ``ts`` is a
@@ -823,11 +836,7 @@ class LakeTable:
             probe = int(ts)
         best = None
         last_ts = None
-        for fn in sorted(os.listdir(self.snap_dir)):
-            if not (fn.startswith("v") and fn.endswith(".json")):
-                continue
-            with open(os.path.join(self.snap_dir, fn)) as f:
-                m = json.load(f)
+        for m in self._iter_snapshot_manifests():
             t = m.get("summary", {}).get("ts_ms", last_ts)
             last_ts = t
             if t is not None and t <= probe:
@@ -850,15 +859,13 @@ class LakeTable:
         first: ``{version, offset_file, offset_pos, txn_end_file,
         txn_end_pos}`` (positions ``None`` where the snapshot carries no
         checkpoint — the create commit, or a C5-cleared checkpoint).
-        Driver-side manifest reads only; the cross-table consistent-read
-        fence (:func:`mysql_tracker_spark.runner.consistent_read`) is
+        Driver-side manifest reads only (cost note on
+        :meth:`_iter_snapshot_manifests`); the cross-table
+        consistent-read fence
+        (:func:`mysql_tracker_spark.runner.consistent_read`) is
         derived from this."""
         out = []
-        for fn in sorted(os.listdir(self.snap_dir)):
-            if not (fn.startswith("v") and fn.endswith(".json")):
-                continue
-            with open(os.path.join(self.snap_dir, fn)) as f:
-                m = json.load(f)
+        for m in self._iter_snapshot_manifests():
             p = m.get("properties", {})
             out.append(
                 {
@@ -2422,11 +2429,7 @@ class LakeTable:
         it carried — the audit surface for "which batch produced which
         snapshot". Driver-side manifest reads only; no data touched."""
         rows = []
-        for fn in sorted(os.listdir(self.snap_dir)):
-            if not (fn.startswith("v") and fn.endswith(".json")):
-                continue
-            with open(os.path.join(self.snap_dir, fn)) as f:
-                m = json.load(f)
+        for m in self._iter_snapshot_manifests():
             s, p = m.get("summary", {}), m.get("properties", {})
             rows.append(
                 (

@@ -1711,14 +1711,25 @@ class MultiApplyJob:
 
     def consistent_read(self, txn_aligned: bool = False):
         """Transactionally-aligned snapshot set across all targets —
-        see :func:`consistent_read`. Targets must have been prepared
-        (run at least once)."""
+        see :func:`consistent_read`. STRICTLY READ-ONLY: targets not
+        yet opened by this job are loaded without the ``prepare()``
+        side effects (no create-if-missing, no staging-dir cleanup —
+        safe to call from a reader process while a writer is
+        mid-batch); a target that was never created raises
+        :class:`ConsistencyError` instead of materializing an empty
+        table."""
         spark = next(iter(self.jobs.values())).spark
         tables = {}
         for key, job in self.jobs.items():
-            if job.table is None:
-                job.prepare()
-            tables[key] = job.table
+            if job.table is not None:
+                tables[key] = job.table
+            elif LakeTable.exists(job.table_path):
+                tables[key] = LakeTable.load(job.table_path)
+            else:
+                raise ConsistencyError(
+                    f"target {key} has no table at {job.table_path} "
+                    "(never prepared/run)"
+                )
         return consistent_read(spark, tables, txn_aligned=txn_aligned)
 
 

@@ -642,9 +642,12 @@ def write_batches(
     """Write the stream as offset-contiguous parquet micro-batches
     ``batch_00000.parquet``… — the engine's replay input. Splits never
     tear an event frame (rows sharing (file,pos) stay together);
-    ``txn_aligned`` additionally snaps every split to a transaction
-    boundary (:func:`snap_cuts_to_txn`), so each batch's last event IS
-    its txn end — the fixture shape for Xid-gated (C4) fences."""
+    ``txn_aligned`` additionally snaps every INTERIOR split to a
+    transaction boundary (:func:`snap_cuts_to_txn`), so every batch but
+    the last ends exactly at its txn end — the fixture shape for
+    Xid-gated (C4) fences. The final batch ends wherever the stream
+    ends (a generated stream may end mid-transaction), so its fence is
+    txn-aligned only if the stream's last frame is a COMMIT/DDL."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
