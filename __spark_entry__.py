@@ -1604,6 +1604,28 @@ def q_doc_mix_topk_per_lang(spark, sf_dir):
     )
 
 
+def q_doc_source_capped_topk(spark, sf_dir):
+    """Per-source contribution cap (the C4/FineWeb 'domain capping'
+    pass: no one source contributes more than K documents): top-15 per
+    source by quality with a doc_id total tie-break — computed with the
+    salted two-phase EXACT top-k (``sampling.topk_per_group``), NOT a
+    plain per-group window: phase 1 locally ranks n_salts deterministic
+    shards per source, phase 2 ranks only the <= n_salts*k survivors,
+    so no task ever sorts a whole hot domain (the one that is half the
+    corpus at 100 TB). Result provably equals the plain window's
+    (tests/test_sampling.py), which is exactly what the SQL oracle
+    runs."""
+    from mysql_tracker_spark.functions.sampling import topk_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source", "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    return topk_per_group(
+        scored, ["source"], [F.desc("quality"), F.asc("doc_id")], 15, n_salts=8
+    ).orderBy("source", "rank")
+
+
 def q_doc_pii_redaction(spark, sf_dir):
     """PII scrubbing (training-data table stakes): emails / IPv4s /
     phone numbers redacted with typed tokens, pure Catalyst. The
@@ -3579,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mysql_byte_decode": q_mysql_byte_decode,
         "doc_chunking": q_doc_chunking,
         "doc_mix_topk_per_lang": q_doc_mix_topk_per_lang,
+        "doc_source_capped_topk": q_doc_source_capped_topk,
         "doc_pii_redaction": q_doc_pii_redaction,
         "doc_decontaminate": q_doc_decontaminate,
         "doc_duplicate_spans": q_doc_duplicate_spans,
@@ -4496,6 +4519,29 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang_pred ORDER BY quality DESC, doc_id ASC) AS rank
                 FROM q)
             WHERE rank <= 25 ORDER BY lang_pred, rank
+        """,
+        # Domain capping: the salted two-phase top-k must equal the
+        # plain per-group ranking (exactness property, also asserted in
+        # tests/test_sampling.py) — the oracle runs the plain window.
+        "doc_source_capped_topk": rf"""
+            WITH q AS (
+                SELECT doc_id, source,
+                       round((CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 0.5 ELSE 0.0 END)
+                           + (CASE WHEN round(n_sw / greatest(n_tok, 1), 6) >= 0.01 THEN 0.3 ELSE 0.0 END)
+                           + (CASE WHEN round(n_punct / greatest(n_chars, 1), 6) <= 0.1 THEN 0.2 ELSE 0.0 END), 6) AS quality
+                FROM (
+                    SELECT doc_id, source, text,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+                           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                           length(text) AS n_chars,
+                           len(regexp_extract_all(lower(text), '{_STOPWORDS}')) AS n_sw
+                    FROM documents))
+            SELECT source, doc_id, quality, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rank
+                FROM q)
+            WHERE rank <= 15 ORDER BY source, rank
         """,
         "emb_knn_bruteforce": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

@@ -131,3 +131,58 @@ def token_budget_sample(
         .filter(F.col("running_tokens") <= F.col("__budget"))
         .drop("__budget")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rank",
+    salt_on: Column | None = None,
+) -> DataFrame:
+    """EXACT per-group top-k without a single-task-per-group sort —
+    the source/domain-capping pass of web-scale curation ("no one
+    domain contributes more than K documents"), where the plain
+    ``row_number() over (partition by group)`` dies on the one domain
+    that is half the corpus.
+
+    Two-phase (same trade as the engine's two-phase sequencer, B3):
+
+    1. rows are split into ``n_salts`` deterministic shards per group
+       (``pmod(xxhash64(salt_on), n_salts)``); a LOCAL top-k per
+       (group, shard) survives. Any element of the true global top-k
+       is, within its own shard, still top-k — so the union of shard
+       winners is a superset of the answer for ANY shard assignment;
+       the hash only balances sizes.
+    2. the ≤ ``n_salts * k`` survivors per group are ranked exactly.
+
+    Phase-1 tasks sort ~|group|/n_salts rows, phase-2 tasks sort
+    ≤ n_salts*k — both bounded, vs the plain window's |group|.
+
+    ``order_cols`` must be a TOTAL order (append a unique tie-break,
+    e.g. the id column) so the result is deterministic and replayable;
+    ``salt_on`` (the shard key) defaults to a hash of EVERY input
+    column — a pure function of the row, so replays shard identically
+    regardless of partition layout. Returns the winners with
+    ``rank_col`` (1-based).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty (and a total order)")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    if salt_on is None:
+        salt_on = F.xxhash64(*[F.col(c) for c in df.columns])
+    salted = df.withColumn("__shard", F.pmod(F.xxhash64(salt_on), F.lit(n_salts)))
+    w1 = Window.partitionBy(*group_cols, "__shard").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__shard")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2).cast("bigint"))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -103,3 +103,56 @@ def test_token_budget_exact_prefix(docs, spark):
 def test_token_budget_validates(docs):
     with pytest.raises(ValueError):
         token_budget_sample(docs, {"en": -1})
+
+
+def test_topk_per_group_equals_plain_window(spark):
+    """Exactness property of the salted two-phase top-k: for ANY shard
+    assignment the union of per-shard local top-k contains the global
+    top-k, so the result must equal the plain window's — across k,
+    n_salts (incl. 1), k > group size, and ties broken by the total
+    order."""
+    from pyspark.sql import Window
+
+    from mysql_tracker_spark.functions.sampling import topk_per_group
+
+    rows = [
+        (f"g{(i * 7) % 5}", i, float((i * 13) % 11))  # dup scores => real ties
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    order = [F.desc("score"), F.asc("id")]
+    for k, n_salts in [(3, 1), (3, 4), (25, 8), (500, 4)]:
+        got = (
+            topk_per_group(df, ["grp"], order, k, n_salts=n_salts)
+            .select("grp", "id", "rank")
+            .collect()
+        )
+        w = Window.partitionBy("grp").orderBy(*order)
+        exp = (
+            df.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+            .select("grp", "id", "rank")
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, exp)), (k, n_salts)
+
+
+def test_topk_per_group_shards_the_hot_group(spark):
+    """Plan shape: phase 1 partitions on (group, __shard) — the hot
+    group's sort is spread over n_salts tasks — and phase 2 only ever
+    sorts the <= n_salts*k survivors. One group being 100% of the
+    input must still produce the exact top-k."""
+    from mysql_tracker_spark.functions.sampling import topk_per_group
+
+    df = spark.createDataFrame(
+        [("hot", i, float(i % 97)) for i in range(20000)],
+        "grp string, id long, score double",
+    )
+    out = topk_per_group(df, ["grp"], [F.desc("score"), F.asc("id")], 10, n_salts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" in plan  # phase-1 sharded window is really in the plan
+    rows = out.orderBy("rank").collect()
+    assert [r.id for r in rows] == sorted(
+        range(20000), key=lambda i: (-(i % 97), i)
+    )[:10]
+    assert [r.rank for r in rows] == list(range(1, 11))
