@@ -1588,20 +1588,22 @@ def q_doc_chunking(spark, sf_dir):
 
 def q_doc_mix_topk_per_lang(spark, sf_dir):
     """Stratified data mixing: top-25 documents PER predicted language
-    by quality score (window rank with a total tiebreak) — the
-    deterministic core of a per-source/per-language sampling mix."""
+    by quality score with a doc_id total tiebreak — the deterministic
+    core of a per-source/per-language sampling mix, run through the
+    salted two-phase EXACT top-k (``sampling.topk_per_group``; provably
+    equal to the plain window the oracle runs) so the dominant language
+    never funnels into one sort task."""
+    from mysql_tracker_spark.functions.sampling import topk_per_group
+
     d = _t(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         TX.lang_id(F.col("text")).alias("lang_pred"),
         TX.quality_score(F.col("text")).alias("quality"),
     )
-    w = Window.partitionBy("lang_pred").orderBy(F.desc("quality"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 25)
-        .orderBy("lang_pred", "rank")
-    )
+    return topk_per_group(
+        scored, ["lang_pred"], [F.desc("quality"), F.asc("doc_id")], 25, n_salts=8
+    ).orderBy("lang_pred", "rank")
 
 
 def q_doc_source_capped_topk(spark, sf_dir):

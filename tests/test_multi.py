@@ -193,3 +193,62 @@ def test_consistent_read_raises_when_no_common_fence(spark, tmp_path):
     multi.jobs[("chat", "noise_tbl")].prepare()
     with pytest.raises(ConsistencyError):
         multi.consistent_read()
+
+
+def test_stream_fanout_consistent_read(spark, tmp_path):
+    """Fence alignment holds under the STREAMING front-end too: two
+    CdcStreamJobs (one per target table) tail the same input with
+    maxFilesPerTrigger=1, so per-micro-batch commits land on identical
+    file boundaries regardless of trigger timing. The noise target goes
+    down before the last file arrives; consistent_read over the two
+    stream tables pins the leader back to the laggard's fence and both
+    match the sequential oracle over exactly the prefix events."""
+    import os
+    import shutil
+
+    from mysql_tracker_spark.lakestore.table import LakeTable
+    from mysql_tracker_spark.runner import consistent_read
+    from mysql_tracker_spark.streaming.stream_runner import CdcStreamJob
+
+    ev = gen_change_events(CFG)
+    in_dir = str(tmp_path / "in")
+    all_paths = write_batches(ev, in_dir, n_batches=4)
+    hidden = []
+    for p in all_paths[3:]:  # last file arrives later
+        dst = str(tmp_path / os.path.basename(p))
+        shutil.move(p, dst)
+        hidden.append((dst, p))
+
+    def stream(tbl, ck, table_name):
+        return CdcStreamJob(
+            spark,
+            in_dir,
+            str(tmp_path / tbl),
+            checkpoint_dir=str(tmp_path / ck),
+            n_buckets=4,
+            max_files_per_trigger=1,
+            schema_name="chat",
+            table_name=table_name,
+        )
+
+    stream("t_main", "ck_main", "transcripts").run_available()
+    stream("t_noise", "ck_noise", "noise_tbl").run_available()
+    for dst, orig in hidden:
+        shutil.move(dst, orig)
+    # only the transcripts stream comes back up for the new file
+    stream("t_main", "ck_main", "transcripts").run_available()
+
+    tables = {
+        ("chat", "transcripts"): LakeTable.load(str(tmp_path / "t_main")),
+        ("chat", "noise_tbl"): LakeTable.load(str(tmp_path / "t_noise")),
+    }
+    frames, fence = consistent_read(spark, tables)
+    pre = _prefix(ev, fence)
+    # the fence really is the laggard's position: some events lie past it
+    assert len(pre) < len(ev)
+    for key, frame in frames.items():
+        got = normalize(frame.toPandas())
+        exp = normalize(expected_final_state(pre, *key))
+        cols = [c for c in ["conv_id", "turn_idx", "role", "text", "tool"] if c in got]
+        assert len(got) == len(exp) and len(exp) > 0
+        pd.testing.assert_frame_equal(got[cols], exp[cols])
