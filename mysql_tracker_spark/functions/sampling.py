@@ -163,18 +163,34 @@ def topk_per_group(
 
     ``order_cols`` must be a TOTAL order (append a unique tie-break,
     e.g. the id column) so the result is deterministic and replayable;
-    ``salt_on`` (the shard key) defaults to a hash of EVERY input
-    column — a pure function of the row, so replays shard identically
-    regardless of partition layout. Returns the winners with
-    ``rank_col`` (1-based).
+    ``salt_on`` (the shard key) defaults to a hash of every hashable
+    input column (map-typed columns are excluded — Spark prohibits
+    hashing maps) — a pure function of the row, so replays shard
+    identically regardless of partition layout. Returns the winners
+    with ``rank_col`` (1-based).
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty (and a total order)")
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
+    clash = {rank_col, "__shard", "__r1"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with topk_per_group "
+            f"working/output columns; rename them or pass a different rank_col"
+        )
     if salt_on is None:
-        salt_on = F.xxhash64(*[F.col(c) for c in df.columns])
-    salted = df.withColumn("__shard", F.pmod(F.xxhash64(salt_on), F.lit(n_salts)))
+        # hash expressions prohibit MapType anywhere in the column type —
+        # shard on the hashable columns only (still a pure row function)
+        hashable = [
+            f.name for f in df.schema.fields if "MapType" not in repr(f.dataType)
+        ]
+        if not hashable:
+            raise ValueError("no hashable columns to shard on; pass salt_on")
+        shard = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salts))
+    else:
+        shard = F.pmod(F.xxhash64(salt_on), F.lit(n_salts))
+    salted = df.withColumn("__shard", shard)
     w1 = Window.partitionBy(*group_cols, "__shard").orderBy(*order_cols)
     survivors = (
         salted.withColumn("__r1", F.row_number().over(w1))

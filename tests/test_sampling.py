@@ -156,3 +156,34 @@ def test_topk_per_group_shards_the_hot_group(spark):
         range(20000), key=lambda i: (-(i % 97), i)
     )[:10]
     assert [r.rank for r in rows] == list(range(1, 11))
+
+
+def test_topk_per_group_rejects_colliding_columns(spark):
+    """Working/output names must not silently clobber caller data."""
+    from mysql_tracker_spark.functions.sampling import topk_per_group
+
+    order = [F.asc("id")]
+    for col in ("rank", "__shard", "__r1"):
+        df = spark.createDataFrame(
+            [("g", 1, 0)], f"grp string, id long, {col} int"
+        )
+        with pytest.raises(ValueError, match=col):
+            topk_per_group(df, ["grp"], order, 1)
+    # a custom rank_col dodges the 'rank' collision
+    df = spark.createDataFrame([("g", 1, 0)], "grp string, id long, rank int")
+    out = topk_per_group(df, ["grp"], order, 1, rank_col="topk_rank")
+    assert out.columns == ["grp", "id", "rank", "topk_rank"]
+
+
+def test_topk_per_group_handles_map_columns(spark):
+    """The default shard key must skip map-typed columns (Spark
+    prohibits hashing maps) instead of throwing AnalysisException —
+    the engine's before/after images are maps."""
+    from mysql_tracker_spark.functions.sampling import topk_per_group
+
+    df = spark.createDataFrame(
+        [("g", i, {"k": str(i)}) for i in range(20)],
+        "grp string, id long, img map<string,string>",
+    )
+    out = topk_per_group(df, ["grp"], [F.asc("id")], 3, n_salts=4)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2]
