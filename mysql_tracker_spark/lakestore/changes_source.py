@@ -19,21 +19,40 @@ streaming consumers:
   COW/MOR invariant that an untouched bucket carries identical file
   entries forward means only changed buckets are listed, and each
   executor task diffs exactly one bucket — the same working-set bound
-  the batch changelog has.
+  the batch changelog has. Each partition EMBEDS the file-entry lists
+  it needs, so executors never re-open or re-parse the (large at
+  scale) manifests.
 * **Executor-side diff without a SparkSession**: `read()` runs on
   executors where no SparkSession exists, so the per-bucket state
-  resolution (schema-aligned base read + MOR LWW-by-seq + tombstone
-  drop) and the old-vs-new key diff are implemented over
-  pyarrow/pandas. Equivalence with the Spark-side
-  :meth:`LakeTable.read_changes` is property-tested
-  (tests/test_changes_source.py) — any divergence between the two
-  implementations breaks the suite.
+  resolution and the old-vs-new key diff are implemented over
+  pyarrow/pandas, mirroring the Spark-side :meth:`LakeTable._read_state`
+  semantics file-entry by file-entry:
+  - schema alignment through the RENAME CHAIN + identity-continuity
+    check (`_source_map` — the same helper the Spark read path uses),
+  - post-split ``residual`` predicates recomputed per row with the
+    pure-Python twin of Spark's Murmur3 ``hash()``
+    (:mod:`.spark_hash`, property-tested against ``F.hash``),
+  - MOR LWW-by-seq + tombstone drop.
+  Equivalence with the Spark-side :meth:`LakeTable.read_changes` is
+  property-tested (tests/test_changes_source.py) across random
+  merge/MOR/compact/split/rescale/rename sequences — any divergence
+  between the two implementations breaks the suite.
+* **Bucket-layout changes in the offset range** (split_buckets /
+  rescale_buckets): buckets cannot be diffed id-by-id across layouts —
+  a to-layout bucket's old rows lived in a DIFFERENT from-layout
+  bucket. Each partition therefore carries the from-layout bucket(s)
+  that can own its rows (``b % n_from`` for a k·N split/rescale-up,
+  ``{b + i·n_to}`` for a shrink, all of them otherwise) and re-filters
+  the old side to ``pmod(hash(key), n_to) == b``. A metadata-only
+  split thus yields zero change rows, exactly like the batch
+  changelog.
 
 Schema note: the output schema (op + the table's columns) is fixed
 when the stream starts, like any Spark source; files written under
-older schema_ids are aligned (missing columns null, widened cast via
-pandas). After an ADD COLUMN, restart the stream to surface the new
-column.
+older schema_ids are aligned (missing columns null, renamed columns
+mapped, widened cast via pandas). After any DDL (ADD/RENAME/DROP
+COLUMN), restart the stream to pick up the new schema — alignment
+assumes the stream schema is the table's CURRENT schema.
 """
 
 from __future__ import annotations
@@ -47,6 +66,9 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
+
+from .spark_hash import pmod_bucket
+from .table import _current_name, _source_map
 
 _TOMBSTONE = "__delete"
 
@@ -65,35 +87,59 @@ def _current_version(path: str) -> int:
     )
 
 
-def _bucket_state(path: str, m: dict, bucket: int, target_fields: list):
-    """One live row per key for a single bucket, as pandas — the
-    executor-side twin of LakeTable._read_state restricted to one
-    bucket: schema-align every file, stamp MOR deltas with their
-    commit seq, keep the max-seq row per key, drop tombstones."""
+def _bucket_state(path: str, entries: list[dict], meta: dict):
+    """One live row per key over a list of file entries, as pandas —
+    the executor-side twin of LakeTable._read_state restricted to one
+    bucket's entries: align every file to the target schema through
+    the rename chain, apply post-split residual predicates, stamp MOR
+    deltas with their commit seq, keep the max-seq row per key, drop
+    tombstones."""
     import pandas as pd
     import pyarrow.parquet as pq
 
-    names = [f["name"] for f in target_fields]
-    key_cols = m["key_cols"]
+    target = T.StructType.fromJson(
+        {"type": "struct", "fields": meta["target_fields"]}
+    )
+    names = [f.name for f in target.fields]
+    types = {f.name: f.dataType.typeName() for f in target.fields}
+    renames = meta["renames"]
     parts = []
-    for fe in m["buckets"].get(str(bucket), []):
+    for fe in entries:
         pdf = pq.read_table(os.path.join(path, fe["path"])).to_pandas()
+        sid = fe["schema_id"]
+        smap = _source_map(
+            target, sid, meta["cur_sid"], meta["schemas"], renames
+        )
+        part = pd.DataFrame(index=pdf.index)
         for n in names:
-            if n not in pdf.columns:
-                pdf[n] = None
+            src = smap[n]
+            if src is not None and src in pdf.columns:
+                part[n] = pdf[src]
+            else:
+                part[n] = None
         is_delta = bool(fe.get("delta"))
-        tomb = (
+        part["__del"] = (
             pdf[_TOMBSTONE].fillna(False).astype(bool)
             if is_delta and _TOMBSTONE in pdf.columns
             else False
         )
-        part = pdf[names].copy()
-        part["__del"] = tomb
         part["__seq"] = fe.get("seq", 0) if is_delta else 0
+        r = fe.get("residual")
+        if r is not None and len(part):
+            # shared post-split entry: the physical file holds a
+            # superset of this bucket's rows — keep only rows whose
+            # CURRENT placement under the residual's layout is the
+            # child id (same predicate as table._residual_pred)
+            col = _current_name(r["col"], r["sid"], renames)
+            keep = part[col].map(
+                lambda v: pmod_bucket(v, types[col], r["n"]) == r["id"]
+            )
+            part = part[keep]
         parts.append(part)
     if not parts:
         return pd.DataFrame(columns=names + ["__del", "__seq"])
     allr = pd.concat(parts, ignore_index=True)
+    key_cols = meta["key_cols"]
     # max-seq row per key wins (stable sort keeps within-seq order;
     # keys are unique within one seq level by the merge contract)
     allr = allr.sort_values("__seq", kind="stable").groupby(
@@ -103,11 +149,40 @@ def _bucket_state(path: str, m: dict, bucket: int, target_fields: list):
 
 
 class _BucketDiffPart(InputPartition):
-    def __init__(self, path: str, bucket: int, v_from: int, v_to: int):
+    """Self-contained diff task for ONE to-layout bucket: carries the
+    file-entry lists of both sides (no executor manifest reads) plus
+    the alignment metadata. ``old_filter_bucket`` is set iff the
+    bucket layout changed inside the offset range — then the old side
+    (read from the from-layout bucket(s) that can own this bucket's
+    rows) is re-filtered to ``pmod(hash(bucket_by), n_to) == b``."""
+
+    def __init__(
+        self,
+        path: str,
+        bucket: int,
+        entries_from: list[dict],
+        entries_to: list[dict],
+        meta: dict,
+        old_filter_bucket: int | None = None,
+    ):
         self.path = path
         self.bucket = bucket
-        self.v_from = v_from
-        self.v_to = v_to
+        self.entries_from = entries_from
+        self.entries_to = entries_to
+        self.meta = meta
+        self.old_filter_bucket = old_filter_bucket
+
+
+def _from_bucket_ids(b: int, n_from: int, n_to: int) -> list[int]:
+    """From-layout bucket ids that can hold rows of to-layout bucket
+    ``b`` (placement = pmod(hash, n)): a k·N grow maps each child to
+    one parent; a shrink to N/k folds k parents into one child;
+    arbitrary rescales admit no congruence shortcut — scan them all."""
+    if n_to % n_from == 0:
+        return [b % n_from]
+    if n_from % n_to == 0:
+        return [b + i * n_to for i in range(n_from // n_to)]
+    return list(range(n_from))
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
@@ -133,10 +208,50 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         if v1 <= v0:
             return []
         mf, mt = _manifest(self.path, v0), _manifest(self.path, v1)
+        sch = json.loads(self._schema_json)
+        target_fields = [f for f in sch["fields"] if f["name"] != "op"]
+        bucket_by = mt["bucket_by"]
+        n_from, n_to = mf["n_buckets"], mt["n_buckets"]
+        meta = {
+            "target_fields": target_fields,
+            "schemas": {**mf["schemas"], **mt["schemas"]},
+            "renames": mt.get("renames"),
+            "cur_sid": mt["schema_id"],
+            "key_cols": mt["key_cols"],
+            "bucket_by": bucket_by,
+            "bucket_by_type": next(
+                f["type"] for f in target_fields if f["name"] == bucket_by
+            ),
+            "n_to": n_to,
+        }
         parts = []
-        for b in sorted(set(mf["buckets"]) | set(mt["buckets"]), key=int):
-            if mf["buckets"].get(b, []) != mt["buckets"].get(b, []):
-                parts.append(_BucketDiffPart(self.path, int(b), v0, v1))
+        if n_from == n_to:
+            # same layout: diff changed buckets id-by-id (untouched
+            # buckets carry identical entry lists forward)
+            for b in sorted(set(mf["buckets"]) | set(mt["buckets"]), key=int):
+                ef = mf["buckets"].get(b, [])
+                et = mt["buckets"].get(b, [])
+                if ef != et:
+                    parts.append(
+                        _BucketDiffPart(self.path, int(b), ef, et, meta)
+                    )
+            return parts
+        # layout changed inside the range: every to-bucket's old rows
+        # must be re-derived from the from-layout bucket(s) that held
+        # them, filtered to this bucket under the TO layout
+        for b in range(n_to):
+            et = mt["buckets"].get(str(b), [])
+            ef = [
+                fe
+                for fb in _from_bucket_ids(b, n_from, n_to)
+                for fe in mf["buckets"].get(str(fb), [])
+            ]
+            if ef or et:
+                parts.append(
+                    _BucketDiffPart(
+                        self.path, b, ef, et, meta, old_filter_bucket=b
+                    )
+                )
         return parts
 
     def commit(self, end: dict) -> None:
@@ -148,15 +263,24 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
         import pandas as pd
 
-        sch = json.loads(self._schema_json)
-        target_fields = sch["fields"]
-        names = [f["name"] for f in target_fields if f["name"] != "op"]
-        mf = _manifest(partition.path, partition.v_from)
-        mt = _manifest(partition.path, partition.v_to)
-        key = mt["key_cols"]
+        meta = partition.meta
+        names = [f["name"] for f in meta["target_fields"]]
+        key = meta["key_cols"]
         non_key = [n for n in names if n not in key]
-        old = _bucket_state(partition.path, mf, partition.bucket, target_fields)
-        new = _bucket_state(partition.path, mt, partition.bucket, target_fields)
+        old = _bucket_state(partition.path, partition.entries_from, meta)
+        new = _bucket_state(partition.path, partition.entries_to, meta)
+        if partition.old_filter_bucket is not None and len(old):
+            # cross-layout diff: keep only the old rows that live in
+            # THIS bucket under the to-layout (the new side already
+            # does, by bucket ownership / residual predicates)
+            bcol = meta["bucket_by"]
+            btype = meta["bucket_by_type"]
+            n_to = meta["n_to"]
+            keep = old[bcol].map(
+                lambda v: pmod_bucket(v, btype, n_to)
+                == partition.old_filter_bucket
+            )
+            old = old[keep]
         o = {tuple(r[k] for k in key): r for _, r in old.iterrows()}
         n = {tuple(r[k] for k in key): r for _, r in new.iterrows()}
 

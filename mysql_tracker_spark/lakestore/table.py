@@ -359,6 +359,42 @@ def _has_delta(entries: list[dict]) -> bool:
     return any(fe.get("delta") for fe in entries)
 
 
+def _write_file_atomic(path: str, payload: bytes) -> None:
+    """Torn-write-proof exclusive file create: the payload is FULLY
+    written (os.write may return short — loop until drained) and
+    fsynced to a sideways dot-temp, then hard-LINKed to the target name
+    and the directory entry fsynced. link(2) is atomic and raises
+    ``FileExistsError`` when a concurrent writer claimed the name (the
+    same loser-detection contract as ``O_CREAT|O_EXCL``), but unlike
+    create-then-write a crash at ANY instruction leaves either no
+    target file or a COMPLETE one — never a truncated JSON squatting on
+    a name every subsequent reader would choke on. Crash-stranded
+    temps (dot-prefixed, invisible to name scans) are reclaimed by
+    :meth:`LakeTable.gc_orphans`."""
+    d = os.path.dirname(path)
+    tmp = os.path.join(
+        d, f".tmp-{os.path.basename(path)}-{uuid.uuid4().hex[:12]}"
+    )
+    fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        mv = memoryview(payload)
+        while mv:
+            written = os.write(fd, mv)
+            mv = mv[written:]
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    try:
+        os.link(tmp, path)  # atomic exclusive claim of the name
+    finally:
+        os.unlink(tmp)
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def _residual_key(fe: dict) -> tuple | None:
     """Hashable grouping key of a SHARED entry's residual (None for an
     owned file). Shared entries exist after :meth:`LakeTable.split_buckets`:
@@ -497,8 +533,15 @@ class LakeTable:
 
     @staticmethod
     def exists(path: str) -> bool:
+        """True iff the path holds at least one COMMITTED snapshot —
+        the same ``v*.json`` filter as :meth:`current_version`, so a
+        crash-stranded ``.tmp-*`` commit temp never makes exists()
+        claim a table that :meth:`load` would then fail to open."""
         snap = os.path.join(path, "snapshots")
-        return os.path.isdir(snap) and any(f.endswith(".json") for f in os.listdir(snap))
+        return os.path.isdir(snap) and any(
+            f.startswith("v") and f.endswith(".json")
+            for f in os.listdir(snap)
+        )
 
     # ------------------------------------------------------------- snapshots
 
@@ -530,27 +573,11 @@ class LakeTable:
         v = manifest["version"]
         target = os.path.join(self.snap_dir, f"v{v:08d}.json")
         payload = json.dumps(manifest, indent=None, separators=(",", ":"))
-        tmp = os.path.join(
-            self.snap_dir, f".tmp-v{v:08d}-{uuid.uuid4().hex[:12]}.json"
-        )
-        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, payload.encode())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
-        try:
-            os.link(tmp, target)  # atomic exclusive claim of version v
-        finally:
-            os.unlink(tmp)
-        # persist the DIRECTORY entry too: without this a power loss
-        # after return could roll back a commit the caller already
-        # acted on (e.g. publish_staged deletes its stage file next)
-        dfd = os.open(self.snap_dir, os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        # the directory fsync also persists the entry itself: without
+        # it a power loss after return could roll back a commit the
+        # caller already acted on (e.g. publish_staged deletes its
+        # stage file next)
+        _write_file_atomic(target, payload.encode())
         return v
 
     def properties(self, version: int | None = None) -> dict:
@@ -902,14 +929,23 @@ class LakeTable:
             )
         return self._read_state(spark, m).count()
 
-    def buckets_for_keys(self, spark: SparkSession, keys: list) -> list[int]:
+    def buckets_for_keys(
+        self, spark: SparkSession, keys: list, version: int | None = None
+    ) -> list[int]:
         """Bucket ids owning ``keys`` — computed by Spark's own
         ``hash()`` (one tiny single-partition job), never a Python
         reimplementation of Murmur3: the placement function is the
-        engine's, so the lookup's is too, by construction."""
-        m = self.manifest()
+        engine's, so the lookup's is too, by construction.
+
+        ``version`` computes placement under THAT snapshot's layout —
+        a time-travel point read across a rescale/split boundary must
+        hash with the historical ``n_buckets``, or it opens buckets
+        that did not exist (and silently misses the row)."""
+        m = self.manifest(version)
         ktype = next(
-            f.dataType for f in self.schema().fields if f.name == m["bucket_by"]
+            f.dataType
+            for f in self.schema(version).fields
+            if f.name == m["bucket_by"]
         )
         kdf = spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField("k", ktype)])
@@ -934,7 +970,7 @@ class LakeTable:
         filter is pushed to the parquet scan (hash collisions share a
         bucket)."""
         m = self.manifest(version)
-        bks = self.buckets_for_keys(spark, keys)
+        bks = self.buckets_for_keys(spark, keys, version=version)
         col = m["bucket_by"]
         klist = list(keys)
         df = self._read_state(
@@ -1167,11 +1203,19 @@ class LakeTable:
         extra_cols: list[str] | None = None,
         sort_by: str | list[str] | None = None,
         files_per_bucket: int = 1,
+        base_manifest: dict | None = None,
     ) -> dict[int, list[dict]]:
         """Write rows (must carry __bucket) partitioned by bucket into the
         data dir; return bucket -> file entries. One Spark job; files land
         under a unique staging subdir so concurrent writers never collide.
         ``n_buckets`` overrides the manifest's count (rescale path).
+
+        ``base_manifest`` is the manifest the CALLER planned the write
+        against — the stamped ``schema_id`` comes from it, so a schema
+        commit landing concurrently (mid-Spark-job) cannot mislabel
+        files written under the old schema with the new id (readers
+        would align the old bytes to the wrong column set: a renamed
+        column's data would read as NULL for the whole batch).
 
         ``sort_by`` switches to RANGE-CLUSTERED layout (Iceberg
         sort-order analogue): rows are range-partitioned on
@@ -1191,7 +1235,7 @@ class LakeTable:
         one of them."""
         stage = f"stage-{uuid.uuid4().hex[:12]}"
         stage_dir = os.path.join(self.data_dir, stage)
-        m0 = self.manifest()
+        m0 = base_manifest if base_manifest is not None else self.manifest()
         cols = [f.name for f in schema.fields] + list(extra_cols or [])
         nb = n_buckets if n_buckets is not None else m0["n_buckets"]
         sort_cols = (
@@ -1236,8 +1280,7 @@ class LakeTable:
             .mode("overwrite")
             .parquet(stage_dir)
         )
-        m = self.manifest()
-        sid = m["schema_id"]
+        sid = m0["schema_id"]
         out: dict[int, list[dict]] = {}
         for entry in os.listdir(stage_dir):
             if not entry.startswith(f"{_BUCKET_COL}="):
@@ -1340,7 +1383,7 @@ class LakeTable:
         m = self.manifest()
         schema = self.schema()
         dfb = df.withColumn(_BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"]))
-        buckets = self._write_buckets(dfb, schema)
+        buckets = self._write_buckets(dfb, schema, base_manifest=m)
         new = dict(m)
         new["version"] = m["version"] + 1
         new["parent"] = m["version"]
@@ -1381,7 +1424,7 @@ class LakeTable:
         df = self.read(spark).withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], new_n_buckets)
         )
-        buckets = self._write_buckets(df, schema, n_buckets=new_n_buckets)
+        buckets = self._write_buckets(df, schema, n_buckets=new_n_buckets, base_manifest=m)
         new = dict(m)
         new["version"] = m["version"] + 1
         new["parent"] = m["version"]
@@ -1558,9 +1601,24 @@ class LakeTable:
                 _BUCKET_COL, *[f.name for f in schema.fields]
             ).unionByName(merged)
 
-        new_files = self._write_buckets(merged, schema)
+        new_files = self._write_buckets(merged, schema, base_manifest=m)
         if affected_buckets is None:
             ch.unpersist()
+        # fence a stale caller-supplied bucket set: if the write filed
+        # rows into buckets OUTSIDE `affected` (the caller computed the
+        # set under an older layout and a rescale/split committed in
+        # between), silently keeping only the `affected` subset would
+        # permanently drop those upserts — the same layout race
+        # _commit_delta fences with base_n_buckets
+        stray = sorted(
+            b for b, fs in new_files.items() if fs and b not in aff
+        )
+        if stray:
+            raise CommitConflictError(
+                f"merge wrote rows into buckets {stray} outside the "
+                f"caller's affected_buckets — the bucket layout changed "
+                "under this merge; replay against the new head"
+            )
 
         summary = {
             "operation": "merge",
@@ -1631,7 +1689,9 @@ class LakeTable:
         ch = changes.withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], nb)
         ).withColumn(_TOMBSTONE, F.col(delete_col).cast("boolean"))
-        new_files = self._write_buckets(ch, schema, extra_cols=[_TOMBSTONE])
+        new_files = self._write_buckets(
+            ch, schema, extra_cols=[_TOMBSTONE], base_manifest=m
+        )
         if stage_as is not None:
             staged = {
                 "parent": m["version"],
@@ -1931,7 +1991,8 @@ class LakeTable:
             state = state.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             new_files = self._write_buckets(
-                state, schema, sort_by=sort_by, files_per_bucket=files_per_bucket
+                state, schema, sort_by=sort_by,
+                files_per_bucket=files_per_bucket, base_manifest=m,
             )
         finally:
             if sort_by:
@@ -2040,7 +2101,8 @@ class LakeTable:
             _BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"])
         )
         new_files = self._write_buckets(
-            keep, schema, sort_by=sort_by, files_per_bucket=files_per_bucket
+            keep, schema, sort_by=sort_by,
+            files_per_bucket=files_per_bucket, base_manifest=m,
         )
         # rows_deleted = rows read into the rewrite - rows written.
         # Written comes free from the freshly stamped footers; read
@@ -2228,14 +2290,11 @@ class LakeTable:
         tags_dir = os.path.join(self.path, "tags")
         os.makedirs(tags_dir, exist_ok=True)
         payload = json.dumps({"version": v, "ts_ms": int(time.time() * 1000)})
-        fd = os.open(
-            os.path.join(tags_dir, f"{name}.json"),
-            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-        )
-        try:
-            os.write(fd, payload.encode())
-        finally:
-            os.close(fd)
+        # torn-write-proof + fsynced: a crash must not leave a
+        # truncated tag (tags() would raise, breaking expiry) or lose
+        # the pin a caller was just promised (the snapshot would lose
+        # its expiry protection)
+        _write_file_atomic(os.path.join(tags_dir, f"{name}.json"), payload.encode())
         return v
 
     def tags(self) -> dict[str, int]:
@@ -2281,12 +2340,7 @@ class LakeTable:
         path = self._staged_path(wap_id)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         payload = json.dumps(manifest, indent=None, separators=(",", ":"))
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, payload.encode())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+        _write_file_atomic(path, payload.encode())
 
     def staged(self) -> list[str]:
         """Ids of pending staged snapshots."""
@@ -2736,14 +2790,21 @@ class LakeTable:
                 ):
                     os.remove(full)
                     removed += 1
-        # crash-stranded commit temps (written-but-never-linked, or the
-        # unlink after a successful/lost link never ran) — same age
-        # guard covers an in-flight committer
-        if os.path.isdir(self.snap_dir):
-            for fn in os.listdir(self.snap_dir):
-                if not fn.startswith(".tmp-v"):
+        # crash-stranded atomic-write temps (written-but-never-linked,
+        # or the unlink after a successful/lost link never ran) — same
+        # age guard covers an in-flight writer. Snapshots, WAP stages
+        # and tags all write through _write_file_atomic.
+        for d in (
+            self.snap_dir,
+            os.path.join(self.snap_dir, "staged"),
+            os.path.join(self.path, "tags"),
+        ):
+            if not os.path.isdir(d):
+                continue
+            for fn in os.listdir(d):
+                if not fn.startswith(".tmp-"):
                     continue
-                full = os.path.join(self.snap_dir, fn)
+                full = os.path.join(d, fn)
                 if now - os.path.getmtime(full) >= min_age_s:
                     os.remove(full)
                     removed += 1

@@ -124,6 +124,79 @@ def test_stream_incremental_across_triggers_with_checkpoint(spark, tmp_path):
     assert accumulated == _sorted(first + interval2)
 
 
+def test_metadata_only_split_emits_no_changes(spark, tmp_path):
+    """A split_buckets commit moves no rows — the stream must emit
+    ZERO change rows across it (regression: the per-bucket diff used
+    to read shared parent files WITHOUT their residual predicate, so a
+    fresh child bucket surfaced the whole parent as fake inserts)."""
+    t = _mk(spark, tmp_path / "t")
+    base = [_row(f"c{i}", 0, "s") for i in range(20)]
+    t.merge(spark, spark.createDataFrame(base, CH_SCHEMA))
+    v1 = t.current_version()
+    t.split_buckets(2)
+    _drain(spark, t.path, str(tmp_path / "ck"), "chg_split", from_version=v1)
+    assert spark.sql("select * from chg_split").count() == 0
+    assert t.read_changes(spark, v1).count() == 0
+
+
+def test_stream_across_split_rescale_rename_random_sequence(spark, tmp_path):
+    """The hard equivalence property: a random commit sequence mixing
+    COW/MOR merges with bucket-layout changes (metadata-only split,
+    full rescale to a NON-multiple count) and a payload-column RENAME
+    must stream exactly the batch changelog. Exercises the
+    executor-side twin's residual predicates (pure-Python Murmur3),
+    cross-layout old-side re-bucketing, and rename-chain alignment."""
+    rng = random.Random(23)
+    t = _mk(spark, tmp_path / "t")
+    keys = [(f"c{i}", j) for i in range(8) for j in range(2)]
+    vcol = "v"
+
+    def random_batch(step):
+        batch = []
+        for k, i in rng.sample(keys, rng.randint(2, 6)):
+            if rng.random() < 0.2:
+                batch.append(_row(k, i, None, delete=True))
+            else:
+                batch.append(_row(k, i, f"v{step}", h=step % 24))
+        return spark.createDataFrame(
+            batch,
+            T.StructType(
+                [
+                    T.StructField("k", T.StringType()),
+                    T.StructField("i", T.IntegerType()),
+                    T.StructField(vcol, T.StringType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("__delete", T.BooleanType()),
+                ]
+            ),
+        )
+
+    t.merge(spark, random_batch(0))
+    v0 = t.current_version()
+    ops = [
+        "merge", "mor", "split", "merge", "rename",
+        "mor", "rescale_odd", "merge", "mor",
+    ]
+    for step, op in enumerate(ops, start=1):
+        if op == "merge":
+            t.merge(spark, random_batch(step))
+        elif op == "mor":
+            t.merge_mor(spark, random_batch(step))
+        elif op == "split":
+            t.split_buckets(2)  # 4 -> 8, metadata-only, residuals
+        elif op == "rescale_odd":
+            t.rescale_buckets(spark, 3)  # non-multiple: fallback path
+        elif op == "rename":
+            t.rename_column(vcol, "val")
+            vcol = "val"
+    _drain(spark, t.path, str(tmp_path / "ck"), "chg_layout", from_version=v0)
+    exp_df = t.read_changes(spark, v0)
+    cols = exp_df.columns
+    got = _sorted(spark.sql("select * from chg_layout").select(*cols).collect())
+    exp = _sorted(exp_df.collect())
+    assert got == exp and got
+
+
 def test_partitions_are_changed_buckets(spark, tmp_path):
     """Scale shape: one input partition per CHANGED bucket — an
     untouched bucket never gets a task."""

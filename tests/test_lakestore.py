@@ -1047,3 +1047,58 @@ def test_read_asof_timestamp_time_travel(spark, tmp_table_dir):
     assert "c9" in got
     with pytest.raises(ValueError, match="no retained snapshot"):
         t.version_at(0)
+
+
+def test_point_read_time_travel_across_rescale(spark, tmp_table_dir):
+    """read_for_keys(version=...) must hash with the HISTORICAL bucket
+    layout: after a rescale the requested key lives in a different
+    bucket id, and computing placement from the current manifest would
+    open the wrong (or nonexistent) historical bucket and silently
+    return nothing."""
+    t = _mk(spark, tmp_table_dir)
+    v1 = t.current_version()
+    t.rescale_buckets(spark, 7)
+    # historical read: every key readable at v1 under the OLD layout
+    for k in ("c1", "c2"):
+        got = {
+            (r.conv_id, r.turn_idx)
+            for r in t.read_for_keys(spark, [k], version=v1).collect()
+        }
+        exp = {
+            (r.conv_id, r.turn_idx)
+            for r in t.read(spark, version=v1)
+            .filter(f"conv_id = '{k}'")
+            .collect()
+        }
+        assert got == exp and got
+    # and the current-layout read still works post-rescale
+    assert t.read_for_keys(spark, ["c1"]).count() == 2
+
+
+def test_exists_ignores_stranded_commit_temps(tmp_path):
+    """A crash between temp-write and link leaves only a .tmp-* file;
+    exists() must not claim a table load() cannot open."""
+    import os
+
+    snap = tmp_path / "t" / "snapshots"
+    os.makedirs(snap)
+    (snap / ".tmp-v00000001.json-abc123").write_text("{}")
+    assert not LakeTable.exists(str(tmp_path / "t"))
+
+
+def test_merge_stale_affected_buckets_raises_not_drops(spark, tmp_table_dir):
+    """A caller-supplied affected_buckets set computed under an OLD
+    layout must raise CommitConflictError when the layout changed in
+    between — never silently drop the upserts that hash outside it."""
+    from mysql_tracker_spark.lakestore.table import CommitConflictError
+
+    t = _mk(spark, tmp_table_dir)
+    stale_affected = t.buckets_for_keys(spark, ["c9"])  # under n=4
+    t.split_buckets(4)  # 4 -> 16: c9's bucket id changes
+    new_b = t.buckets_for_keys(spark, ["c9"])
+    assert new_b != stale_affected  # the race is real for this key
+    ch = spark.createDataFrame([("c9", 0, "x", False)], CH_SCHEMA)
+    with pytest.raises(CommitConflictError):
+        t.merge(spark, ch, affected_buckets=stale_affected)
+    # and nothing was committed behind the error
+    assert t.read(spark).filter("conv_id = 'c9'").count() == 0
