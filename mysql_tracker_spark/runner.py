@@ -319,6 +319,7 @@ class CdcApplyJob:
                 f"allowlist {self.allowlist!r} excludes the target table {target}"
             )
         self.table: LakeTable | None = None
+        self._input_names: list[str] | None = None
 
     @classmethod
     def from_config(cls, spark: SparkSession, cfg) -> "CdcApplyJob":
@@ -326,9 +327,15 @@ class CdcApplyJob:
         (the reference's per-job JSON, O3)."""
         from .quality import from_specs as _specs
 
-        policy = {"fail": "fail", "reset_earliest": "earliest"}.get(
-            cfg.on_invalid_position
-        )
+        policy_map = {"fail": "fail", "reset_earliest": "earliest", None: None}
+        if cfg.on_invalid_position not in policy_map:
+            # a typo must not silently DISABLE the validation the
+            # operator explicitly configured (errno-1236 analogue)
+            raise ValueError(
+                "on_invalid_position must be 'fail' or 'reset_earliest', "
+                f"got {cfg.on_invalid_position!r}"
+            )
+        policy = policy_map[cfg.on_invalid_position]
         return cls(
             spark,
             cfg.input_dir,
@@ -543,8 +550,17 @@ class CdcApplyJob:
             return {"valid": False, "wm": (wm_file, wm_pos), "action": "no-input"}
         cols = ["file", "pos"]
         probe_files = files if deep else [files[0], files[-1]]
+        if self.source_format == "jsonl":
+            # C5/C7 must work for every ingest format: jsonl batches
+            # are not parquet — probe them with the same schema-first
+            # read apply_batch uses
+            # NB: .json() takes a path LIST — positional *args would
+            # bind the second path to the schema parameter
+            probe = self.spark.read.schema(CHANGE_EVENT_SCHEMA).json(list(probe_files))
+        else:
+            probe = self.spark.read.parquet(*probe_files)
         rng = (
-            self.spark.read.parquet(*probe_files)
+            probe
             .select(*cols)
             .agg(
                 F.min(F.struct(*cols)).alias("lo"), F.max(F.struct(*cols)).alias("hi")
@@ -796,13 +812,22 @@ class CdcApplyJob:
     # ----------------------------------------------------------- micro-batch
 
     def apply_batch(self, batch_id: int, paths: list[str]) -> ApplyStats:
+        # remember the input file names so the commit can carry the
+        # input-side cursor (streaming front-end skip; lineage)
+        self._input_names = sorted(os.path.basename(p) for p in paths)
+        try:
+            return self._apply_batch_inner(batch_id, paths)
+        finally:
+            self._input_names = None
+
+    def _apply_batch_inner(self, batch_id: int, paths: list[str]) -> ApplyStats:
         if self.source_format == "wire":
             return self._apply_wire(batch_id, paths)
         if self.source_format == "jsonl":
             # JSON-lines typed change events (the reference's flattened
             # Avro/JSON record shape as an ingest format): schema-first
             # read — no sampling pass, absent fields decode as null
-            batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).json(*paths)
+            batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).json(list(paths))
         else:
             batch = self.spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(*paths)
         return self.apply_df(batch_id, batch)
@@ -1160,6 +1185,11 @@ class CdcApplyJob:
         if stats.txn_file_end is not None:
             props["txn_end_file"] = stats.txn_file_end
             props["txn_end_pos"] = str(stats.txn_pos_end)
+        if getattr(self, "_input_names", None):
+            # input-side cursor: the last (name-ordered) input file this
+            # commit covers — the streaming front-end skips groups at or
+            # below it without re-reading them
+            props["input_file_end"] = self._input_names[-1]
         affected = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(delta_dir)
@@ -1247,6 +1277,16 @@ class CdcApplyJob:
             is_target_dml,
             _bucket_expr(F.element_at("after", "conv_id"), nb),
         )
+        # a PK-moving UPDATE also emits a tombstone under the BEFORE
+        # key (explode plan below) — its bucket must be in the COW
+        # affected set too, or merge() carries that bucket forward by
+        # reference and the ghost row survives the anti-join
+        bucket_of_before = F.when(
+            (F.col("op") == "UPDATE")
+            & is_target_dml
+            & F.col("before").isNotNull(),
+            _bucket_expr(F.element_at("before", "conv_id"), nb),
+        )
         # PK-moving UPDATE detector (before-image key != after key) —
         # rides the same single observe pass; op test first so the
         # before-map lookups run for target UPDATE rows only
@@ -1276,6 +1316,7 @@ class CdcApplyJob:
                 ).alias("txn_hi"),
                 F.max("ts").alias("max_ts"),
                 F.collect_set(bucket_of_row).alias("buckets"),
+                F.collect_set(bucket_of_before).alias("before_buckets"),
                 F.count(F.when(is_target_dml, 1)).alias("n_dml"),
                 F.count(F.when(is_move_row, 1)).alias("n_moves"),
             )
@@ -1307,6 +1348,16 @@ class CdcApplyJob:
 
         # partial overlap: drop already-committed prefix (event-level fence)
         batch = after_watermark(batch, wm_file, wm_pos)
+
+        # the DDL rows need the SAME fence (the wire path applies it in
+        # its manifest pass): a partial-overlap replay must not
+        # re-execute an already-committed TRUNCATE/ALTER — the replayed
+        # destructive DDL would wipe rows whose DML events are fenced
+        # out above and thus never re-applied
+        if wm_file is not None and ddl_rows:
+            ddl_rows = [
+                r for r in ddl_rows if (r["file"], r["pos"]) > (wm_file, wm_pos)
+            ]
 
         trunc_fp = self._handle_ddl(ddl_rows) if ddl_rows else None
         if trunc_fp is not None:
@@ -1389,7 +1440,15 @@ class CdcApplyJob:
         if stats.txn_file_end is not None:
             props["txn_end_file"] = stats.txn_file_end
             props["txn_end_pos"] = str(stats.txn_pos_end)
-        affected = [b for b in rng["buckets"] if b is not None]
+        if getattr(self, "_input_names", None):
+            # input-side cursor: the last (name-ordered) input file this
+            # commit covers — the streaming front-end skips groups at or
+            # below it without re-reading them
+            props["input_file_end"] = self._input_names[-1]
+        affected = sorted(
+            {b for b in rng["buckets"] if b is not None}
+            | {b for b in rng["before_buckets"] if b is not None}
+        )
         # count_upserts=False: rows_applied comes from the first-pass
         # observe (the reference's persisNum counter semantics); a
         # merge-side Observation deadlocks under foreachBatch
@@ -1557,13 +1616,21 @@ class CdcApplyJob:
 
         wap_id = f"batch-{stats.batch_id}-{uuid.uuid4().hex[:8]}"
         commit_fn(wap_id)
-        rows = run_expectations(
-            self.table.read_staged(self.spark, wap_id),
-            self.table_expectations,
-        ).collect()
-        stats.table_audit = {r.name: r.violations for r in rows}
-        blocking = {e.name for e in self.table_expectations if e.blocking}
-        failed = [r for r in rows if r.name in blocking and not r.passed]
+        # once the stage exists, ANY failure before publish must reap
+        # it — an audit that itself errors (bad expectation SQL,
+        # transient I/O) would otherwise orphan the staged manifest and
+        # every data file it references, accumulating on each retry
+        try:
+            rows = run_expectations(
+                self.table.read_staged(self.spark, wap_id),
+                self.table_expectations,
+            ).collect()
+            stats.table_audit = {r.name: r.violations for r in rows}
+            blocking = {e.name for e in self.table_expectations if e.blocking}
+            failed = [r for r in rows if r.name in blocking and not r.passed]
+        except Exception:
+            self.table.abort_staged(wap_id)
+            raise
         if failed:
             self.table.abort_staged(wap_id)
             detail = ", ".join(f"{r.name}={r.violations}" for r in failed)

@@ -72,7 +72,16 @@ def sessionize_stream(
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
         chunks = [p[["__us"]] for p in pdfs]
-        rows = pd.concat(chunks, ignore_index=True).sort_values("__us")
+        # a null/unparseable ts arrives as NaN (pandas floats the long
+        # column) — one poison event must not kill the query with
+        # int(NaN), and NaN comparisons would corrupt the gap logic for
+        # every later event of the key; such events carry no position
+        # on the session timeline, so drop them
+        rows = (
+            pd.concat(chunks, ignore_index=True)
+            .dropna(subset=["__us"])
+            .sort_values("__us")
+        )
         if state.exists:
             start, last, n = state.get
         else:
@@ -80,6 +89,7 @@ def sessionize_stream(
             n = 0
         out = []
         for us in rows["__us"].tolist():
+            us = int(us)
             if start is None:
                 start, last, n = us, us, 1
             elif us - last > gap_us:
@@ -88,13 +98,17 @@ def sessionize_stream(
             else:
                 last = us
                 n += 1
-        state.update((int(start), int(last), int(n)))
+        if start is not None:
+            state.update((int(start), int(last), int(n)))
         yield pd.DataFrame(out, columns=["user_id", "start_us", "end_us", "n_events"])
 
+    # NOTE: only the key and the event time enter the stateful shuffle
+    # — carrying per-event payload columns through the groupBy exchange
+    # and the Arrow transfer would be pure wasted bytes on the hot path
+    del id_col
     keyed = events.select(
         F.col(key_col).cast("long").alias("user_id"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
-        F.col(id_col),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -12,11 +12,21 @@ the reference tails the binlog socket:
 * sink: ``foreachBatch`` -> the fenced lakestore MERGE. Exactly-once
   holds even though foreachBatch is at-least-once: re-delivered
   batches are fenced out by the offset watermark committed atomically
-  with the data (the streaming checkpoint only avoids re-reading
+  with the data (the streaming checkpoint only avoids re-listing
   files; correctness never depends on it);
-* ordering: file names are offset-ordered; within a micro-batch LWW
-  dedup handles any interleaving, and delivery of files is in-order
-  per the file-stream source's sorted listing.
+* ordering: Spark's file stream source orders deliveries by
+  MODIFICATION TIME, not by the offset-ordered file names — an
+  object-store backfill or copied file can arrive "out of order", and
+  applying it directly would advance the watermark past files never
+  applied (their events then permanently fenced out). The trigger is
+  therefore only a *new-data signal*: each firing drains the pending
+  input in MANIFEST ORDER through the batch path (``apply_batch``),
+  skipping already-applied groups via an ``input_file_end`` cursor
+  committed with each snapshot. Files beyond the producer's
+  ``_batches.json`` commit point stay invisible exactly as in the
+  batch path (the delivered micro-batch DataFrame is never executed,
+  so a half-written file beyond the commit point cannot crash the
+  query either).
 
 No event-time watermark is needed for correctness — order is
 positional, as in the reference (SURVEY.md §2.9 streaming notes); the
@@ -31,6 +41,8 @@ correctness never depends on the streaming checkpoint.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -69,22 +81,51 @@ class CdcStreamJob:
         self.max_files_per_trigger = max_files_per_trigger
         self.views = list(views or [])
         self.stats: list[ApplyStats] = []
+        # in-run memory of applied input groups (the durable cursor is
+        # the table's input_file_end property, committed per snapshot)
+        self._applied_files: set[str] = set()
+        self._apply_seq = 0
 
     def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if self.source_format == "wire":
-            # the optimized wire path: JVM manifest pass + single Arrow
-            # decode + narrow dedup + bucket-aligned delta MERGE
-            self.stats.append(self.job._apply_wire_df(int(epoch_id), batch_df))
-        else:
-            self.stats.append(self.job.apply_df(int(epoch_id), batch_df))
-        for v in self.views:
-            v.sync(self.spark)
+        # the delivered micro-batch is ONLY a new-data signal (see
+        # module docstring: the file source's mtime ordering must not
+        # decide apply order); batch_df is deliberately never executed
+        del batch_df, epoch_id
+        self._drain_in_order()
+
+    def _drain_in_order(self) -> None:
+        """Apply every pending manifest-ordered input group through the
+        batch path. Cheap skips: groups below the committed
+        ``input_file_end`` cursor (one property read) or already
+        applied in this run never touch their files."""
+        cursor = ""
+        if self.job.table is not None:
+            cursor = self.job.table.properties().get("input_file_end", "")
+        applied_any = False
+        for group in self.job.batch_files():
+            names = [os.path.basename(p) for p in group]
+            if (cursor and max(names) <= cursor) or all(
+                p in self._applied_files for p in group
+            ):
+                continue
+            self.stats.append(self.job.apply_batch(self._apply_seq, group))
+            self._apply_seq += 1
+            self._applied_files.update(group)
+            applied_any = True
+        if applied_any:
+            for v in self.views:
+                v.sync(self.spark)
 
     def start(self, available_now: bool = True):
         """Start the streaming query. ``available_now=True`` drains the
         current directory contents then stops (replay mode); False
         keeps tailing with the default processing-time trigger."""
         self.job.prepare()
+        # drain the pre-existing backlog up front: the file source only
+        # triggers on files its checkpoint has NOT seen, so input left
+        # unapplied by a previous run (crash between delivery and
+        # apply) would otherwise starve forever
+        self._drain_in_order()
         schema = RAW_FRAME_SCHEMA if self.source_format == "wire" else CHANGE_EVENT_SCHEMA
         base = self.spark.readStream.schema(schema).option(
             "maxFilesPerTrigger", str(self.max_files_per_trigger)
@@ -142,7 +183,17 @@ class Heartbeat:
         self.query = None
 
     def attach(self, query) -> None:
+        import time
+
         self.query = query
+        # arm the stall watchdog NOW: without this a query that never
+        # completes its FIRST batch (poison file, misconfigured source
+        # path) would probe progress_ok=True forever — the exact dead
+        # fetcher M4 exists to notice
+        self._last_seen_batch = max(
+            (s.batch_id for s in self.stream_job.stats), default=None
+        )
+        self._last_seen_ts = time.time()
 
     def probe(self) -> dict:
         import os

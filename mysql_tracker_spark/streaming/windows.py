@@ -19,12 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, types as T
 
 
-def _out_schema(group_col: str) -> T.StructType:
+def _out_schema(group_col: str, group_type: T.DataType) -> T.StructType:
     return T.StructType(
         [
             T.StructField("win_start", T.TimestampType()),
             T.StructField("win_end", T.TimestampType()),
-            T.StructField(group_col, T.StringType()),
+            T.StructField(group_col, group_type),
             T.StructField("n", T.LongType()),
             T.StructField("total", T.DoubleType()),
         ]
@@ -37,19 +37,20 @@ def windowed_counts_stream(
     delay: str = "1 hour",
     ts_col: str = "ts",
     group_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
-    """Streaming per-window per-group counts + exact value sums.
-    ``delay`` is the allowed lateness: an event older than
-    ``max(event time seen) - delay`` is dropped; a window is emitted
-    (append mode) once the watermark passes its end, then its state is
-    freed."""
+    """Streaming per-window per-group counts + exact sums of
+    ``value_col`` (must be castable to decimal). ``delay`` is the
+    allowed lateness: an event older than ``max(event time seen) -
+    delay`` is dropped; a window is emitted (append mode) once the
+    watermark passes its end, then its state is freed."""
     return (
         events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         .withWatermark(ts_col, delay)
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total"),
         )
         .select(
             F.col("win.start").alias("win_start"),
@@ -94,5 +95,9 @@ def run_windowed_counts_files(
     )
     q.awaitTermination()
     # explicit schema: a drain that finalized no window leaves a
-    # data-less sink dir, where schema inference would raise
-    return spark.read.schema(_out_schema(group_col)).parquet(out_dir)
+    # data-less sink dir, where schema inference would raise. The group
+    # column keeps ITS OWN type from the input schema — requesting
+    # StringType for e.g. an INT64 parquet column would fail the read
+    return spark.read.schema(
+        _out_schema(group_col, schema[group_col].dataType)
+    ).parquet(out_dir)

@@ -1,0 +1,267 @@
+"""Regression tests for the session's review findings: DDL replay
+fencing on the typed path, cross-bucket PK moves under COW, streaming
+delivery-order independence, heartbeat arming, config validation,
+format-aware position probes, and streaming-operator edge cases."""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from mysql_tracker_spark.runner import CdcApplyJob
+from mysql_tracker_spark.sources.binlog_gen import (
+    GenConfig,
+    expected_final_state,
+    gen_change_events,
+    write_batches,
+)
+
+from .conftest import normalize
+from .test_e2e_replay import _inject_ddl_event, _suffix_after
+
+CMP = ["conv_id", "turn_idx", "role", "text", "tool", "score"]
+
+
+def test_truncate_not_reexecuted_on_partial_overlap_replay(spark, tmp_path):
+    """Typed-path DDL fence: a replay whose batch grouping OVERLAPS the
+    committed watermark (run 2 groups more files per batch) must not
+    re-execute the already-applied TRUNCATE — doing so wipes rows whose
+    DML events are below the watermark and thus never re-applied."""
+    ev = gen_change_events(GenConfig(n_events=2000, n_conversations=80, seed=13))
+    ev2, fp = _inject_ddl_event(
+        ev, 0.3, "TRUNCATE", "TRUNCATE TABLE chat.transcripts"
+    )
+    d = str(tmp_path / "in")
+    write_batches(ev2, d, n_batches=4)
+    # run 1: apply the first two of four files (covers the TRUNCATE at
+    # ~30% and a chunk of post-truncate DML), then stop
+    job1 = CdcApplyJob(spark, d, str(tmp_path / "t"), n_buckets=8, files_per_batch=1)
+    applied = job1.run(max_batches=2)
+    assert not any(s.skipped for s in applied)
+    # run 2: same input, but ONE group of all four files — the group's
+    # range extends past the watermark, so it is not skipped, and its
+    # DDL rows include the already-committed TRUNCATE
+    job2 = CdcApplyJob(spark, d, str(tmp_path / "t"), n_buckets=8, files_per_batch=4)
+    job2.run()
+    got = normalize(job2.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(_suffix_after(ev2, fp)))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
+def test_pk_move_across_buckets_no_ghost(spark, tmp_path):
+    """Typed COW path: an UPDATE that moves a row to a conv_id hashing
+    to a DIFFERENT bucket must tombstone the old key even though the
+    observe pass's after-image bucket set does not contain the before
+    bucket (regression: the before bucket was missing from
+    affected_buckets, so merge carried it forward by reference and the
+    old row survived as a ghost)."""
+    from mysql_tracker_spark.lakestore.spark_hash import pmod_bucket
+
+    nb = 8
+    ev = gen_change_events(GenConfig(n_events=60, n_conversations=4, seed=5))
+    # the victim: the live state of some key early in the stream
+    dml = ev[(ev["op"] == "INSERT")].iloc[0]
+    src_conv = dml["after"]["conv_id"]
+    turn = dml["after"]["turn_idx"]
+    # a destination conv id in a DIFFERENT bucket
+    dst_conv = next(
+        c
+        for c in (f"moved_{i:03d}" for i in range(100))
+        if pmod_bucket(c, "string", nb) != pmod_bucket(src_conv, "string", nb)
+    )
+    last = ev.iloc[-1]
+    before = dict(dml["after"])
+    after = {**before, "conv_id": dst_conv, "text": "moved away"}
+    move_row = {
+        "file": last["file"], "pos": int(last["pos"]) + 50, "row_idx": 0,
+        "server_id": 1, "ts": last["ts"], "xid": None, "gtid": None,
+        "op": "UPDATE", "schema_name": "chat", "table_name": "transcripts",
+        "is_ddl": False, "ddl_sql": None, "before": before, "after": after,
+    }
+    ev2 = pd.concat([ev, pd.DataFrame([move_row])], ignore_index=True)
+    for c in ("before", "after"):
+        ev2[c] = ev2[c].astype(object).where(ev2[c].notna(), None)
+    ev2["xid"] = ev2["xid"].astype("Int64")
+    d = str(tmp_path / "in")
+    # two batches: the original INSERT of the victim key lands in an
+    # earlier batch than the cross-bucket move
+    write_batches(ev2, d, n_batches=2)
+    job = CdcApplyJob(spark, d, str(tmp_path / "t"), n_buckets=nb, files_per_batch=1)
+    job.run()
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev2))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+    keys = set(zip(got["conv_id"], got["turn_idx"]))
+    assert (dst_conv, int(turn)) in keys
+    assert (src_conv, int(turn)) not in keys  # the ghost
+
+
+def test_streaming_out_of_order_mtime_delivery(spark, tmp_path):
+    """Spark's file stream source orders deliveries by MODIFICATION
+    TIME; reversed mtimes (an object-store backfill) must not make the
+    stream apply later-offset files first and fence out the earlier
+    ones forever. The front-end drains in manifest order regardless of
+    delivery order."""
+    from mysql_tracker_spark.streaming import CdcStreamJob
+
+    ev = gen_change_events(GenConfig(n_events=900, n_conversations=40, seed=31))
+    d = str(tmp_path / "in")
+    paths = sorted(write_batches(ev, d, n_batches=3))
+    # reverse the mtimes: earliest-named file gets the NEWEST stamp
+    now = time.time()
+    for i, p in enumerate(paths):
+        os.utime(p, (now - i * 100, now - i * 100))
+    sj = CdcStreamJob(
+        spark, d, str(tmp_path / "t"), str(tmp_path / "ck"),
+        n_buckets=4, max_files_per_trigger=1,
+    )
+    sj.run_available()
+    got = normalize(sj.job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
+def test_heartbeat_stall_arms_before_first_batch(spark, tmp_path):
+    """The M4 watchdog must arm at attach(): a query that never
+    completes its FIRST batch is exactly the dead fetcher it exists to
+    notice (regression: progress_ok stayed True forever)."""
+    from mysql_tracker_spark.streaming import CdcStreamJob
+    from mysql_tracker_spark.streaming.stream_runner import Heartbeat
+
+    ev = gen_change_events(GenConfig(n_events=100, n_conversations=5, seed=3))
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=1)
+    sj = CdcStreamJob(
+        spark, d, str(tmp_path / "t"), str(tmp_path / "ck"), n_buckets=2
+    )
+    sj.job.prepare()
+
+    class _StuckQuery:
+        isActive = True
+
+        @staticmethod
+        def exception():
+            return None
+
+    hb = Heartbeat(sj, stall_after_s=0.05)
+    hb.attach(_StuckQuery())
+    time.sleep(0.15)
+    p = hb.probe()
+    assert p["query_alive"] and p["progress_ok"] is False and p["reload_needed"]
+
+
+def test_from_config_invalid_position_policy_rejected(spark, tmp_path):
+    """A typo in on_invalid_position must fail fast, not silently
+    disable the errno-1236 validation the operator configured."""
+    from mysql_tracker_spark.config import JobConfig
+
+    cfg = JobConfig(
+        input_dir=str(tmp_path / "in"),
+        table_path=str(tmp_path / "t"),
+        on_invalid_position="reset-earliest",  # typo: underscore form
+    )
+    with pytest.raises(ValueError, match="on_invalid_position"):
+        CdcApplyJob.from_config(spark, cfg)
+
+
+def test_validate_position_works_for_jsonl(spark, tmp_path):
+    """C5/C7 position probe must read jsonl inputs with the jsonl
+    reader (regression: unconditional spark.read.parquet crashed)."""
+    from mysql_tracker_spark.sources.binlog_gen import write_jsonl_batches
+
+    ev = gen_change_events(GenConfig(n_events=300, n_conversations=20, seed=7))
+    d = str(tmp_path / "in")
+    write_jsonl_batches(ev, d, n_batches=2)
+    job = CdcApplyJob(
+        spark, d, str(tmp_path / "t"), n_buckets=4, source_format="jsonl"
+    )
+    job.run()
+    probe = job.validate_position(reset_policy="fail")
+    assert probe["valid"] is True and probe["action"] == "none"
+
+
+def test_windowed_counts_non_string_group_col(spark, tmp_path):
+    """The finalized-window read must keep the group column's OWN type
+    (regression: hardcoded StringType failed the parquet read for a
+    long group column)."""
+    import datetime
+
+    from mysql_tracker_spark.streaming.windows import run_windowed_counts_files
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    t0 = datetime.datetime(2026, 1, 1)
+    pd.DataFrame(
+        {
+            "ts": [t0, t0 + datetime.timedelta(minutes=30)],
+            "user_id": pd.array([1, 2], dtype="int64"),
+            "value": [2.0, 3.0],
+        }
+    ).to_parquet(
+        os.path.join(d, "f0.parquet"),
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    pd.DataFrame(
+        {
+            "ts": [t0 + datetime.timedelta(hours=3)],
+            "user_id": pd.array([1], dtype="int64"),
+            "value": [1.0],
+        }
+    ).to_parquet(
+        os.path.join(d, "f1.parquet"),
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    out = run_windowed_counts_files(
+        spark, d, schema, str(tmp_path / "ck"), str(tmp_path / "out"),
+        window="1 hour", delay="30 minutes", group_col="user_id",
+    )
+    rows = {(r.user_id, r.n, r.total) for r in out.collect()}
+    assert (1, 1, 2.0) in rows and (2, 1, 3.0) in rows
+    assert dict(out.dtypes)["user_id"] == "bigint"
+
+
+def test_sessionize_survives_null_ts(spark, tmp_path):
+    """One poison event with a NULL event time must not kill the
+    stateful query (regression: int(NaN) raised and the checkpoint
+    replayed the poison forever)."""
+    import datetime
+
+    from mysql_tracker_spark.streaming.stateful import run_sessionize_files
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    t0 = datetime.datetime(2026, 1, 1)
+    pd.DataFrame(
+        {
+            "user_id": pd.array([1, 1, 1], dtype="int64"),
+            "ts": [t0, pd.NaT, t0 + datetime.timedelta(hours=2)],
+            "event_id": pd.array([1, 2, 3], dtype="int64"),
+        }
+    ).to_parquet(
+        os.path.join(d, "f0.parquet"),
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    out = run_sessionize_files(
+        spark, d, schema, str(tmp_path / "ck"), str(tmp_path / "out"),
+        gap_s=1800.0,
+    )
+    # the first session (single event at t0) closed when the 2h-later
+    # event arrived; the null-ts event contributed nothing
+    rows = [(r.user_id, r.n_events) for r in out.collect()]
+    assert rows == [(1, 1)]
