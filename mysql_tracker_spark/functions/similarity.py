@@ -45,6 +45,43 @@ def cosine_clamped(a: Column, b: Column) -> Column:
     return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
 
 
+
+def _pin_embedding(df: DataFrame, cols: list, vec_col: str, alias: str) -> DataFrame:
+    """Generator barrier shared by every pandas-UDF consumer of an
+    embedding column (see :func:`ivf_assign` for the full story): when
+    the embedding is a DERIVED higher-order expression
+    (``hashed_embedding``), projection collapse would inline the
+    lambda-bearing HOF into the PythonUDF argument, which Catalyst
+    cannot always extract — INTERNAL_ERROR. The ``inline()`` Generate
+    node pins the embedding projection below the UDF. Returns
+    ``(*cols, alias)``."""
+    return df.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    *[F.col(c) for c in cols], F.col(vec_col).alias(alias)
+                )
+            )
+        )
+    )
+
+
+def _home_cell_udf(centroids: np.ndarray):
+    """Pandas UDF: nearest-centroid (max-cosine) cell id — the encode
+    half every IVF path shares."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _home(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
+
+    return _home
+
+
 def knn_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -68,7 +105,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__v")), round_to).alias("cos"),
+            F.round(cosine_clamped(F.col("__qv"), F.col("__v")), round_to).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -101,7 +138,7 @@ def cosine_near_dups(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), round_to).alias("cos"),
+            F.round(cosine_clamped(F.col("__va"), F.col("__vb")), round_to).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -114,12 +151,16 @@ def train_ivf_centroids(
     iters: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
-) -> np.ndarray:
+    return_sample: bool = False,
+):
     """Coarse IVF quantizer training: Lloyd iterations on one bounded
     driver-side sample (spherical k-means — centroids re-normalized to
     the unit sphere each step, so assignment == max cosine). Returns
     the ``(n_cells, dim)`` unit-norm centroid matrix; at any corpus
-    size the collected sample is ``sample`` rows, never the table."""
+    size the collected sample is ``sample`` rows, never the table.
+    ``return_sample=True`` also returns the unit-norm sample matrix
+    (and the RNG) so a downstream quantizer (:func:`ann_ivf_pq`'s
+    residual PQ) trains on the SAME sample without a second collect."""
     samp = np.array(
         [r[0] for r in vectors.select(vec_col).limit(sample).collect()],
         dtype=np.float64,
@@ -136,6 +177,8 @@ def train_ivf_centroids(
             if len(members):
                 m = members.mean(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    if return_sample:
+        return cent, samp, rng
     return cent
 
 
@@ -151,31 +194,8 @@ def ivf_assign(
     scan-local, zero shuffles, deterministic (pure function of the
     vector), so replays and re-partitionings re-derive identical
     cells."""
-    from pyspark.sql import types as T
-
-    C = np.asarray(centroids, dtype=np.float64)
-
-    @F.pandas_udf(T.IntegerType())
-    def _home(vs: pd.Series) -> pd.Series:
-        M = np.array(vs.tolist(), dtype=np.float64)
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
-
-    # Generator barrier (same device as text.py's inline barrier): when
-    # vec_col is a DERIVED higher-order expression (hashed_embedding),
-    # projection collapse would inline the lambda-bearing HOF into the
-    # PythonUDF argument, which Catalyst cannot always extract — it then
-    # evaluates the PythonUDF interpreted and throws INTERNAL_ERROR. The
-    # inline() Generate node pins the embedding projection below the UDF.
-    pre = vectors.select(
-        F.inline(
-            F.array(
-                F.struct(
-                    *[F.col(c) for c in id_cols], F.col(vec_col).alias("__emb")
-                )
-            )
-        )
-    )
+    _home = _home_cell_udf(centroids)
+    pre = _pin_embedding(vectors, list(id_cols), vec_col, "__emb")
     return pre.select(*id_cols, _home(F.col("__emb")).alias("cell"))
 
 
@@ -525,36 +545,28 @@ def ann_ivf(
     ``sketches.ann_lsh`` (random hyperplanes, no training) — IVF gives
     data-adaptive cells at the cost of a training pass.
     """
-    from pyspark.sql import types as T
-
     C = train_ivf_centroids(
         vectors, n_cells=n_cells, sample=sample, iters=iters, seed=seed,
         vec_col=vec_col,
     )  # (cells, dim), unit norm
+    if C.shape[1] != dim:
+        raise ValueError(
+            f"dim={dim} does not match the corpus vectors (dim {C.shape[1]})"
+        )
+    probe_cells = _probe_cells_udf(C, n_probe)
+    home_cell = _home_cell_udf(C)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_cells(vs: pd.Series) -> pd.Series:
-        M = np.array(vs.tolist(), dtype=np.float64)
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = M @ C.T
-        top = np.argsort(-sims, axis=1)[:, :n_probe]
-        return pd.Series(list(top.astype("int32")))
-
-    @F.pandas_udf(T.IntegerType())
-    def home_cell(vs: pd.Series) -> pd.Series:
-        M = np.array(vs.tolist(), dtype=np.float64)
-        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series((M @ C.T).argmax(axis=1).astype("int32"))
-
-    v = vectors.select(
+    # generator barrier on BOTH sides: the embeddings may be derived
+    # HOF expressions (hashed_embedding) — see _pin_embedding
+    v = _pin_embedding(vectors, [id_col], vec_col, "__v").select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__v"),
-        home_cell(F.col(vec_col)).alias("cell"),
+        "__v",
+        home_cell(F.col("__v")).alias("cell"),
     )
-    q = queries.select(
+    q = _pin_embedding(queries, [id_col], vec_col, "__qv").select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        "__qv",
+        F.explode(probe_cells(F.col("__qv"))).alias("cell"),
     )
     scored = (
         v.join(q, "cell")
@@ -562,7 +574,7 @@ def ann_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv"), F.col("__v")), round_to).alias("cos"),
+            F.round(cosine_clamped(F.col("__qv"), F.col("__v")), round_to).alias("cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -625,22 +637,12 @@ def ann_ivf_pq(
                     cent[c] = members.mean(axis=0)
         return cent
 
-    # --- train on one bounded sample: coarse cells, then residual PQ --
-    samp = np.array(
-        [r[0] for r in vectors.select(vec_col).limit(sample).collect()],
-        dtype=np.float64,
-    )
-    samp = samp / np.maximum(np.linalg.norm(samp, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = samp[rng.choice(len(samp), size=min(n_cells, len(samp)), replace=False)]
-    for _ in range(iters):
-        assign = (samp @ cent.T).argmax(axis=1)
-        for c in range(len(cent)):
-            members = samp[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
-    C = cent  # (cells, dim), unit norm
+    # --- train on one bounded sample: coarse cells (the SAME spherical
+    # Lloyd loop every IVF path uses), then residual PQ on that sample
+    C, samp, rng = train_ivf_centroids(
+        vectors, n_cells=n_cells, sample=sample, iters=iters, seed=seed,
+        vec_col=vec_col, return_sample=True,
+    )  # (cells, dim), unit norm
     resid = samp - C[(samp @ C.T).argmax(axis=1)]
     CB = np.stack(
         [
@@ -676,11 +678,6 @@ def ann_ivf_pq(
             {"cell": cell.astype("int32"), "codes": list(codes)}
         )
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_cells(vs: pd.Series) -> pd.Series:
-        top = np.argsort(-(_norm_rows(vs) @ C.T), axis=1)[:, :n_probe]
-        return pd.Series(list(top.astype("int32")))
-
     @F.pandas_udf(T.DoubleType())
     def adc_score(qs: pd.Series, cells: pd.Series, codes: pd.Series) -> pd.Series:
         # asymmetric distance: q . (cell centroid + per-subspace codeword)
@@ -692,14 +689,15 @@ def ann_ivf_pq(
             recon[:, j * d_sub : (j + 1) * d_sub] += CB[j][Cd[:, j]]
         return pd.Series(np.einsum("ij,ij->i", Q, recon))
 
-    enc = vectors.select(
+    probe_cells = _probe_cells_udf(C, n_probe)
+    enc = _pin_embedding(vectors, [id_col], vec_col, "__nv").select(
         F.col(id_col).alias("neighbor_id"),
-        encode(F.col(vec_col)).alias("__e"),
+        encode(F.col("__nv")).alias("__e"),
     ).select("neighbor_id", F.col("__e.cell").alias("cell"), F.col("__e.codes").alias("codes"))
-    q = queries.select(
+    q = _pin_embedding(queries, [id_col], vec_col, "__qv").select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+        "__qv",
+        F.explode(probe_cells(F.col("__qv"))).alias("cell"),
     )
     approx = (
         enc.join(q, "cell")
@@ -726,7 +724,7 @@ def ann_ivf_pq(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("__qv2"), F.col("__nv")), round_to).alias("cos"),
+            F.round(cosine_clamped(F.col("__qv2"), F.col("__nv")), round_to).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

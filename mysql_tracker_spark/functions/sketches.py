@@ -481,24 +481,10 @@ def minhash_near_dups(
 # SimHash (64-bit) — numpy-vectorized bit packing over token hashes
 # --------------------------------------------------------------------------
 
-@pandas_udf(T.LongType())
-def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
-    """token-hash arrays -> 64-bit simhash. Vectorized: all docs of the
-    Arrow batch are concatenated, unpacked to a bit matrix, and reduced
-    per-document with np.add.reduceat — no per-row Python loop."""
-    lengths = hashes.map(len).to_numpy(dtype=np.int64)
-    nonempty = lengths > 0
-    flat = (
-        np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes[nonempty]]).astype(np.uint64)
-        if nonempty.any()
-        else np.array([], dtype=np.uint64)
-    )
-    return pd.Series(_pack_simhash(lengths, flat))
-
-
 def _pack_simhash(lengths: np.ndarray, flat_u64: np.ndarray) -> np.ndarray:
     """(per-doc token counts, flat token hashes) -> packed 64-bit
-    simhash per doc. Shared by both hash families."""
+    simhash per doc (plain numpy helper; `_simhash_text` wraps it in
+    the pandas UDF)."""
     out = np.zeros(len(lengths), dtype=np.uint64)
     nonempty = lengths > 0
     if nonempty.any():
@@ -627,18 +613,21 @@ def ann_lsh(
     bucket id; never an all-pairs cross join."""
     from pyspark.sql import Window
 
-    from .similarity import cosine
+    from .similarity import _pin_embedding, cosine_clamped
 
     bucket = hyperplane_bucket_udf(dim, n_planes, seed, n_tables)
-    v = vectors.select(
+    # generator barrier + clamped cosine: the serving path must
+    # tolerate derived HOF embeddings and exact-zero vectors (see
+    # similarity._pin_embedding / cosine_clamped)
+    v = _pin_embedding(vectors, [id_col], vec_col, "__v").select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__v"),
-        F.explode(bucket(F.col(vec_col))).alias("__b"),
+        "__v",
+        F.explode(bucket(F.col("__v"))).alias("__b"),
     )
-    q = queries.select(
+    q = _pin_embedding(queries, [id_col], vec_col, "__qv").select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(bucket(F.col(vec_col))).alias("__b"),
+        "__qv",
+        F.explode(bucket(F.col("__qv"))).alias("__b"),
     )
     cands = (
         v.join(q, on="__b")
@@ -649,7 +638,7 @@ def ann_lsh(
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qv"), F.col("__v")), 6).alias("cos"),
+        F.round(cosine_clamped(F.col("__qv"), F.col("__v")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

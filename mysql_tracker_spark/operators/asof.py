@@ -114,7 +114,12 @@ def asof_join(
         *[F.col(t).alias(f"__tie{i}") for i, t in enumerate(ties)],
         pay.alias("__pay"),
         F.lit(None).cast(left_t).alias("__left"),
-    )
+    ).filter(F.col("__ts").isNotNull())
+    # ^ a right row with NULL ts has no position on the timeline; the
+    # window's ASC NULLS FIRST would otherwise sort it to the head of
+    # the partition where it matches every left row preceding the
+    # first real right row (the binned variant drops them implicitly —
+    # NULL bin — so this also keeps the two variants agreeing)
     w = (
         Window.partitionBy(*on)
         .orderBy("__ts", "__rank", *[f"__tie{i}" for i in range(len(ties))])

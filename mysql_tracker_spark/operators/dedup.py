@@ -71,7 +71,26 @@ def lww_latest_salted(
     return glob.select(*key_cols, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
 
 
+# single source of truth for the one-char op encoding in the packed
+# order key; the encode/decode when-chains below are both generated
+# from it (a new op added here reaches both sides)
 _OP_CODE = {"INSERT": "I", "UPDATE": "U", "DELETE": "D"}
+
+
+def _encode_op(op_col: str):
+    items = list(_OP_CODE.items())
+    expr = F.when(F.col(op_col) == items[0][0], F.lit(items[0][1]))
+    for name, code in items[1:-1]:
+        expr = expr.when(F.col(op_col) == name, F.lit(code))
+    return expr.otherwise(F.lit(items[-1][1]))
+
+
+def _decode_op(code_col):
+    items = list(_OP_CODE.items())
+    expr = F.when(code_col == items[0][1], F.lit(items[0][0]))
+    for name, code in items[1:-1]:
+        expr = expr.when(code_col == code, F.lit(name))
+    return expr.otherwise(F.lit(items[-1][0]))
 
 
 def lww_latest_packed(
@@ -119,11 +138,7 @@ def lww_latest_packed(
         F.lpad(F.col("pos").cast("string"), 12, "0"),
         F.lpad(F.col("row_idx").cast("string"), 6, "0"),
     )
-    op_code = (
-        F.when(F.col(op_col) == "INSERT", F.lit("I"))
-        .when(F.col(op_col) == "UPDATE", F.lit("U"))
-        .otherwise(F.lit("D"))
-    )
+    op_code = _encode_op(op_col)
     # NULL payloads must not poison the pack: F.concat of a NULL makes
     # the whole packed string NULL and max() would skip the true latest
     # event. Ride a one-char null flag after the opcode and decode back.
@@ -137,10 +152,7 @@ def lww_latest_packed(
     kv_null = F.substring(F.col("__w"), sep + 2, 1) == "N"
     return agg.select(
         *key_cols,
-        F.when(op_back == "I", F.lit("INSERT"))
-        .when(op_back == "U", F.lit("UPDATE"))
-        .otherwise(F.lit("DELETE"))
-        .alias(op_col),
+        _decode_op(op_back).alias(op_col),
         F.when(kv_null, F.lit(None).cast("string"))
         .otherwise(F.col("__w").substr(sep + 3, F.length("__w")))
         .alias(kv_col),

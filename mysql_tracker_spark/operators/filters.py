@@ -18,9 +18,14 @@ def regex_name_filter(df: DataFrame, pattern: str) -> DataFrame:
     """F1: keep rows whose ``schema.table`` matches the regex, anchored
     ``^...$`` like the reference's FilterMatcher (longest-first comma
     lists collapse to alternation here)."""
-    anchored = pattern if pattern.startswith("^") else f"^(?:{pattern})$"
+    # normalize to FULL anchoring whatever the caller wrote: strip a
+    # leading '^' / trailing unescaped '$' and re-wrap — '^db\\.users'
+    # alone must NOT become a prefix match leaking db.users_archive
+    core = pattern[1:] if pattern.startswith("^") else pattern
+    if core.endswith("$") and not core.endswith("\\$"):
+        core = core[:-1]
     name = F.concat_ws(".", F.col("schema_name"), F.col("table_name"))
-    return df.filter(name.rlike(anchored))
+    return df.filter(name.rlike(f"^(?:{core})$"))
 
 
 def allowlist_filter(df: DataFrame, allow: list[tuple[str, str]]) -> DataFrame:
@@ -46,7 +51,9 @@ def query_class_filter(
     if drop_dml:
         cond = cond & ~F.col("op").isin(*DML_OPS)
     if drop_ddl:
-        cond = cond & ~F.col("is_ddl")
+        # null-safe: is_ddl is nullable and filter(NULL) DROPS the row
+        # — a DML event with is_ddl unset must survive drop_ddl
+        cond = cond & ~F.coalesce(F.col("is_ddl"), F.lit(False))
     if drop_txn:
         cond = cond & ~F.col("op").isin("BEGIN", "COMMIT")
     return df.filter(cond)

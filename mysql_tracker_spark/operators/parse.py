@@ -202,6 +202,13 @@ def offset_range(batch: DataFrame) -> dict:
         F.max(F.struct("file", "pos")).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    if r["n"] == 0:
+        # empty batch: no offsets to report (mirror txn_end_position's
+        # None contract instead of subscripting a NULL struct)
+        return {
+            "file_start": None, "pos_start": None,
+            "file_end": None, "pos_end": None, "rows": 0,
+        }
     return {
         "file_start": r["lo"]["file"],
         "pos_start": r["lo"]["pos"],

@@ -265,3 +265,130 @@ def test_sessionize_survives_null_ts(spark, tmp_path):
     # event arrived; the null-ts event contributed nothing
     rows = [(r.user_id, r.n_events) for r in out.collect()]
     assert rows == [(1, 1)]
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with NULL ts must never match (regression: ASC NULLS
+    FIRST sorted it to the partition head where last(ignorenulls)
+    handed its payload to early left rows); the window and binned
+    variants must agree."""
+    import datetime
+
+    from mysql_tracker_spark.operators.asof import asof_join, asof_join_binned
+
+    t = datetime.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [("k", 1, ts(5))], ["k", "lid", "lts"]
+    )
+    right = spark.createDataFrame(
+        [("k", None, "X"), ("k", ts(10), "Y")],
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("rts", T.TimestampType()),
+                T.StructField("v", T.StringType()),
+            ]
+        ),
+    )
+    a = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols={"match_v": "v"},
+    ).collect()
+    assert len(a) == 1 and a[0]["match_v"] is None
+    b = asof_join_binned(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols={"match_v": "v"}, left_id=["lid"], tolerance_s=3600.0,
+    ).collect()
+    assert len(b) == 1 and b[0]["match_v"] is None
+
+
+def test_ann_serving_tolerates_zero_vectors_and_derived_embeddings(spark):
+    """Serving-path ANN must survive (a) an exactly-zero embedding
+    (ANSI divide-by-zero) and (b) a DERIVED higher-order embedding
+    expression as input (Catalyst projection collapse into the pandas
+    UDF argument — the generator-barrier regression)."""
+    from pyspark.sql import functions as F
+
+    from mysql_tracker_spark.functions.sketches import ann_lsh
+    from mysql_tracker_spark.functions.similarity import (
+        ann_ivf,
+        ann_ivf_pq,
+        hashed_embedding,
+        knn_bruteforce,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} about topic {i % 3}") for i in range(30)]
+        + [(99, "")],  # empty text -> exactly-zero hashed embedding
+        ["vec_id", "txt"],
+    )
+    vecs = docs.select(
+        "vec_id", hashed_embedding(F.col("txt"), dim=16).alias("embedding")
+    )
+    qs = vecs.filter(F.col("vec_id") < 3)
+    for fn, kw in [
+        (knn_bruteforce, {}),
+        (ann_ivf, {"dim": 16, "n_cells": 4, "n_probe": 4}),
+        (ann_ivf_pq, {"dim": 16, "n_cells": 4, "n_probe": 4, "m_subs": 4,
+                      "n_codes": 8, "rerank": 8}),
+        (ann_lsh, {"dim": 16, "n_planes": 4, "n_tables": 2}),
+    ]:
+        out = fn(vecs, qs, k=3, **kw).collect()
+        assert out, fn.__name__
+
+
+def test_regex_filter_fully_anchored_with_caret(spark):
+    """'^db\\.users' must not leak db.users_archive (regression: a
+    leading '^' skipped the end anchor entirely)."""
+    from mysql_tracker_spark.operators.filters import regex_name_filter
+
+    df = spark.createDataFrame(
+        [("db", "users"), ("db", "users_archive")],
+        ["schema_name", "table_name"],
+    )
+    got = {
+        r["table_name"]
+        for r in regex_name_filter(df, r"^db\.users").collect()
+    }
+    assert got == {"users"}
+    # and explicit full anchoring still works unchanged
+    got2 = {
+        r["table_name"]
+        for r in regex_name_filter(df, r"^db\.users$").collect()
+    }
+    assert got2 == {"users"}
+
+
+def test_query_class_filter_null_is_ddl_survives(spark):
+    from mysql_tracker_spark.operators.filters import query_class_filter
+
+    df = spark.createDataFrame(
+        [("INSERT", None), ("INSERT", True)],
+        T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("is_ddl", T.BooleanType()),
+            ]
+        ),
+    )
+    got = query_class_filter(df, drop_ddl=True, drop_txn=False).collect()
+    assert len(got) == 1 and got[0]["is_ddl"] is None
+
+
+def test_offset_range_empty_batch_sentinel(spark):
+    from mysql_tracker_spark.operators.parse import offset_range
+
+    empty = spark.createDataFrame(
+        [], T.StructType(
+            [T.StructField("file", T.StringType()), T.StructField("pos", T.LongType())]
+        )
+    )
+    r = offset_range(empty)
+    assert r == {
+        "file_start": None, "pos_start": None,
+        "file_end": None, "pos_end": None, "rows": 0,
+    }
