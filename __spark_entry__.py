@@ -4303,7 +4303,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, pos,
                        CASE WHEN pos > coalesce(max(pos + 7) OVER (
                                 PARTITION BY doc_id ORDER BY pos
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
                             THEN 1 ELSE 0 END AS new_span
                 FROM h),
             sp AS (
@@ -4414,7 +4414,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_dedup_exact": f"""
             WITH fp AS (
                 SELECT conv_id,
-                       md5(string_agg(turn_idx::VARCHAR || chr(31) || role || chr(31) || text,
+                       md5(string_agg(turn_idx::VARCHAR || chr(31) || coalesce(role, chr(29)) || chr(31) || coalesce(text, chr(29)),
                                       chr(30) ORDER BY turn_idx)) AS fingerprint,
                        count(*) AS n_turns
                 FROM read_parquet('{CONV_DUMP}') GROUP BY conv_id)
@@ -4486,7 +4486,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_near_dups": f"""
             WITH fp AS (
                 SELECT conv_id,
-                       md5(string_agg(turn_idx::VARCHAR || chr(31) || role || chr(31) || text,
+                       md5(string_agg(turn_idx::VARCHAR || chr(31) || coalesce(role, chr(29)) || chr(31) || coalesce(text, chr(29)),
                                       chr(30) ORDER BY turn_idx)) AS f
                 FROM read_parquet('{CONV_DUMP}') GROUP BY conv_id),
             g AS (SELECT f, count(*) AS c FROM fp GROUP BY f)
@@ -5122,7 +5122,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM r WHERE rn = 1 AND op <> 'DELETE'
             ), fp AS (
                 SELECT conv_id,
-                       md5(string_agg(turn_idx::VARCHAR || chr(31) || role || chr(31) || text,
+                       md5(string_agg(turn_idx::VARCHAR || chr(31) || coalesce(role, chr(29)) || chr(31) || coalesce(text, chr(29)),
                                       chr(30) ORDER BY turn_idx)) AS fingerprint,
                        count(*) AS n_turns
                 FROM f GROUP BY conv_id)

@@ -35,9 +35,18 @@ from pyspark.sql import DataFrame, functions as F, Window
 from .text import token_count
 
 # ASCII unit/record separators: cannot appear in generated text, so the
-# packed fingerprint string is unambiguous.
+# packed fingerprint string is unambiguous. NULL fields encode as the
+# group separator — concat_ws SKIPS nulls, so without a sentinel the
+# field positions collapse and (role=NULL, text='hi') would fingerprint
+# identically to (role='hi', text=NULL): distinct conversations merged
+# by dedup.
 _FIELD_SEP = "\x1f"
 _TURN_SEP = "\x1e"
+_NULL_MARK = "\x1d"
+
+
+def _nn(c):
+    return F.coalesce(c.cast("string"), F.lit(_NULL_MARK))
 
 
 def conv_fingerprint(df: DataFrame, conv_col: str = "conv_id") -> DataFrame:
@@ -55,7 +64,7 @@ def conv_fingerprint(df: DataFrame, conv_col: str = "conv_id") -> DataFrame:
     packed = F.struct(
         F.col("turn_idx"),
         F.concat_ws(
-            _FIELD_SEP, F.col("turn_idx"), F.col("role"), F.col("text")
+            _FIELD_SEP, F.col("turn_idx"), _nn(F.col("role")), _nn(F.col("text"))
         ).alias("t"),
     )
     return df.groupBy(F.col(conv_col).alias("conv_id")).agg(

@@ -440,7 +440,12 @@ def duplicate_spans(docs, n: int = 8, id_col: str = "doc_id", text_col: str = "t
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = hits.withColumn(
-        "__new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+        # new span only when a GAP exists: a window starting at
+        # prev_end+1 abuts the previous span (contiguous coverage) and
+        # must merge — "maximal duplicated spans", the documented
+        # contract a scrubber relies on
+        "__new",
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-2)) + F.lit(1)).cast("int"),
     ).withColumn(
         "__span",
         F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -481,7 +486,8 @@ def duplicate_span_stats(
 
     def step(acc, p):
         end = (p + (n - 1)).cast("bigint")
-        new = p.cast("bigint") > acc["prev_end"]
+        # gap test matches duplicate_spans: abutting windows merge
+        new = p.cast("bigint") > acc["prev_end"] + F.lit(1).cast("bigint")
         return F.struct(
             F.greatest(acc["prev_end"], end).alias("prev_end"),
             (acc["spans"] + F.when(new, 1).otherwise(0)).alias("spans"),

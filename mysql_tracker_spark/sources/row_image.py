@@ -85,6 +85,10 @@ def encode_decimal(value: Decimal, precision: int, scale: int) -> bytes:
     txt = format(abs(value), f".{scale}f")
     int_part, _, frac_part = txt.partition(".")
     intg = precision - scale
+    if intg == 0 and int_part == "0":
+        # all-fractional DECIMAL(p,p): the formatted "0." integer digit
+        # is presentational, not stored (decode_decimal's intg==0 path)
+        int_part = ""
     if len(int_part) > intg:
         raise ValueError(f"{value} does not fit DECIMAL({precision},{scale})")
     int_part = int_part.rjust(intg, "0")
@@ -113,26 +117,36 @@ def encode_decimal(value: Decimal, precision: int, scale: int) -> bytes:
     return bytes(out)
 
 
-def encode_timestamp2(epoch_seconds: int) -> bytes:
-    return int(epoch_seconds).to_bytes(4, "big")
+def _frac_bytes(meta: int) -> bytes:
+    """The 0-3 fractional-seconds bytes a time column with ``meta`` > 0
+    stores after its packed integer part. The decoders consume (and
+    per the reference's rendering discard) ``(meta+1)//2`` bytes, so
+    the encoders MUST write them or every later column decodes shifted
+    (zero fraction — the engine renders at second precision)."""
+    return bytes((meta + 1) // 2)
 
 
-def encode_datetime2(y: int, mo: int, d: int, h: int, mi: int, s: int) -> bytes:
+def encode_timestamp2(epoch_seconds: int, meta: int = 0) -> bytes:
+    return int(epoch_seconds).to_bytes(4, "big") + _frac_bytes(meta)
+
+
+def encode_datetime2(y: int, mo: int, d: int, h: int, mi: int, s: int, meta: int = 0) -> bytes:
     ym = y * 13 + mo
     intpart = (((ym << 5) | d) << 17) | (h << 12) | (mi << 6) | s
-    return (intpart + MT.DATETIMEF_INT_OFS).to_bytes(5, "big")
+    return (intpart + MT.DATETIMEF_INT_OFS).to_bytes(5, "big") + _frac_bytes(meta)
 
 
-def encode_time2(total_seconds: int) -> bytes:
-    """Second-precision TIME2 (meta=0): sign carried by the packed
-    intpart offset, hours up to 838."""
+def encode_time2(total_seconds: int, meta: int = 0) -> bytes:
+    """Second-precision TIME2: sign carried by the packed intpart
+    offset, hours up to 838; ``meta`` > 0 appends the zero fractional
+    bytes the decoder consumes."""
     mag = abs(total_seconds)
     h, rem = divmod(mag, 3600)
     mi, s = divmod(rem, 60)
     intpart = (h << 12) | (mi << 6) | s
     if total_seconds < 0:
         intpart = -intpart
-    return (intpart + MT.TIMEF_INT_OFS).to_bytes(3, "big")
+    return (intpart + MT.TIMEF_INT_OFS).to_bytes(3, "big") + _frac_bytes(meta)
 
 
 def encode_int(value: int, byte_len: int) -> bytes:
@@ -177,11 +191,11 @@ def _encode_value(v, spec: ColumnSpec) -> bytes:
     if k == "decimal":
         return encode_decimal(Decimal(v), spec.precision, spec.scale)
     if k == "timestamp2":
-        return encode_timestamp2(v)
+        return encode_timestamp2(v, spec.meta)
     if k == "datetime2":
-        return encode_datetime2(*v)  # (y, mo, d, h, mi, s)
+        return encode_datetime2(*v, meta=spec.meta)  # (y, mo, d, h, mi, s)
     if k == "time2":
-        return encode_time2(v)
+        return encode_time2(v, spec.meta)
     if k == "enum":
         return int(v).to_bytes(spec.packlen, "little")
     if k == "set":

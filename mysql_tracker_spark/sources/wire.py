@@ -232,7 +232,22 @@ def encode_frames(
 
 def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Vectorized decode of one Arrow batch of frames -> one row per
-    RowData (multi-row frames explode on the 0x1c separator)."""
+    RowData (multi-row frames explode on the 0x1c separator).
+
+    Corruption tolerance mirrors ``_decode_batch_arrow`` exactly (this
+    variant also feeds the runner's DRIVER-side DDL decode, where a
+    crash would abort the whole apply): truncated frames drop before
+    the fixed-width header cast, invalid-UTF-8 bodies decode with
+    replacement and fail the field-count check, and numeric fields are
+    gated on frame validity so garbage never raises a cast error —
+    corrupt frames surface as ``crc_ok=False`` rows (or vanish when
+    truncated), never as task/driver failures."""
+    if len(pdf) > 0:
+        # truncated frames cannot be decoded (same drop the JVM-side
+        # pre-filter applies on the hot path)
+        pdf = pdf[
+            pdf["payload"].str.len() > HEADER_LEN + CRC_LEN
+        ].reset_index(drop=True)
     n = len(pdf)
     if n == 0:
         return pd.DataFrame(columns=[f.name for f in DECODED_SCHEMA.fields])
@@ -258,8 +273,9 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     crc_ok = ((total - crc_bytes_sum) & 0xFFFFFFFF) == crc_stored
 
-    # --- bodies: pandas-C string ops ---
-    body = payloads.str[HEADER_LEN:-CRC_LEN].str.decode("utf-8")
+    # --- bodies: pandas-C string ops (replacement chars on invalid
+    # UTF-8 — the frame then fails the field-count check below) ---
+    body = payloads.str[HEADER_LEN:-CRC_LEN].str.decode("utf-8", "replace")
     base = pd.DataFrame(
         {
             "file": pdf["file"].to_numpy(),
@@ -273,19 +289,26 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     # explode multi-row frames (0x1c-joined row bodies)
     rows = base.assign(body=base["body"].str.split("\x1c")).explode("body", ignore_index=True)
-    fields = rows["body"].str.split(FIELD_SEP, expand=True)
-    fields.columns = [
+    parts = rows["body"].str.split(FIELD_SEP)
+    # wellformed = exactly 10 fields (the Arrow path's check); a
+    # malformed body yields an all-null field row instead of crashing
+    wellformed = parts.str.len() == 10
+    safe = parts.where(wellformed, other=pd.Series([[""] * 10] * len(rows)))
+    fields = pd.DataFrame(safe.tolist(), columns=[
         "op", "xid", "row_idx", "schema_name", "table_name", "is_ddl", "ddl_sql",
         "key_kv", "before_kv", "after_kv",
-    ][: fields.shape[1]]
+    ])
+    ok = (rows["crc_ok"].to_numpy() & wellformed.to_numpy()).astype(bool)
+    row_idx = pd.to_numeric(fields["row_idx"], errors="coerce").astype("Int64")
+    xid = pd.to_numeric(fields["xid"], errors="coerce").astype("Int64")
     out = pd.DataFrame(
         {
             "file": rows["file"],
             "pos": rows["pos"].astype("int64"),
-            "row_idx": pd.to_numeric(fields["row_idx"]).astype("int32"),
+            "row_idx": row_idx.where(ok),
             "server_id": rows["server_id"],
             "ts": rows["ts"],
-            "xid": pd.to_numeric(fields["xid"], errors="coerce").astype("Int64"),
+            "xid": xid.where(ok),
             "op": fields["op"],
             "schema_name": fields["schema_name"].replace("", None),
             "table_name": fields["table_name"].replace("", None),
@@ -294,7 +317,7 @@ def _decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             "key_kv": fields["key_kv"],
             "before_kv": fields["before_kv"],
             "after_kv": fields["after_kv"],
-            "crc_ok": rows["crc_ok"],
+            "crc_ok": ok,
         }
     )
     return out
@@ -322,6 +345,40 @@ DECODED_KV_SCHEMA = T.StructType(
         T.StructField("crc_ok", T.BooleanType()),
     ]
 )
+
+
+
+def _frame_offsets_crc(pay, n):
+    """Zero-copy (starts, ends, flat, lengths, crc_ok) over one Arrow
+    binary column — the ONE implementation of the offset/cumsum/
+    checksum arithmetic, shared by the decode (`_decode_batch_arrow`)
+    and the audit (`_audit_batch_arrow`) so their verdicts can never
+    drift. The trailing-CRC gather is clamped for frames shorter than
+    4 bytes (all `truncated`, masked out of any verdict) and the empty
+    batch degenerates safely."""
+    import pyarrow as pa
+
+    large = pa.types.is_large_binary(pay.type)
+    off_dt = np.int64 if large else np.int32
+    offs = np.frombuffer(pay.buffers()[1], dtype=off_dt)[pay.offset : pay.offset + n + 1]
+    # restrict to THIS batch's region: on a sliced RecordBatch the data
+    # buffer is the whole parent buffer — summing it all per slice
+    # would be O(N^2/slice) (measured: dominated the decode under load)
+    base = int(offs[0])
+    flat = np.frombuffer(pay.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
+    starts = (offs[:-1] - base).astype(np.int64)
+    ends = (offs[1:] - base).astype(np.int64)
+    lengths = ends - starts
+    # uint32 cumsum wraps mod 2^32 — exactly the checksum's modulus
+    cs = np.empty(len(flat) + 1, dtype=np.uint32)
+    cs[0] = 0
+    np.cumsum(flat, out=cs[1:], dtype=np.uint32)
+    total = cs[ends] - cs[starts]
+    idx = np.maximum(ends[:, None] - np.array([4, 3, 2, 1]), starts[:, None])
+    crcb = flat[idx].astype(np.uint32) if len(flat) else np.zeros((n, 4), np.uint32)
+    crc_stored = crcb @ np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
+    crc_ok = (total - crcb.sum(axis=1, dtype=np.uint32)) == crc_stored
+    return starts, ends, flat, lengths, crc_ok
 
 
 def _decode_batch_arrow(rb):
@@ -353,25 +410,8 @@ def _decode_batch_arrow(rb):
         fsb.buffers()[1], dtype=_HEADER_DTYPE, count=n, offset=fsb.offset * HEADER_LEN
     )
 
-    # --- checksum: byte sums over the zero-copy data buffer -----------
-    large = pa.types.is_large_binary(pay.type)
-    off_dt = np.int64 if large else np.int32
-    offs = np.frombuffer(pay.buffers()[1], dtype=off_dt)[pay.offset : pay.offset + n + 1]
-    # restrict to THIS batch's region: on a sliced RecordBatch the data
-    # buffer is the whole parent buffer — summing it all per slice
-    # would be O(N^2/slice) (measured: dominated the decode under load)
-    base = int(offs[0])
-    flat = np.frombuffer(pay.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
-    starts = (offs[:-1] - base).astype(np.int64)
-    ends = (offs[1:] - base).astype(np.int64)
-    # uint32 cumsum wraps mod 2^32 — exactly the checksum's modulus
-    cs = np.empty(len(flat) + 1, dtype=np.uint32)
-    cs[0] = 0
-    np.cumsum(flat, out=cs[1:], dtype=np.uint32)
-    total = cs[ends] - cs[starts]
-    crcb = flat[ends[:, None] - np.array([4, 3, 2, 1])].astype(np.uint32)
-    crc_stored = crcb @ np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
-    crc_ok_np = (total - crcb.sum(axis=1, dtype=np.uint32)) == crc_stored
+    # --- checksum: shared zero-copy offset/cumsum/CRC arithmetic ------
+    _, _, _, _, crc_ok_np = _frame_offsets_crc(pay, n)
 
     # --- bodies: C++ string kernels ----------------------------------
     body_bin = pc.binary_slice(pay, HEADER_LEN, -CRC_LEN)
@@ -489,7 +529,14 @@ def kv_to_map(col):
 def decode_frames(raw: DataFrame, drop_bad_crc: bool = True) -> DataFrame:
     """Raw wire frames -> typed change-event DataFrame (the D1-D5
     pipeline): Arrow-kernel decode, then JVM-side ``str_to_map`` for the
-    before/after maps."""
+    before/after maps.
+
+    ``drop_bad_crc=False`` KEEPS corrupt frames and appends the
+    ``crc_ok`` column so the caller can tell them apart — their
+    numeric/optional fields are nulled by the decode's validity gate,
+    never garbage. Truncated frames (shorter than header+crc+1) are
+    undecodable at ANY setting and always drop; use
+    :func:`audit_frames` when those need classifying too."""
     decoded = decode_frames_kv(raw, drop_bad_crc=drop_bad_crc, include_before=True)
     return decoded.select(
         "file",
@@ -505,6 +552,7 @@ def decode_frames(raw: DataFrame, drop_bad_crc: bool = True) -> DataFrame:
         "ddl_sql",
         kv_to_map("before_kv").alias("before"),
         kv_to_map("after_kv").alias("after"),
+        *([] if drop_bad_crc else [F.col("crc_ok")]),
     )
 
 
@@ -537,6 +585,10 @@ def write_wire_distributed(
 
     _os.makedirs(out_dir, exist_ok=True)
     per_chunk = total_events // n_chunks
+    # no silent caps: chunks 0..remainder-1 carry one extra event so
+    # exactly total_events are generated (divisible totals stay
+    # byte-identical to earlier runs)
+    remainder = total_events % n_chunks
     n_conv = n_conversations or max(total_events // 40, 100)
 
     def gen_chunk(iterator):
@@ -546,7 +598,7 @@ def write_wire_distributed(
         for pdf in iterator:
             for c in pdf["id"].tolist():
                 cfg = GenConfig(
-                    n_events=per_chunk,
+                    n_events=per_chunk + (1 if int(c) < remainder else 0),
                     n_conversations=n_conv,
                     seed=base_seed + int(c),
                     file_base=int(c) * 1000,
@@ -628,26 +680,8 @@ def _audit_batch_arrow(rb):
     if isinstance(pay, pa.ChunkedArray):
         pay = pay.combine_chunks()
 
-    large = pa.types.is_large_binary(pay.type)
-    off_dt = np.int64 if large else np.int32
-    offs = np.frombuffer(pay.buffers()[1], dtype=off_dt)[pay.offset : pay.offset + n + 1]
-    base = int(offs[0])
-    flat = np.frombuffer(pay.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
-    starts = (offs[:-1] - base).astype(np.int64)
-    ends = (offs[1:] - base).astype(np.int64)
-    lengths = ends - starts
+    starts, ends, flat, lengths, crc_ok = _frame_offsets_crc(pay, n)
     truncated = lengths <= HEADER_LEN + CRC_LEN
-
-    cs = np.empty(len(flat) + 1, dtype=np.uint32)
-    cs[0] = 0
-    np.cumsum(flat, out=cs[1:], dtype=np.uint32)
-    total = cs[ends] - cs[starts]
-    # clamp the trailing-CRC gather for frames shorter than 4 bytes —
-    # those are all `truncated` and masked out of the crc verdict anyway
-    idx = np.maximum(ends[:, None] - np.array([4, 3, 2, 1]), starts[:, None])
-    crcb = flat[idx].astype(np.uint32) if len(flat) else np.zeros((n, 4), np.uint32)
-    crc_stored = crcb @ np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.uint32)
-    crc_ok = (total - crcb.sum(axis=1, dtype=np.uint32)) == crc_stored
     bad_crc = ~truncated & ~crc_ok
 
     malformed = np.zeros(n, dtype=bool)

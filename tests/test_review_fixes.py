@@ -392,3 +392,113 @@ def test_offset_range_empty_batch_sentinel(spark):
         "file_start": None, "pos_start": None,
         "file_end": None, "pos_end": None, "rows": 0,
     }
+
+
+def test_decode_batch_pandas_corruption_tolerance():
+    """The pandas reference decoder feeds the DRIVER-side DDL decode —
+    a corrupt frame must surface as crc_ok=False (or drop when
+    truncated), never crash the apply (regression: UnicodeDecodeError /
+    frombuffer ValueError / IntCastingNaNError)."""
+    from mysql_tracker_spark.sources.wire import (
+        CRC_LEN,
+        HEADER_LEN,
+        _decode_batch,
+        encode_frames,
+    )
+
+    ev = pd.DataFrame(
+        [
+            {
+                "file": "bin.000001", "pos": 100, "row_idx": 0, "xid": 7,
+                "server_id": 1,
+                "op": "INSERT", "schema_name": "chat",
+                "table_name": "transcripts", "is_ddl": False,
+                "ddl_sql": None,
+                "before": None,
+                "after": {"conv_id": "c1", "turn_idx": "0", "text": "hi"},
+                "ts": pd.Timestamp("2026-01-01"),
+            }
+        ]
+    )
+    good = bytes(encode_frames(ev)["payload"].iloc[0])
+    flipped = bytearray(good)
+    flipped[HEADER_LEN + 3] ^= 0xFF  # invalid UTF-8 mid-body
+    truncated = good[: HEADER_LEN + CRC_LEN - 2]
+    garbage = good[:HEADER_LEN] + "not|the|wire|format".encode() + good[-CRC_LEN:]
+    pdf = pd.DataFrame(
+        {
+            "file": ["bin.000001"] * 4,
+            "pos": [100, 200, 300, 400],
+            "payload": [good, bytes(flipped), truncated, garbage],
+        }
+    )
+    out = _decode_batch(pdf)
+    ok = out[out["crc_ok"]]
+    assert len(ok) == 1 and ok.iloc[0]["pos"] == 100
+    # truncated frame dropped entirely; corrupt ones kept un-ok
+    assert set(out["pos"]) == {100, 200, 400}
+
+
+def test_row_image_frac_meta_and_all_fractional_decimal_roundtrip():
+    """Encoder/decoder symmetry for fractional-seconds meta and
+    DECIMAL(p,p) (regressions: phantom frac bytes shifted every later
+    column; DECIMAL(4,4) was unencodable)."""
+    from decimal import Decimal
+
+    from mysql_tracker_spark.sources.row_image import (
+        ColumnSpec,
+        _decode_one,
+        encode_row_image,
+    )
+
+    specs = [
+        ColumnSpec("t", "timestamp2", meta=3),
+        ColumnSpec("d", "decimal", precision=4, scale=4),
+        ColumnSpec("x", "int", byte_len=4),
+    ]
+    img = encode_row_image(
+        {"t": 1700000000, "d": Decimal("0.5000"), "x": -42}, specs
+    )
+    vals = _decode_one(img, specs)
+    assert vals[1] == "0.5000" and vals[2] == "-42"
+
+
+def test_conv_fingerprint_distinguishes_null_fields(spark):
+    """(role=NULL, text='hi') and (role='hi', text=NULL) must hash
+    differently (regression: concat_ws silently skipped NULLs and
+    dedup collapsed distinct conversations)."""
+    from mysql_tracker_spark.functions.conversations import conv_fingerprint
+
+    df = spark.createDataFrame(
+        [("A", 0, None, "hi"), ("B", 0, "hi", None)],
+        T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("role", T.StringType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    fps = {r["conv_id"]: r["fingerprint"] for r in conv_fingerprint(df).collect()}
+    assert fps["A"] != fps["B"]
+
+
+def test_duplicate_spans_merges_abutting_windows(spark):
+    """Duplicated windows covering contiguous tokens merge into ONE
+    maximal span even when they abut without overlapping."""
+    from mysql_tracker_spark.functions.text import (
+        duplicate_span_stats,
+        duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [("d0", "a b c d"), ("d1", "a b"), ("d2", "c d")],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_spans(docs, n=2).filter("doc_id = 'd0'").collect()
+    assert [(r.span_start, r.span_end) for r in spans] == [(1, 4)]
+    stats = (
+        duplicate_span_stats(docs, n=2).filter("doc_id = 'd0'").collect()[0]
+    )
+    assert stats["n_spans"] == 1 and stats["dup_tokens"] == 4
