@@ -55,14 +55,21 @@ _WIDEN_OK = {
 
 _NAME = r"[`\"']?(\w+)[`\"']?"
 _QTBL = rf"(?:{_NAME}\.)?{_NAME}"
+# shared by statement- and clause-level patterns: an ADD/DROP followed
+# by one of these keywords is an index/constraint operation, not a
+# column — without the lookahead "ADD KEY text (col)" would parse as
+# ADD_COLUMN(column='KEY', type=text) and commit a phantom column
+_NOT_KEYWORD = r"(?!INDEX\b|KEY\b|PRIMARY\b|FOREIGN\b|CONSTRAINT\b|PARTITION\b|CHECK\b|UNIQUE\b|FULLTEXT\b)"
 _DROP_COL_RE = re.compile(
     rf"ALTER\s+TABLE\s+{_QTBL}\s+DROP\s+(?:COLUMN\s+)?"
-    rf"(?!INDEX\b|KEY\b|PRIMARY\b|FOREIGN\b|CONSTRAINT\b|PARTITION\b|CHECK\b)"
-    rf"{_NAME}\s*(?:,|$)",
+    rf"{_NOT_KEYWORD}"
+    # mysqld accepts trailing semicolons in COM_QUERY — ';' must not
+    # make the drop classify as OTHER (silently skipped forever)
+    rf"{_NAME}\s*(?:,|;|$)",
     re.IGNORECASE,
 )
 _ADD_RE = re.compile(
-    rf"ALTER\s+TABLE\s+{_QTBL}\s+ADD\s+(?:COLUMN\s+)?{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
+    rf"ALTER\s+TABLE\s+{_QTBL}\s+ADD\s+(?:COLUMN\s+)?{_NOT_KEYWORD}{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
     re.IGNORECASE,
 )
 _MODIFY_RE = re.compile(
@@ -208,7 +215,6 @@ def parse_ddl(sql: str, default_schema: str | None = None) -> DdlResult:
 
 # clause-level patterns (no ALTER TABLE prefix) for multi-clause
 # statements: "ALTER TABLE t DROP COLUMN a, RENAME COLUMN b TO c, ..."
-_NOT_KEYWORD = r"(?!INDEX\b|KEY\b|PRIMARY\b|FOREIGN\b|CONSTRAINT\b|PARTITION\b|CHECK\b|UNIQUE\b|FULLTEXT\b)"
 _CL_ADD = re.compile(
     rf"\bADD\s+(?:COLUMN\s+)?{_NOT_KEYWORD}{_NAME}\s+(\w+(?:\(\d+(?:,\d+)?\))?)",
     re.IGNORECASE,
@@ -317,9 +323,12 @@ def apply_ddl_events(table: LakeTable, ddl_rows: list, default_schema: str | Non
         sql = row["ddl_sql"] if not isinstance(row, str) else row
         if not sql:
             continue
-        parsed = parse_ddl(sql, default_schema)
-        new_schema = evolve_schema(table.schema(), parsed)
-        if new_schema is not None:
-            table.update_schema(new_schema, note=sql)
-            n += 1
+        for parsed in parse_ddl_clauses(sql, default_schema):
+            # EVERY clause of a multi-clause ALTER applies (first-
+            # clause-only parsing would silently half-evolve the
+            # schema — the exact failure parse_ddl_clauses exists for)
+            new_schema = evolve_schema(table.schema(), parsed)
+            if new_schema is not None:
+                table.update_schema(new_schema, note=sql)
+                n += 1
     return n

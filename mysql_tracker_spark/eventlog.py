@@ -405,6 +405,11 @@ class EventLogJob:
         import shutil
 
         live: set[str] = set()
+        if not os.path.isdir(self.snap_dir):
+            # data-dir debris can exist before the FIRST commit ever
+            # lands (a killed first append): nothing is live yet, and
+            # the listing below must not crash the cleanup
+            os.makedirs(self.snap_dir, exist_ok=True)
         for fn in os.listdir(self.snap_dir):
             if fn.startswith("v") and fn.endswith(".json"):
                 with open(os.path.join(self.snap_dir, fn)) as f:

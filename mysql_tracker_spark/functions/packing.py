@@ -40,9 +40,14 @@ def pack_sequences(
     get a singleton bin).
 
     ``n_shards`` adds a ``pmod(hash(id), n_shards)`` component to the
-    grouping key — the 100 TB path: bin indices are then local to
-    (group, shard). The default (None) keeps bins global per group,
-    which is what the SQL oracle mirrors.
+    grouping key — the 100 TB path: packing parallelizes per (group,
+    shard), and the emitted ``bin_idx`` is made GLOBALLY unique per
+    group by interleaving (``local_bin * n_shards + shard``), so two
+    shards can never emit the same (group, bin_idx) — downstream
+    consumers (``packed_bins_summary``, the sequence builder) would
+    otherwise silently merge unrelated bins into one oversized
+    "sequence". The default (None) keeps bins global and dense per
+    group, which is what the SQL oracle mirrors.
     """
     keys = [group_col]
     sel = [
@@ -82,6 +87,9 @@ def pack_sequences(
             else:
                 fill += t
             bins[i] = b
+        if n_shards is not None and "__shard" in pdf.columns and len(pdf):
+            # interleave: shard-local bin b -> b * n_shards + shard
+            bins = bins * n_shards + int(pdf["__shard"].iloc[0])
         pdf["bin_idx"] = bins
         return pdf[[group_col, id_col, "n_tokens", "bin_idx"]]
 

@@ -140,6 +140,22 @@ def run_expectations(df: DataFrame, expects: list[Expect]) -> DataFrame:
             .select(F.lit(e.name).alias("name"), "violations")
         )
         pieces.append(dup)
+    if not pieces:
+        # "no expectations" is a valid configuration — return an empty
+        # results frame of the same shape instead of crashing
+        from pyspark.sql import types as T
+
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("ord", T.IntegerType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("violations", T.LongType()),
+                    T.StructField("passed", T.BooleanType()),
+                ]
+            ),
+        )
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)

@@ -161,7 +161,8 @@ def render_time_series(total_seconds: pd.Series) -> pd.Series:
         + ":" + (u // 60 % 60).map("{:02d}".format)
         + ":" + (u % 60).map("{:02d}".format)
     )
-    return np.where(v < 0, "-" + txt, txt)
+    # stay a Series (index-aligned like every sibling renderer)
+    return txt.where(v >= 0, "-" + txt)
 
 
 def render_year(raw: int) -> str:

@@ -34,11 +34,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .lakestore import LakeTable
+from .lakestore.table import _write_file_atomic
 
 
 class MaterializedView:
@@ -102,7 +104,10 @@ class MaterializedView:
             changes = self.table.read_changes(spark, last, cur)
             new = self.refresh(self.table.read(spark), self.read(spark, last), changes)
 
-        data_name = f"data_v{cur:08d}"
+        # UNIQUE data dir per attempt: two racing syncs must never
+        # share a final name (a shared name would let the loser rmtree
+        # the winner's committed data)
+        data_name = f"data_v{cur:08d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.view_dir, f"{data_name}.tmp-{os.getpid()}")
         # prev data dir stays alive while `new` (lazy over it) executes
         new.write.mode("overwrite").parquet(tmp)
@@ -129,32 +134,40 @@ class MaterializedView:
         with open(os.path.join(self.view_dir, "lineage.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    def _commit(self, cur: int, tmp: str, data_name: str) -> bool:
-        """Promote a fully-written tmp data dir: rename to its final
-        name, then commit the tiny meta JSON with ``O_EXCL`` — the
-        commit point. First committer wins; the loser's data is the
-        orphan and is removed."""
+    def _commit(
+        self, cur: int, tmp: str, data_name: str, extra_meta: dict | None = None
+    ) -> bool:
+        """Promote a fully-written tmp data dir: rename to its
+        attempt-unique final name, then commit the tiny meta JSON
+        (torn-write-proof, exclusive) — the commit point. First
+        committer wins; the loser removes ITS OWN data dir. Because
+        the data dir name is unique per attempt, neither racer ever
+        touches the other's data — the first-commit-wins contract
+        cannot destroy the winner's output."""
         final = os.path.join(self.view_dir, data_name)
-        shutil.rmtree(final, ignore_errors=True)  # orphan of a killed sync
         os.rename(tmp, final)
-        meta = {"table_version": cur, "data": data_name}
+        meta = {"table_version": cur, "data": data_name, **(extra_meta or {})}
         target = os.path.join(self.meta_dir, f"v{cur:08d}.json")
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            _write_file_atomic(target, json.dumps(meta).encode())
         except FileExistsError:
             # a racing sync committed this version first; ours is the orphan
             shutil.rmtree(final, ignore_errors=True)
             return False
-        try:
-            os.write(fd, json.dumps(meta).encode())
-            os.fsync(fd)
-        finally:
-            os.close(fd)
         self._gc()
         return True
 
+    # in-flight guard: a CONCURRENT sync's .tmp- dir is being written
+    # for as long as its Spark job runs — only reap tmp debris older
+    # than this (committed-data orphans are safe to reap immediately:
+    # a racer's renamed dir is only unreferenced if its commit lost)
+    TMP_GC_AGE_S = 600.0
+
     def _gc(self) -> None:
-        """Drop metas/data beyond keep_last, plus stranded tmp dirs."""
+        """Drop metas/data beyond keep_last, plus stranded tmp dirs
+        (age-guarded — see TMP_GC_AGE_S)."""
+        import time
+
         vs = sorted(
             int(f[1:-5])
             for f in os.listdir(self.meta_dir)
@@ -165,11 +178,22 @@ class MaterializedView:
         for v in vs:
             if v not in keep:
                 os.unlink(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+        now = time.time()
         for d in os.listdir(self.view_dir):
             full = os.path.join(self.view_dir, d)
             if d == "meta" or not os.path.isdir(full):
                 continue
-            if d not in live and (d.startswith("data_v") or ".tmp-" in d):
+            if d in live:
+                continue
+            if ".tmp-" in d:
+                try:
+                    young = now - os.path.getmtime(full) < self.TMP_GC_AGE_S
+                except OSError:
+                    young = True
+                if young:
+                    continue  # possibly a concurrent sync's in-flight write
+                shutil.rmtree(full, ignore_errors=True)
+            elif d.startswith("data_v"):
                 shutil.rmtree(full, ignore_errors=True)
 
 
@@ -251,10 +275,20 @@ class BucketedMaterializedView(MaterializedView):
             return False
         t0 = time.time()
         changed: set | None = None
-        data_name = f"data_v{cur:08d}"
+        data_name = f"data_v{cur:08d}-{uuid.uuid4().hex[:8]}"
         tmp = os.path.join(self.view_dir, f"{data_name}.tmp-{os.getpid()}")
         os.makedirs(tmp, exist_ok=True)
-        if last is None:
+        # bucket-scheme fence: the carried-by-hardlink buckets are only
+        # valid under the n_buckets they were WRITTEN with — a changed
+        # count silently mixes pmod schemes (old rows carried under the
+        # old modulus + recomputed rows under the new one = duplicated/
+        # misplaced keys). The stamped scheme wins detection; recovery
+        # is a full re-bootstrap of the view data.
+        rebucket = (
+            last is not None
+            and self._meta(last).get("n_buckets") != self.n_buckets
+        )
+        if last is None or rebucket:
             self._write_slice(
                 self.bootstrap(self.table.read(spark)), tmp, self.n_buckets
             )
@@ -288,13 +322,19 @@ class BucketedMaterializedView(MaterializedView):
                     )
                 )
                 self._write_slice(slice_df, tmp, len(changed))
-        ok = self._commit(cur, tmp, data_name)
+        ok = self._commit(
+            cur, tmp, data_name, extra_meta={"n_buckets": self.n_buckets}
+        )
         if ok:
             self._append_lineage(
                 {
                     "table_version": cur,
                     "from_version": last,
-                    "mode": "bootstrap" if last is None else "refresh",
+                    "mode": (
+                        "bootstrap" if last is None
+                        else "rebucket" if rebucket
+                        else "refresh"
+                    ),
                     "changed_buckets": sorted(changed) if changed is not None else None,
                     "carried_buckets": (
                         self.n_buckets - len(changed) if changed is not None else 0

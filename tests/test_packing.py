@@ -57,7 +57,15 @@ def test_pack_sharded_scale_path(spark, docs):
         .toPandas()
     )
     merged = pdf.merge(shard, on="doc_id")
+    # bin ids are INTERLEAVED (local_bin * n_shards + shard) so two
+    # shards can never share a (lang, bin_idx) — un-interleave before
+    # checking the per-shard greedy invariants
+    assert ((merged["bin_idx"] % 4) == merged["shard"]).all()
+    merged["bin_idx"] = (merged["bin_idx"] - merged["shard"]) // 4
     _check_greedy(merged, 256, ["lang", "shard"])
+    # and globally: no (lang, bin_idx) collision across shards
+    dup = pdf.merge(shard, on="doc_id").groupby(["lang", "bin_idx"])["shard"].nunique()
+    assert (dup == 1).all()
 
 
 def test_bins_summary(spark, docs):

@@ -502,3 +502,154 @@ def test_duplicate_spans_merges_abutting_windows(spark):
         duplicate_span_stats(docs, n=2).filter("doc_id = 'd0'").collect()[0]
     )
     assert stats["n_spans"] == 1 and stats["dup_tokens"] == 4
+
+
+def test_view_losing_commit_never_destroys_winner(spark, tmp_path):
+    """Two racing syncs of the SAME table version: the loser must
+    remove only ITS OWN data dir (regression: a shared final dir name
+    let the loser rmtree the winner's committed data, leaving the meta
+    pointing at nothing)."""
+    import os
+
+    from mysql_tracker_spark.functions.conversations import conv_signatures
+    from mysql_tracker_spark.lakestore import LakeTable
+    from mysql_tracker_spark.views import MaterializedView
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), schema, ["conv_id", "turn_idx"], "conv_id",
+        n_buckets=2,
+    )
+    t.overwrite(
+        spark.createDataFrame([("a", 0, "user", "hello world")], schema)
+    )
+    view = MaterializedView(
+        t, str(tmp_path / "view"), conv_signatures, refresh=lambda tb, pv, ch: conv_signatures(tb),
+    )
+    assert view.sync(spark) is True
+    rows_before = view.read(spark).collect()
+    # loser: a second sync attempt at the SAME version commits after
+    # the winner — replay _commit directly with a fresh tmp dir
+    cur = t.current_version()
+    loser_name = f"data_v{cur:08d}-deadbeef"
+    loser_tmp = os.path.join(view.view_dir, f"{loser_name}.tmp-999")
+    os.makedirs(loser_tmp)
+    assert view._commit(cur, loser_tmp, loser_name) is False
+    # the loser's dir is gone; the WINNER's data is intact
+    assert not os.path.exists(os.path.join(view.view_dir, loser_name))
+    assert view.read(spark).collect() == rows_before
+
+
+def test_bucketed_view_rebucket_fence(spark, tmp_path):
+    """Changing n_buckets between syncs must trigger a full re-bootstrap
+    (regression: old-scheme hardlink-carried buckets silently mixed
+    with new-scheme recomputed buckets, duplicating keys)."""
+    import json
+
+    from mysql_tracker_spark.functions.conversations import conv_signatures
+    from mysql_tracker_spark.lakestore import LakeTable
+    from mysql_tracker_spark.views import BucketedMaterializedView
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "tbl"), schema, ["conv_id", "turn_idx"], "conv_id",
+        n_buckets=2,
+    )
+    rows = [(f"c{i}", 0, "user", f"text number {i}") for i in range(20)]
+    t.overwrite(spark.createDataFrame(rows, schema))
+    v4 = BucketedMaterializedView(
+        t, str(tmp_path / "view"), conv_signatures,
+        key_col="conv_id", n_buckets=4, view_key_col="conv_id",
+    )
+    v4.sync(spark)
+    # table advances; a NEW process constructs the view with n_buckets=8
+    ch = spark.createDataFrame(
+        [("c0", 0, "user", "edited", False)],
+        T.StructType(schema.fields + [T.StructField("__delete", T.BooleanType())]),
+    )
+    t.merge(spark, ch)
+    v8 = BucketedMaterializedView(
+        t, str(tmp_path / "view"), conv_signatures,
+        key_col="conv_id", n_buckets=8, view_key_col="conv_id",
+    )
+    assert v8.sync(spark) is True
+    got = v8.read(spark).toPandas().sort_values("conv_id").reset_index(drop=True)
+    exp = (
+        conv_signatures(t.read(spark)).toPandas()
+        .sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # exactly one row per conversation — no duplicated keys
+    assert got["conv_id"].is_unique
+    # the rebucket is recorded in lineage
+    lineage = [
+        json.loads(line)
+        for line in open(f"{v8.view_dir}/lineage.jsonl")
+    ]
+    assert lineage[-1]["mode"] == "rebucket"
+
+
+def test_ddl_parser_keyword_and_trailing_semicolon():
+    from pyspark.sql import types as T2
+
+    from mysql_tracker_spark.ddl import parse_ddl, parse_ddl_clauses
+
+    assert parse_ddl("ALTER TABLE t ADD KEY text (col)").kind == "OTHER"
+    r = parse_ddl("ALTER TABLE t DROP COLUMN a;")
+    assert r.kind == "DROP_COLUMN" and r.column == "a"
+    multi = parse_ddl_clauses(
+        "ALTER TABLE chat.t ADD COLUMN a INT, ADD COLUMN b BIGINT"
+    )
+    assert [(c.kind, c.column) for c in multi] == [
+        ("ADD_COLUMN", "a"), ("ADD_COLUMN", "b"),
+    ]
+    assert multi[1].new_type == T2.LongType()
+
+
+def test_apply_ddl_events_applies_every_clause(spark, tmp_path):
+    from mysql_tracker_spark.ddl import apply_ddl_events
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "t"), schema, ["conv_id", "turn_idx"], "conv_id",
+        n_buckets=2,
+    )
+    n = apply_ddl_events(
+        t, ["ALTER TABLE chat.t ADD COLUMN a INT, ADD COLUMN b BIGINT"], "chat"
+    )
+    names = [f.name for f in t.schema().fields]
+    assert n == 2 and "a" in names and "b" in names
+
+
+def test_eventlog_gc_orphans_before_first_commit(spark, tmp_path):
+    import os
+
+    from mysql_tracker_spark.eventlog import EventLogJob
+
+    d = str(tmp_path / "log")
+    log = EventLogJob(spark, str(tmp_path / "in"), d)
+    os.makedirs(os.path.join(d, "data", "batch-debris"), exist_ok=True)
+    with open(os.path.join(d, "data", "batch-debris", "x.parquet"), "w") as f:
+        f.write("junk")
+    # no snapshot committed yet — must not crash
+    assert log.gc_orphans(min_age_s=0.0) >= 0
