@@ -24,6 +24,8 @@ registration for the same reason.
 
 from __future__ import annotations
 
+import re
+
 import os
 
 from pyspark.sql import SparkSession
@@ -78,8 +80,12 @@ def register_table(
         ).createOrReplaceTempView(f"{name}__tags")
         created.append(f"{name}__tags")
         for tag, _v in rows:
-            t.read_tag(spark, tag).createOrReplaceTempView(f"{name}__at_{tag}")
-            created.append(f"{name}__at_{tag}")
+            # tag names allow '.'/'-' which are illegal in single-part
+            # view identifiers — sanitize for the VIEW name only (the
+            # __tags view still carries the exact tag string)
+            safe = re.sub(r"[^A-Za-z0-9_]", "_", tag)
+            t.read_tag(spark, tag).createOrReplaceTempView(f"{name}__at_{safe}")
+            created.append(f"{name}__at_{safe}")
     return created
 
 

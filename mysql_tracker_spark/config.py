@@ -96,8 +96,16 @@ class JobConfig:
     def load(cls, path: str) -> "JobConfig":
         with open(path) as f:
             raw = json.load(f)
-        known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
-        return cls(**known)
+        unknown = sorted(k for k in raw if k not in cls.__dataclass_fields__)
+        if unknown:
+            # a typo'd field name must not silently DISABLE the
+            # behavior the operator configured (same stance as
+            # runner.from_config's on_invalid_position validation)
+            raise ValueError(
+                f"unknown JobConfig fields {unknown}; known fields: "
+                f"{sorted(cls.__dataclass_fields__)}"
+            )
+        return cls(**raw)
 
     def dump(self, path: str) -> None:
         with open(path, "w") as f:

@@ -38,7 +38,11 @@ def hash_uniform(key: Column, salt: str) -> Column:
     ANSI SQL: ``CAST(CONCAT('0x', SUBSTR(MD5(key || salt), 1, 8)) AS
     UBIGINT) / 4294967296.0`` — the engine/oracle pair agrees
     byte-for-byte."""
-    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    # NULL keys would md5 to NULL and silently drop the row from any
+    # sampler regardless of weight — give them one deterministic draw
+    # instead (chr(0) cannot collide with a real stringified key)
+    k = F.coalesce(key.cast("string"), F.lit("\x00"))
+    h = F.conv(F.substring(F.md5(F.concat(k, F.lit(salt))), 1, 8), 16, 10)
     return h.cast("double") / F.lit(_U32)
 
 
@@ -46,8 +50,8 @@ def hash_uniform_sql(key_sql: str, salt: str) -> str:
     """The DuckDB twin of :func:`hash_uniform` (same bytes, same
     scale)."""
     return (
-        f"cast(concat('0x', substr(md5(cast({key_sql} as varchar) || '{salt}'), 1, 8)) "
-        f"as ubigint) / 4294967296.0"
+        f"cast(concat('0x', substr(md5(coalesce(cast({key_sql} as varchar), chr(0))"
+        f" || '{salt}'), 1, 8)) as ubigint) / 4294967296.0"
     )
 
 
@@ -61,8 +65,12 @@ def mixture_sample(
 ) -> DataFrame:
     """Deterministic Bernoulli mixture sampling: keep each row with
     its group's probability (``weights[group]``; unlisted groups get
-    ``default_weight``). Adds ``sample_u`` (the row's uniform draw,
-    rounded to 9 dp) so the decision is auditable.
+    ``default_weight``). Adds ``sample_u`` — the row's uniform draw
+    rounded to 9 dp FOR DISPLAY/STABLE HASHING; the keep decision uses
+    the full-precision draw, so an audit must recompute the exact
+    draw from (key, salt) via :func:`hash_uniform` /
+    :func:`hash_uniform_sql`, never compare the rounded value against
+    the weight (boundary rows within 5e-10 of a weight would disagree).
 
     The kept set is a pure function of (key, salt, weights): re-runs,
     replays, different cluster sizes, and the SQL oracle all agree
@@ -74,6 +82,12 @@ def mixture_sample(
             raise ValueError(f"weight for {g!r} must be in [0, 1], got {w}")
     if not 0.0 <= default_weight <= 1.0:
         raise ValueError("default_weight must be in [0, 1]")
+    clash = {"sample_u"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with mixture_sample "
+            "output columns; rename them first"
+        )
     u = hash_uniform(F.col(key_col), salt)
     p = F.lit(float(default_weight))
     for g, w in sorted(weights.items()):
@@ -115,6 +129,12 @@ def token_budget_sample(
     for g, b in budgets.items():
         if b < 0:
             raise ValueError(f"budget for {g!r} must be >= 0, got {b}")
+    clash = {"running_tokens", "__budget"} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with "
+            "token_budget_sample working/output columns; rename them first"
+        )
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     u = hash_uniform(F.col(key_col), salt)
     b = F.lit(None).cast("bigint")
@@ -125,7 +145,13 @@ def token_budget_sample(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        docs.withColumn("__budget", b)
+        # NULL/negative token counts cannot be budgeted: a NULL row
+        # would be kept for free (sum() skips NULLs) and a negative one
+        # makes the running sum non-monotonic, re-admitting rows after
+        # the budget is spent — both silently break the exact-prefix
+        # contract, so such rows are excluded as invalid input
+        docs.filter(tok.isNotNull() & (tok.cast("bigint") >= 0))
+        .withColumn("__budget", b)
         .filter(F.col("__budget").isNotNull())
         .withColumn("running_tokens", run)
         .filter(F.col("running_tokens") <= F.col("__budget"))

@@ -24,7 +24,9 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of every scan in the plan."""
     txt = explain_str(df)
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", txt)
+    # greedy to the line's LAST ']' — a nested bracket (In(col,
+    # [v1,v2])) must not truncate the captured list
+    return re.findall(r"PushedFilters: \[(.*)\]", txt)
 
 
 def read_schemas(df: DataFrame) -> list[str]:
@@ -45,7 +47,9 @@ def python_stage_count(df: DataFrame) -> int:
     txt = explain_str(df, mode="simple")
     return len(
         re.findall(
-            r"(ArrowEvalPython|BatchEvalPython|MapInPandas|MapInArrow|PythonMapInArrow|FlatMapGroupsInPandas)",
+            r"(ArrowEvalPython|BatchEvalPython|MapInPandas|MapInArrow"
+            r"|PythonMapInArrow|FlatMapGroupsInPandas|FlatMapGroupsInPandasWithState"
+            r"|FlatMapCoGroupsInPandas|WindowInPandas|AggregateInPandas)",
             txt,
         )
     )

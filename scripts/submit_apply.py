@@ -299,10 +299,18 @@ def main() -> None:
             except ValueError:
                 return s
 
-        preds = {
-            col: (_parse_bound(lo), _parse_bound(hi))
-            for col, lo, hi in args.delete_where
-        }
+        # conjunctive across repeats INCLUDING repeats on one column:
+        # intersect the ranges (tightest lo, tightest hi) instead of
+        # silently keeping only the last flag — this drives a
+        # DESTRUCTIVE delete, so dropped bounds are data loss
+        preds: dict = {}
+        for col, lo, hi in args.delete_where:
+            plo, phi = _parse_bound(lo), _parse_bound(hi)
+            if col in preds:
+                olo, ohi = preds[col]
+                plo = olo if plo is None else plo if olo is None else max(olo, plo)
+                phi = ohi if phi is None else phi if ohi is None else min(ohi, phi)
+            preds[col] = (plo, phi)
         v, n = LakeTable.load(args.table).delete_where(spark, preds)
         print(
             json.dumps({"delete_where_version": v, "rows_deleted": n}),
@@ -319,7 +327,25 @@ def main() -> None:
             checkpoint_dir=args.checkpoint or args.table + "_ckpt",
             source_format=args.format or "typed",
             n_buckets=args.buckets if args.buckets is not None else 64,
+            # the streaming front-end wraps the SAME apply job — every
+            # operator-facing option must reach it (a --expect gate
+            # silently not enforced would merge bad rows with no error)
+            files_per_batch=args.files_per_batch if args.files_per_batch is not None else 1,
+            on_destructive_ddl=args.on_destructive_ddl or "raise",
+            n_salts=args.salts if args.salts is not None else 0,
+            quarantine_dir=args.quarantine_dir,
+            expectations=expectations,
+            write_mode=args.write_mode or "cow",
+            mor_compact_threshold=args.mor_compact_threshold
+            if args.mor_compact_threshold is not None
+            else 8,
+            auto_split_rows_per_bucket=args.auto_split_rows_per_bucket,
         )
+        if args.expire_keep_last is not None:
+            job.job.expire_keep_last = args.expire_keep_last
+        if args.reset_policy:
+            probe = job.job.validate_position(reset_policy=args.reset_policy)
+            print(json.dumps({"position_probe": probe}), file=sys.stderr)
         stats = job.run_available()
     else:
         from mysql_tracker_spark.runner import CdcApplyJob

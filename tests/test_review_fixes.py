@@ -653,3 +653,79 @@ def test_eventlog_gc_orphans_before_first_commit(spark, tmp_path):
         f.write("junk")
     # no snapshot committed yet — must not crash
     assert log.gc_orphans(min_age_s=0.0) >= 0
+
+
+def test_jobconfig_load_rejects_unknown_fields(tmp_path):
+    import json
+
+    from mysql_tracker_spark.config import JobConfig
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"input_dir": "/x", "table_path": "/y",
+                             "filter_regexp": "typo"}))
+    with pytest.raises(ValueError, match="filter_regexp"):
+        JobConfig.load(str(p))
+
+
+def test_catalog_registers_tags_with_dots(spark, tmp_path):
+    from mysql_tracker_spark.catalog import register_table
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "t"), schema, ["conv_id", "turn_idx"], "conv_id",
+        n_buckets=2,
+    )
+    t.overwrite(spark.createDataFrame([("a", 0)], schema))
+    t.tag("v1.0-release")
+    created = register_table(spark, t, name="tagtest", include_tags=True)
+    assert "tagtest__at_v1_0_release" in created
+    assert spark.sql("select count(*) from tagtest__at_v1_0_release").collect()[0][0] == 1
+
+
+def test_token_budget_sample_excludes_invalid_token_counts(spark):
+    from mysql_tracker_spark.functions.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [("a", "en", 10), ("b", "en", None), ("c", "en", -5), ("d", "en", 20)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_tokens", T.IntegerType()),
+            ]
+        ),
+    )
+    out = token_budget_sample(df, {"en": 1000}).toPandas()
+    # NULL and negative token rows are invalid input, never kept free
+    assert set(out["doc_id"]) == {"a", "d"}
+    assert (out["running_tokens"] <= 1000).all()
+
+
+def test_hash_uniform_null_key_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from mysql_tracker_spark.functions.sampling import (
+        hash_uniform,
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "en"), ("x", "en")],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        ),
+    )
+    us = df.select(hash_uniform(F.col("doc_id"), "s").alias("u")).collect()
+    assert all(r["u"] is not None for r in us)
+    # weight 1.0 keeps EVERY row, NULL key included
+    kept = mixture_sample(df, {"en": 1.0}).count()
+    assert kept == 2
