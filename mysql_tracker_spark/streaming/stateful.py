@@ -12,11 +12,16 @@ minute buckets, generalized).
 
 Scale stance: state is O(keys) — three longs per key, not per event;
 each micro-batch shuffles only on the session key (the same hash
-partitioning every stateful operator pays); batches arrive in log
-order per the file-stream source's sorted listing, so per-key event
-time is monotone across batches (the engine's global ordering
-invariant) and no out-of-order buffer is needed. Arrow-batched
-(pandas), no per-row Python through the serializer.
+partitioning every stateful operator pays). ORDERING CONTRACT: Spark's
+file stream source delivers files in MODIFICATION-TIME order, so
+cross-batch per-key time order holds only when files are produced
+in-order (the normal live-tail case: write order == mtime order == log
+order). A backfill/copy that reorders mtimes violates it — drain such
+input through the batch path (or a fresh checkpoint after mtimes
+settle); sessions would otherwise close early and re-open. (The CDC
+table apply path is NOT exposed to this: its streaming front-end
+re-orders by manifest, see stream_runner.) Arrow-batched (pandas), no
+per-row Python through the serializer.
 
 Timestamps ride as epoch MICROSECONDS (long) end-to-end — no session
 timezone ambiguity in state or output.
@@ -63,8 +68,9 @@ def sessionize_stream(
     session stays in the per-key state store across micro-batches (and
     across restarts via the streaming checkpoint). Events within one
     micro-batch may arrive unsorted — each batch is sorted per key —
-    but batches themselves must be in per-key time order (the file
-    stream's sorted listing guarantees it here)."""
+    but batches themselves must be in per-key time order (see the
+    module docstring's ordering contract: true for in-order-produced
+    files, NOT guaranteed under mtime-reordering backfills)."""
     gap_us = int(gap_s * 1_000_000)
 
     def fn(
