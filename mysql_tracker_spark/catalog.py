@@ -79,11 +79,18 @@ def register_table(
             rows or [], "tag string, version int"
         ).createOrReplaceTempView(f"{name}__tags")
         created.append(f"{name}__tags")
-        for tag, _v in rows:
+        seen: dict[str, str] = {}
+        for tag, v in rows:
             # tag names allow '.'/'-' which are illegal in single-part
             # view identifiers — sanitize for the VIEW name only (the
-            # __tags view still carries the exact tag string)
+            # __tags view still carries the exact tag string). Distinct
+            # tags that sanitize identically ('v1.0' vs 'v1-0') get the
+            # pinned version appended instead of silently shadowing
+            # each other.
             safe = re.sub(r"[^A-Za-z0-9_]", "_", tag)
+            if safe in seen:
+                safe = f"{safe}_v{v}"
+            seen[safe] = tag
             t.read_tag(spark, tag).createOrReplaceTempView(f"{name}__at_{safe}")
             created.append(f"{name}__at_{safe}")
     return created

@@ -219,8 +219,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             "cur_sid": mt["schema_id"],
             "key_cols": mt["key_cols"],
             "bucket_by": bucket_by,
+            # None when the stream's frozen schema predates a rename of
+            # the bucket column — only the cross-layout diff needs it,
+            # and that path raises a restart-the-stream error instead
+            # of an opaque StopIteration
             "bucket_by_type": next(
-                f["type"] for f in target_fields if f["name"] == bucket_by
+                (f["type"] for f in target_fields if f["name"] == bucket_by),
+                None,
             ),
             "n_to": n_to,
         }
@@ -275,6 +280,14 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             # does, by bucket ownership / residual predicates)
             bcol = meta["bucket_by"]
             btype = meta["bucket_by_type"]
+            if btype is None or bcol not in old.columns:
+                raise RuntimeError(
+                    "lakestore_changes: the bucket column "
+                    f"{bcol!r} is not in this stream's (frozen) schema "
+                    "— the column was renamed after the stream started "
+                    "and a bucket-layout change needs it; restart the "
+                    "stream to pick up the current schema"
+                )
             n_to = meta["n_to"]
             keep = old[bcol].map(
                 lambda v: pmod_bucket(v, btype, n_to)

@@ -584,7 +584,16 @@ class LakeTable:
         return self.manifest(version)["properties"]
 
     def schema(self, version: int | None = None) -> T.StructType:
-        m = self.manifest(version)
+        return self._schema_of(self.manifest(version))
+
+    @staticmethod
+    def _schema_of(m: dict) -> T.StructType:
+        """Schema OF AN ALREADY-READ MANIFEST — every write path must
+        derive its schema from the same snapshot read it plans
+        against: a second ``self.schema()`` call is a second manifest
+        read, and a schema commit landing between the two would write
+        the new column set stamped with the old schema_id (readers
+        then align the bytes to the wrong columns)."""
         return T.StructType.fromJson(m["schemas"][str(m["schema_id"])])
 
     # ------------------------------------------------------------------ read
@@ -1381,7 +1390,7 @@ class LakeTable:
     def overwrite(self, df: DataFrame, properties: dict[str, str] | None = None) -> int:
         """Replace the whole table content (used for initial loads)."""
         m = self.manifest()
-        schema = self.schema()
+        schema = self._schema_of(m)
         dfb = df.withColumn(_BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"]))
         buckets = self._write_buckets(dfb, schema, base_manifest=m)
         new = dict(m)
@@ -1420,7 +1429,7 @@ class LakeTable:
             return m["version"]
         if new_n_buckets < 1:
             raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
-        schema = self.schema()
+        schema = self._schema_of(m)
         df = self.read(spark).withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], new_n_buckets)
         )
@@ -1563,7 +1572,7 @@ class LakeTable:
         discardable via :meth:`abort_staged`. Returns (None, stats).
         """
         m = self.manifest()
-        schema = self.schema()
+        schema = self._schema_of(m)
         key_cols = m["key_cols"]
         nb = m["n_buckets"]
 
@@ -1684,7 +1693,7 @@ class LakeTable:
         publish replays through the same optimistic append path as a
         live MOR commit and never conflicts."""
         m = self.manifest()
-        schema = self.schema()
+        schema = self._schema_of(m)
         nb = m["n_buckets"]
         ch = changes.withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], nb)
@@ -1744,7 +1753,7 @@ class LakeTable:
         dest = f"mor-{uuid.uuid4().hex[:12]}"
         os.replace(staged_dir, os.path.join(self.data_dir, dest))
         sid = m["schema_id"]
-        stat_cols = self._stat_cols(m, self.schema())
+        stat_cols = self._stat_cols(m, self._schema_of(m))
         new_files: dict[int, list[dict]] = {}
         dest_dir = os.path.join(self.data_dir, dest)
         for entry in sorted(os.listdir(dest_dir)):
@@ -1978,7 +1987,7 @@ class LakeTable:
             todo = sorted(bucket_ids)
         if not todo:
             return m["version"], []
-        schema = self.schema()
+        schema = self._schema_of(m)
         state = self._read_state(spark, m, bucket_ids=todo).withColumn(
             _BUCKET_COL, _bucket_expr(m["bucket_by"], m["n_buckets"])
         )
@@ -2077,7 +2086,7 @@ class LakeTable:
                 carried[b] = [fe for fe in files if not ff(fe)]
         if not rewrite_entries and not delta_todo:
             return m["version"], 0
-        schema = self.schema()
+        schema = self._schema_of(m)
         cond = F.lit(True)
         for c, (lo, hi) in preds.items():
             if lo is not None:
@@ -2197,7 +2206,7 @@ class LakeTable:
         stop skipping those files until they are rewritten (sound,
         never wrong)."""
         m = self.manifest()
-        schema = self.schema()
+        schema = self._schema_of(m)
         names = [f.name for f in schema.fields]
         if old not in names:
             raise ValueError(f"rename_column: no column {old!r} in schema {names}")
@@ -2646,7 +2655,7 @@ class LakeTable:
                     spark,
                     [fe for fe in files if not fe.get("delta")],
                     m["schemas"],
-                    self.schema(),
+                    self._schema_of(m),
                     renames=m.get("renames"),
                 )
                 n = df.filter(

@@ -95,18 +95,39 @@ class CdcStreamJob:
 
     def _drain_in_order(self) -> None:
         """Apply every pending manifest-ordered input group through the
-        batch path. Cheap skips: groups below the committed
+        batch path. Cheap skips: groups at or before the committed
         ``input_file_end`` cursor (one property read) or already
-        applied in this run never touch their files."""
+        applied in this run never touch their files.
+
+        The cursor is compared by MANIFEST POSITION, not name order:
+        the manifest (or listing) order is the authoritative log order,
+        and an upstream committer's file names need not be
+        lexicographically monotone (``part-9`` vs ``part-10``) — a
+        name-order comparison would skip such groups forever. A cursor
+        naming a file no longer in the manifest (rotated out) simply
+        stops skipping; the per-batch watermark fence keeps replays
+        cheap and correct."""
         cursor = ""
         if self.job.table is not None:
             cursor = self.job.table.properties().get("input_file_end", "")
+        groups = self.job.batch_files()
+        pos = {
+            os.path.basename(p): i
+            for i, g in enumerate(groups)
+            for p in g
+        }
+        cur_i = -1
+        if cursor in pos:
+            j = pos[cursor]
+            last_of_j = os.path.basename(groups[j][-1])
+            # a regrouping (changed files_per_batch) can land the
+            # cursor MID-group: then only groups before it are fully
+            # covered, and the cursor's group re-applies (the watermark
+            # fence drops its already-committed prefix)
+            cur_i = j if last_of_j == cursor else j - 1
         applied_any = False
-        for group in self.job.batch_files():
-            names = [os.path.basename(p) for p in group]
-            if (cursor and max(names) <= cursor) or all(
-                p in self._applied_files for p in group
-            ):
+        for i, group in enumerate(groups):
+            if i <= cur_i or all(p in self._applied_files for p in group):
                 continue
             self.stats.append(self.job.apply_batch(self._apply_seq, group))
             self._apply_seq += 1
@@ -145,9 +166,17 @@ class CdcStreamJob:
 
     def run_available(self):
         """Convenience: drain everything currently in the directory and
-        block until done."""
+        block until done. A FINAL drain runs after the query stops:
+        the file source cannot see ``_batches.json`` (underscore files
+        are hidden), so a manifest commit that landed after its data
+        files were delivered would otherwise leave those committed
+        batches unapplied until the next run. (Live-tail mode has the
+        same blind spot between triggers — the Heartbeat's reload, or
+        any later file arrival, closes it; callers needing tighter
+        bounds can invoke ``_drain_in_order`` on a timer.)"""
         q = self.start(available_now=True)
         q.awaitTermination()
+        self._drain_in_order()
         return self.stats
 
 

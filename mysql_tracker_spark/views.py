@@ -179,6 +179,21 @@ class MaterializedView:
             if v not in keep:
                 os.unlink(os.path.join(self.meta_dir, f"v{v:08d}.json"))
         now = time.time()
+        latest = max(vs) if vs else -1
+
+        def _young(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) < self.TMP_GC_AGE_S
+            except OSError:
+                return True
+
+        def _dir_version(name: str) -> int:
+            # data_v00000007[-uuid][.tmp-pid] -> 7 (-1 when unparsable)
+            try:
+                return int(name[len("data_v"):][:8])
+            except ValueError:
+                return -1
+
         for d in os.listdir(self.view_dir):
             full = os.path.join(self.view_dir, d)
             if d == "meta" or not os.path.isdir(full):
@@ -186,14 +201,18 @@ class MaterializedView:
             if d in live:
                 continue
             if ".tmp-" in d:
-                try:
-                    young = now - os.path.getmtime(full) < self.TMP_GC_AGE_S
-                except OSError:
-                    young = True
-                if young:
+                if _young(full):
                     continue  # possibly a concurrent sync's in-flight write
                 shutil.rmtree(full, ignore_errors=True)
             elif d.startswith("data_v"):
+                # a RACER at a NEWER table version has a window between
+                # its rename and its meta write where its dir is
+                # non-live but about to be committed — protect young
+                # dirs of versions beyond the latest committed meta
+                # (same-or-older versions are safe: their commit either
+                # exists, making them live, or lost)
+                if _dir_version(d) > latest and _young(full):
+                    continue
                 shutil.rmtree(full, ignore_errors=True)
 
 

@@ -4,6 +4,7 @@ full recompute across multiple merge rounds."""
 
 import datetime as dt
 import os
+import time
 
 import pytest
 from pyspark.sql import types as T
@@ -98,9 +99,14 @@ def test_orphan_data_dir_is_ignored_and_gced(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "tbl"))
     view = _sig_view(t, str(tmp_path))
     view.sync(spark)
-    # simulate a killed sync: stranded data dir with no meta commit
+    # simulate a killed sync: stranded data dir with no meta commit.
+    # Real debris is OLD by reap time — a YOUNG dir at a newer version
+    # could be a concurrent sync's about-to-commit rename and is
+    # protected, so age the orphan past the in-flight guard.
     orphan = os.path.join(view.view_dir, "data_v99999999")
     os.makedirs(orphan)
+    old_ts = time.time() - 2 * view.TMP_GC_AGE_S
+    os.utime(orphan, (old_ts, old_ts))
     ch = spark.createDataFrame(
         [("b", 1, "assistant", "another turn lands", T0, False)], CH_SCHEMA
     )
