@@ -244,25 +244,46 @@ class EventLogJob:
             fenced = fenced.filter(
                 F.col("schema_name").isNull() | name.rlike(self.filter_regex)
             )
-        rng = fenced.agg(
-            F.max(F.struct("file", "pos")).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        if not rng["n"]:
+        # monotone rowkey: dense global seq offset by the committed
+        # next_seq (the HBase increasing-rowkey contract, :552-565)
+        gs = global_sequence(fenced, LOG_ORDER, out_col="seq")
+        seqd = gs.withColumn("seq", F.col("seq") + F.lit(next_seq))
+        sub = f"batch-{batch_id:05d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.data_dir, sub)
+        # ONE pass per micro-batch: the batch stats (row count + the
+        # high-water (file,pos) the watermark needs) ride the WRITE
+        # action as an Observation instead of a separate pre-count —
+        # on the wire format a pre-count runs the Arrow decode over
+        # the whole batch a second time, and at 10^10 events every
+        # extra pass is a full re-read of the input. A fully-fenced
+        # batch writes an empty dir that is removed right away; a
+        # crash inside that window leaves exactly the debris
+        # gc_orphans reaps.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        try:
+            seqd.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.struct("file", "pos")).alias("hi"),
+            ).write.parquet(out_dir)
+        finally:
+            # one micro-batch per cache: release the sequencer's
+            # persisted frame (see global_sequence) before the next
+            cache = getattr(gs, "_mts_seq_cache", None)
+            if cache is not None:
+                cache.unpersist()
+        got = obs.get
+        if not got["n"]:
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
             stats.skipped = True
             stats.wall_ms = int((time.time() - t0) * 1000)
             return stats
-        stats.rows_in = int(rng["n"])
-        stats.file_end, stats.pos_end = rng["hi"]["file"], rng["hi"]["pos"]
-
-        # monotone rowkey: dense global seq offset by the committed
-        # next_seq (the HBase increasing-rowkey contract, :552-565)
-        seqd = global_sequence(fenced, LOG_ORDER, out_col="seq").withColumn(
-            "seq", F.col("seq") + F.lit(next_seq)
-        )
-        sub = f"batch-{batch_id:05d}-{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self.data_dir, sub)
-        seqd.write.parquet(out_dir)
+        stats.rows_in = int(got["n"])
+        stats.file_end, stats.pos_end = got["hi"]["file"], got["hi"]["pos"]
         # one footer pass yields the row count AND the segment's ts
         # min/max; the seq range is analytic (dense, offset by
         # next_seq) — together the manifest stats that let range reads

@@ -15,7 +15,7 @@ integers), so per-turn text equality is preserved end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from ..schema import LOG_ORDER
 
@@ -140,11 +140,25 @@ def global_sequence(
        cumulative start offsets, broadcast-joined back:
        ``seq = local_index + offset[partition]``.
 
-    Both phases read the same shuffled exchange (reused), so the
-    numbering is consistent; rows with equal order keys get an arbitrary
-    but stable relative order (the reference's single-reader arrival
-    order is equally arbitrary for concurrent events).
+    The tagged frame is PERSISTED and the counts are collected from the
+    materialized cache — never recomputed. The two phases MUST see one
+    materialization: ``repartitionByRange`` samples its boundaries with
+    a seed derived from the new shuffle's RDD id, so a second
+    materialization (whenever exchange reuse fails to unify the two
+    plan arms) re-draws the boundaries and can place borderline rows in
+    a different partition in each arm — the per-partition counts then
+    disagree with the per-partition local indices and the output gets
+    duplicate+missing sequence numbers (observed: ~50 dups per 7,500
+    rows on small micro-batches before this was pinned). The cache is
+    one micro-batch (MEMORY_AND_DISK, spills, working-set-bounded);
+    callers may ``unpersist()`` the handle exposed as
+    ``result._mts_seq_cache`` after consuming the result. Rows with
+    equal order keys get an arbitrary but stable relative order (the
+    reference's single-reader arrival order is equally arbitrary for
+    concurrent events).
     """
+    from pyspark import StorageLevel
+
     order = [F.col(c) for c in order_cols]
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -154,19 +168,28 @@ def global_sequence(
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.shiftright(F.col("__mid"), 33))
         .withColumn("__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    # the offsets frame is ≤ n_parts rows: a window over it is trivially
-    # single-task but over a tiny input — not a scale concern
-    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
+    # this action MATERIALIZES the cache; every later read (the join
+    # below, the caller's write) consumes the frozen rows, so the ids
+    # the counts were derived from are the ids the output carries
+    cnt_rows = sorted(
+        tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect(),
+        key=lambda r: r["__pid"],
     )
-    return (
+    offs, acc = [], 0
+    for r in cnt_rows:
+        offs.append((int(r["__pid"]), acc))
+        acc += int(r["__cnt"])
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(offs, "__pid long, __off long")
+    out = (
         tagged.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__mid", "__pid", "__local", "__off")
     )
+    out._mts_seq_cache = tagged
+    return out
 
 
 def with_sequence(df: DataFrame, batch_id: int) -> DataFrame:

@@ -272,3 +272,32 @@ def test_eventlog_honors_input_manifest(spark, tmp_path):
     ] == names
     stats = job.run()
     assert len([s for s in stats if not s.skipped]) == 2
+
+
+def test_eventlog_seq_dense_at_boundary_sampling_scale(spark, tmp_path):
+    """Regression: duplicate+missing seqs from double materialization of
+    the sequencer's range exchange. repartitionByRange samples its
+    boundaries with a seed derived from the new shuffle's RDD id, so
+    whenever exchange reuse failed to unify the counts arm with the
+    main arm, each arm re-drew the boundaries and placed borderline
+    rows in different partitions — per-partition counts then disagreed
+    with per-partition local indices (observed ~50 dup seqs per 7,500
+    events at exactly this shape: 2,500-row micro-batches, 8 shuffle
+    partitions). global_sequence now persists the tagged frame and
+    derives offsets from the materialized cache; this pins the
+    dense-unique invariant end-to-end at the failing scale, and that
+    the per-batch cache is released."""
+    ev = gen_change_events(GenConfig(n_events=6000, n_conversations=120, seed=11))
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=3)
+    job = EventLogJob(spark, d, str(tmp_path / "log"))
+    job.run()
+    log = job.read().toPandas().sort_values("seq").reset_index(drop=True)
+    n_unique = len(ev.drop_duplicates(["file", "pos", "row_idx"]))
+    assert len(log) == n_unique
+    assert log["seq"].tolist() == list(range(n_unique))  # dense, no dups
+    # seq order is log order
+    by_log = log.sort_values(["file", "pos", "row_idx"])
+    assert by_log["seq"].is_monotonic_increasing
+    # the sequencer's per-batch persist is released after each batch
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
