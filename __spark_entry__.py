@@ -1184,6 +1184,92 @@ def q_stream_sessionization_stateful(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Watermarked EVENT-TIME windowed aggregation over a live file
+    stream (streaming/windows.py — the brief's "watermarks + windowed
+    aggs for late data"), DuckDB-oracled end-to-end. The events table
+    replays as 4 forced-order micro-batches: three in event-time order,
+    then a LAST batch of deterministically displaced (= late) events,
+    none newer than max(ts)-2h so the displaced batch never advances
+    the watermark. Through window("1 hour") + withWatermark("30
+    minutes") in append mode, exactly the windows the final eviction
+    watermark passed are emitted; displaced events are filtered under
+    Spark's TWO-watermark protocol (SPARK-24634: a batch's late filter
+    uses the previous batch's watermark, eviction the current one), so
+    a displaced event survives iff its window end clears the
+    watermark in force during batch 2, and still-open windows stay in
+    state. The oracle derives the same displaced set, both watermark
+    cuts, and the finalized window aggregates in pure SQL. Corner-case
+    late-drop semantics are additionally pinned by
+    tests/test_streaming.py::test_watermarked_windowed_agg_drops_late_events."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_tracker_spark.streaming.windows import run_windowed_counts_files
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    import pandas as pd
+
+    mx = pdf["ts"].max()
+    displaced = (pdf["event_id"] % 13 == 0) & (
+        pdf["ts"] < mx - pd.Timedelta(hours=2)
+    )
+    nd = pdf[~displaced].sort_values(["ts", "event_id"]).reset_index(drop=True)
+    late = pdf[displaced].sort_values(["ts", "event_id"]).reset_index(drop=True)
+    pa_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="mts_stream_win_")
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    # file mtimes force micro-batch order (the file source lists by
+    # modification time): three event-time-ordered batches, late last
+    b = (np.arange(len(nd)) * 3) // max(len(nd), 1)
+    mt = 1000
+    for k, part in [(0, nd[b == 0]), (1, nd[b == 1]), (2, nd[b == 2]), (3, late)]:
+        p = os.path.join(in_dir, f"b{k:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(
+                part.reset_index(drop=True), schema=pa_schema, preserve_index=False
+            ),
+            p,
+        )
+        os.utime(p, (mt, mt))
+        mt += 1000
+    try:
+        got = run_windowed_counts_files(
+            spark,
+            in_dir,
+            ev.schema,
+            checkpoint_dir=os.path.join(work, "ck"),
+            out_dir=os.path.join(work, "out"),
+            window="1 hour",
+            delay="30 minutes",
+            group_col="event_type",
+        )
+        result = got.orderBy("win_start", "event_type")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_json_props_sum(spark, sf_dir):
     """Semi-structured coverage: JSON path extraction from the events'
     props payload (transcript pipelines carry tool-call metadata the
@@ -3587,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_moving_sum_per_user": q_cdc_moving_sum_per_user,
         "cdc_json_props_sum": q_cdc_json_props_sum,
         "stream_sessionization_stateful": q_stream_sessionization_stateful,
+        "stream_windowed_counts": q_stream_windowed_counts,
         "customers_without_orders": q_customers_without_orders,
         "join_order_customer_nation": q_join_order_customer_nation,
         "doc_token_count": q_doc_token_count,
@@ -4187,6 +4274,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.user_id AS user_id, start_us, end_us, n_events
             FROM g JOIN mx ON g.user_id = mx.user_id AND g.sid < mx.m
             ORDER BY g.user_id, start_us
+        """,
+        "stream_windowed_counts": """
+            -- replay of the watermark drain in SQL. Displaced (= late)
+            -- events are event_id % 13 == 0 with ts < max-2h; they ride
+            -- the LAST (4th) micro-batch, so they never advance the
+            -- watermark. Spark's stateful operators run a TWO-watermark
+            -- protocol (SPARK-24634): the late-events filter applied to
+            -- a batch's input uses the PREVIOUS micro-batch's watermark
+            -- while state eviction/emission uses the current one.
+            -- Therefore: a displaced event survives the filter iff its
+            -- window end > (max ts of the first TWO batches) - 30min
+            -- (the watermark in force during batch 3 = the filter
+            -- watermark of batch 4), and everything surviving in a
+            -- window at or below the final eviction watermark
+            -- (max non-displaced ts - 30min) is emitted. Non-displaced
+            -- batches are event-time-ordered, so none of them is late
+            -- under either watermark.
+            WITH e AS (
+                SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,
+                       CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+            gm AS (SELECT max(ts) AS mx FROM e),
+            marked AS (
+                SELECT e.*,
+                       (e.event_id % 13 = 0 AND e.ts < gm.mx - INTERVAL 2 HOUR)
+                           AS displaced
+                FROM e, gm),
+            nd AS (
+                SELECT *,
+                       ((row_number() OVER (ORDER BY ts, event_id) - 1) * 3)
+                           // (count(*) OVER ()) AS b
+                FROM marked WHERE NOT displaced),
+            wm_filter AS (  -- watermark in force while batch 2 ran =
+                            -- the late filter for the displaced batch
+                SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM nd WHERE b <= 1),
+            wm_evict AS (   -- final eviction watermark
+                SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM nd),
+            kept AS (
+                SELECT event_type, value, ts FROM nd
+                UNION ALL
+                SELECT event_type, value, ts FROM marked, wm_filter
+                WHERE displaced
+                  AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wm_filter.w)
+            SELECT date_trunc('hour', ts) AS win_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM kept, wm_evict
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm_evict.w
+            GROUP BY 1, 2, 3
+            ORDER BY win_start, event_type
         """,
         "customers_without_orders": """
             SELECT n_name, count(*) AS n_customers,
