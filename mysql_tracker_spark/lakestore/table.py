@@ -2483,6 +2483,134 @@ class LakeTable:
                 pass
         return removed
 
+    # ------------------------------------------------------------- branches
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.snap_dir, "branches")
+
+    def branch_names(self) -> list[str]:
+        d = self._branches_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+        )
+
+    def branch(self, name: str, from_version: int | None = None) -> "_BranchTable":
+        """Create a named BRANCH (Iceberg branch analogue): an
+        independent snapshot chain forked from a retained main version
+        (default: the current head), sharing the table's data files.
+        The returned handle is a full LakeTable write/read surface —
+        ``merge``/``merge_mor``/``compact``/``read``/``read_changes``/
+        time travel all operate on the branch chain; main is untouched
+        until :meth:`fast_forward` publishes the branch head. Data
+        files referenced by any live branch are protected from main's
+        snapshot expiry and orphan GC. Create-once: an existing name
+        raises."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"bad branch name: {name!r}")
+        fork = self.manifest(from_version)
+        bdir = os.path.join(self._branches_dir(), name)
+        try:
+            os.makedirs(bdir, exist_ok=False)
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        br = _BranchTable(self, name)
+        # seed: a verbatim copy of the fork manifest — the branch
+        # chain's first version IS the fork point (fork_version() =
+        # min version present), so no sidecar ref file is needed and
+        # every chain-walking surface (changelog, history, watermark
+        # fencing) works unmodified
+        br._commit(fork)
+        return br
+
+    def load_branch(self, name: str) -> "_BranchTable":
+        br = _BranchTable(self, name)
+        if br.current_version() is None:
+            raise FileNotFoundError(f"no branch {name!r} at {self.path}")
+        return br
+
+    def _branch_refs(self) -> set[str]:
+        """Data files referenced by any snapshot of any live branch —
+        protected from main-side expiry/GC until the branch is
+        fast-forwarded or dropped (the Iceberg refs-aware retention
+        contract). Includes each branch's pending WAP stages."""
+        out: set[str] = set()
+        for name in self.branch_names():
+            br = _BranchTable(self, name)
+            out |= br._committed_refs() | br._staged_refs()
+        return out
+
+    def fast_forward(
+        self, name: str, properties: dict[str, str] | None = None
+    ) -> int:
+        """Publish a branch head onto main (Iceberg
+        ``fast_forward('main', branch)``): main must still be at the
+        branch's fork point — a commit that landed on main after the
+        fork raises :class:`CommitConflictError` (replay the branch's
+        work against the new head instead; blind adoption would drop
+        that commit's rows). The branch's commits squash into ONE main
+        version (our main chain is linear); the head manifest carries
+        the branch's final schema, layout, file set, and properties —
+        including the replay watermark, so a CDC apply job fenced on
+        the branch resumes correctly on main. The branch ref is
+        consumed on success."""
+        br = self.load_branch(name)
+        fork = br.fork_version()
+        head = br.manifest()
+        cur = self.current_version()
+        if cur != fork:
+            raise CommitConflictError(
+                f"branch {name!r} forked at v{fork} but main is at "
+                f"v{cur}: a commit landed on main after the fork; "
+                "replay the branch work against the new head"
+            )
+        if head["version"] == fork:
+            # empty branch: nothing to publish, just drop the ref
+            shutil.rmtree(os.path.join(self._branches_dir(), name))
+            return cur
+        new = dict(head)
+        new["version"] = cur + 1
+        new["parent"] = cur
+        new["properties"] = {**head["properties"], **(properties or {})}
+        new["summary"] = {
+            "operation": "fast-forward",
+            "branch": name,
+            "branch_head": head["version"],
+            "branch_commits": head["version"] - fork,
+            "ts_ms": int(time.time() * 1000),
+        }
+        try:
+            self._commit(new)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"concurrent main commit raced the fast-forward of "
+                f"branch {name!r}; replay against the new head"
+            ) from e
+        shutil.rmtree(os.path.join(self._branches_dir(), name))
+        return new["version"]
+
+    def drop_branch(self, name: str) -> int:
+        """Discard a branch: remove its snapshot chain and delete the
+        data files it alone references (files shared with main, other
+        branches, or pending stages are untouched). Returns files
+        removed."""
+        br = self.load_branch(name)
+        refs = br._committed_refs() | br._staged_refs()
+        shutil.rmtree(os.path.join(self._branches_dir(), name))
+        keep = (
+            self._committed_refs() | self._staged_refs() | self._branch_refs()
+        )
+        removed = 0
+        for rel in refs - keep:
+            try:
+                os.remove(os.path.join(self.path, rel))
+                removed += 1
+            except FileNotFoundError:
+                pass
+        return removed
+
     # ------------------------------------------------------------- utilities
 
     def history(self, spark: SparkSession) -> DataFrame:
@@ -2768,9 +2896,13 @@ class LakeTable:
                 dropped_refs.update(fe["path"] for fe in files)
         for v in to_drop:
             os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
-        # pending WAP stages protect their refs too: a staged COW
-        # manifest carries its parent's untouched buckets forward
-        live: set[str] = self._committed_refs() | self._staged_refs()
+        # pending WAP stages protect their refs too (a staged COW
+        # manifest carries its parent's untouched buckets forward),
+        # and so do live branches — a branch forked at an expired
+        # version still references the fork's files
+        live: set[str] = (
+            self._committed_refs() | self._staged_refs() | self._branch_refs()
+        )
         for rel in dropped_refs - live:
             try:
                 os.remove(os.path.join(self.path, rel))
@@ -2783,9 +2915,11 @@ class LakeTable:
         debris cleanup. ``min_age_s`` guards the race with a concurrent
         writer whose staged files exist but whose commit has not landed
         yet (an in-flight write is always younger than the guard; real
-        debris is not). Files referenced by pending WAP stages are
-        never orphans."""
-        live: set[str] = self._committed_refs() | self._staged_refs()
+        debris is not). Files referenced by pending WAP stages or by
+        any live branch are never orphans."""
+        live: set[str] = (
+            self._committed_refs() | self._staged_refs() | self._branch_refs()
+        )
         removed = 0
         now = time.time()
         for root, _dirs, files in os.walk(self.data_dir):
@@ -2803,10 +2937,15 @@ class LakeTable:
         # or the unlink after a successful/lost link never ran) — same
         # age guard covers an in-flight writer. Snapshots, WAP stages
         # and tags all write through _write_file_atomic.
+        branch_dirs = [
+            os.path.join(self._branches_dir(), n) for n in self.branch_names()
+        ]
         for d in (
             self.snap_dir,
             os.path.join(self.snap_dir, "staged"),
             os.path.join(self.path, "tags"),
+            *branch_dirs,
+            *[os.path.join(b, "staged") for b in branch_dirs],
         ):
             if not os.path.isdir(d):
                 continue
@@ -2818,3 +2957,61 @@ class LakeTable:
                     os.remove(full)
                     removed += 1
         return removed
+
+
+class _BranchTable(LakeTable):
+    """A branch view of a :class:`LakeTable`: the full write/read
+    surface over an independent snapshot chain rooted at
+    ``snapshots/branches/<name>/``, sharing the parent table's data
+    directory (branch commits write new files there; unchanged buckets
+    are carried by reference exactly like main commits). Obtained via
+    :meth:`LakeTable.branch` / :meth:`LakeTable.load_branch`.
+
+    Table-level maintenance and refs (snapshot expiry, orphan GC,
+    tags, drop) are MAIN-chain concerns — running them against a
+    branch view would treat every main-only file as garbage — so they
+    raise here; use the parent handle, whose keep-set includes all
+    live branches."""
+
+    def __init__(self, root: LakeTable, name: str):
+        super().__init__(root.path)
+        self.branch_name = name
+        self.snap_dir = os.path.join(root.path, "snapshots", "branches", name)
+
+    def fork_version(self) -> int:
+        """The main version this branch forked from — the seed copy is
+        the chain's minimum version by construction."""
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(self.snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return min(versions)
+
+    def _main_only(self, op: str):
+        raise RuntimeError(
+            f"{op} is a main-table operation; run it on the parent "
+            f"LakeTable handle (branch {self.branch_name!r} shares its "
+            "data directory, and main's keep-set protects live branches)"
+        )
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        self._main_only("expire_snapshots")
+
+    def gc_orphans(self, min_age_s: float = 600.0) -> int:
+        self._main_only("gc_orphans")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        self._main_only("tag")
+
+    def delete_tag(self, name: str) -> None:
+        self._main_only("delete_tag")
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        self._main_only("read_tag")
+
+    def drop(self):
+        self._main_only("drop (use drop_branch)")
+
+    def branch(self, name: str, from_version: int | None = None):
+        self._main_only("branch-of-branch")

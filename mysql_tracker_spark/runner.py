@@ -199,8 +199,17 @@ class CdcApplyJob:
         bloom_cols: list[str] | None = None,
         auto_split_rows_per_bucket: int | None = None,
         auto_split_migrate_per_batch: int = 16,
+        branch: str | None = None,
     ):
-        """``n_salts > 0`` switches LWW dedup to the explicit two-phase
+        """``branch="name"`` applies onto a BRANCH of the target table
+        (created at the current main head if absent): batches commit to
+        the branch's snapshot chain, fenced by the branch's own
+        watermark, while main stays untouched — audit the branch state,
+        then ``table.fast_forward(name)`` publishes it (with the
+        branch's final watermark) or ``drop_branch`` discards it. The
+        table must already exist (a branch of nothing is meaningless).
+
+        ``n_salts > 0`` switches LWW dedup to the explicit two-phase
         salted aggregation (local max per (key, salt) -> global max per
         key) for workloads where a single hot conversation floods
         individual input partitions faster than map-side partial
@@ -223,6 +232,7 @@ class CdcApplyJob:
         # config-supplied position — HandlerMagpieKafka.java:363-406)
         self.start_file = start_file
         self.start_pos = start_pos
+        self.branch = branch
         self.reset_policy = reset_policy
         self.on_destructive_ddl = on_destructive_ddl
         # snapshot retention: a long-running job commits >=1 snapshot
@@ -386,6 +396,12 @@ class CdcApplyJob:
                 if d.startswith("_delta_"):
                     shutil.rmtree(os.path.join(self.table_path, d), ignore_errors=True)
         else:
+            if self.branch is not None:
+                raise FileNotFoundError(
+                    f"branch={self.branch!r} requested but no table exists "
+                    f"at {self.table_path} — a branch forks an existing "
+                    "main head"
+                )
             self.table = LakeTable.create(
                 self.table_path,
                 self.base_schema,
@@ -394,6 +410,12 @@ class CdcApplyJob:
                 n_buckets=self.n_buckets,
                 bloom_cols=self.bloom_cols,
             )
+        if self.branch is not None:
+            root = self.table
+            try:
+                self.table = root.load_branch(self.branch)
+            except FileNotFoundError:
+                self.table = root.branch(self.branch)
         return self.table
 
     def watermark(self) -> tuple[str | None, int | None, int]:
