@@ -2794,6 +2794,64 @@ def q_cdc_split_buckets_migration(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_lake_branch_publish(spark, sf_dir):
+    """BRANCH + fast-forward (lakestore/table.py::branch /
+    fast_forward — the Iceberg branch/fast_forward analogue): batch 1
+    of the flagship stream lands on main; batches 2-3 are applied onto
+    a branch (CdcApplyJob(branch=...), fenced by the branch's own
+    watermark chain) while main's head and watermark stay untouched
+    (asserted); fast_forward publishes the branch head as one squashed
+    main commit carrying the branch's final replay watermark, and a
+    rerun of the MAIN-bound job is a full no-op (the fence survives
+    the publish). The published table must equal the same LWW oracle
+    as the uninterrupted flagship replay — branching and publishing
+    must never change the converged state."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.lakestore import LakeTable
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import write_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_branch_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_batches(ev, in_dir, n_batches=3)
+    try:
+        CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8).run(max_batches=1)
+        t = LakeTable.load(tbl_dir)
+        v_main = t.current_version()
+        wm_main = t.properties()["offset_pos"]
+
+        bstats = CdcApplyJob(
+            spark, in_dir, tbl_dir, n_buckets=8, branch="staging"
+        ).run()
+        assert bstats[0].skipped, "branch fence must start at the fork"
+        assert t.current_version() == v_main, "main must not move"
+        assert t.properties()["offset_pos"] == wm_main
+
+        t.fast_forward("staging")
+        assert t.manifest()["summary"]["operation"] == "fast-forward"
+        again = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8).run()
+        assert all(s.skipped for s in again), (
+            "published watermark must fence the main job"
+        )
+        result = t.read(spark).select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+            "score",
+        ).orderBy("conv_id", "turn_idx")
+        rows = result.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 REDACT_ORACLE_DUMP = "/tmp/mts_flagship_oracle/redact_flat.parquet"
 
 
@@ -3733,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_zorder_box_read_pruned": q_cdc_zorder_box_read_pruned,
         "cdc_rename_drop_evolution": q_cdc_rename_drop_evolution,
         "lake_wap_audit_publish": q_lake_wap_audit_publish,
+        "lake_branch_publish": q_lake_branch_publish,
         "cdc_eventlog_append": q_cdc_eventlog_append,
         "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
     }
@@ -4909,6 +4968,28 @@ def oracle_sql() -> dict[str, str]:
         # Online split migration must be content-neutral: identical
         # oracle to the uninterrupted flagship replay.
         "cdc_split_buckets_migration": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """,
+        # branch + fast-forward oracle: branching must not change the
+        # converged state — same LWW recomputation as the flagship.
+        "lake_branch_publish": f"""
             WITH e AS (
                 SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
                 WHERE op IN ('INSERT','UPDATE','DELETE')

@@ -98,6 +98,24 @@ def main() -> None:
         "delta files (read amplification bound; default 8)",
     )
     ap.add_argument(
+        "--branch", default=None, metavar="NAME",
+        help="apply onto a BRANCH of the target table (created at the "
+        "current main head if absent): batches commit to the branch's "
+        "own snapshot/watermark chain while main stays untouched; "
+        "publish later with --fast-forward NAME or discard with "
+        "--drop-branch NAME (batch mode only)",
+    )
+    ap.add_argument(
+        "--fast-forward", default=None, metavar="NAME",
+        help="before applying, publish branch NAME's head onto main as "
+        "one squashed commit (fails if main moved past the fork)",
+    )
+    ap.add_argument(
+        "--drop-branch", default=None, metavar="NAME",
+        help="before applying, discard branch NAME and reap the files "
+        "only it references",
+    )
+    ap.add_argument(
         "--quarantine-dir", default=None, metavar="DIR",
         help="dead-letter audit (wire format): persist corrupt frames "
         "(reason + verbatim payload) under DIR instead of only "
@@ -228,6 +246,24 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    if args.fast_forward is not None:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        v = LakeTable.load(args.table).fast_forward(args.fast_forward)
+        print(
+            json.dumps({"fast_forward": args.fast_forward, "new_version": v}),
+            file=sys.stderr,
+        )
+
+    if args.drop_branch is not None:
+        from mysql_tracker_spark.lakestore import LakeTable
+
+        n = LakeTable.load(args.table).drop_branch(args.drop_branch)
+        print(
+            json.dumps({"drop_branch": args.drop_branch, "files_removed": n}),
+            file=sys.stderr,
+        )
+
     if args.fsck:
         from mysql_tracker_spark.lakestore import LakeTable
 
@@ -318,6 +354,9 @@ def main() -> None:
         )
 
     if args.streaming:
+        if args.branch is not None:
+            print("--branch is batch-mode only", file=sys.stderr)
+            sys.exit(2)
         from mysql_tracker_spark.streaming import CdcStreamJob
 
         job = CdcStreamJob(
@@ -382,6 +421,8 @@ def main() -> None:
                 cfg.auto_split_rows_per_bucket = args.auto_split_rows_per_bucket
             job2 = CdcApplyJob.from_config(spark, cfg)
             job2.expectations = expectations or job2.expectations
+            if args.branch is not None:
+                job2.branch = args.branch
         else:
             job2 = CdcApplyJob(
                 spark,
@@ -406,6 +447,7 @@ def main() -> None:
                 if args.bloom_cols
                 else None,
                 auto_split_rows_per_bucket=args.auto_split_rows_per_bucket,
+                branch=args.branch,
             )
         if args.expire_keep_last is not None:
             job2.expire_keep_last = args.expire_keep_last

@@ -276,3 +276,79 @@ def test_spark_submit_bootstrap_snapshot_catchup(spark, tmp_path):
     )
     exp = expected_final_state(ev).sort_values(["conv_id", "turn_idx"])
     assert got["text"].tolist() == exp["text"].tolist()
+
+
+def test_spark_submit_branch_apply_and_fast_forward(tmp_path):
+    """--branch / --fast-forward through real spark-submit: batch 1
+    lands on main, the rest applies onto a branch (main's head
+    untouched), then a maintenance invocation publishes the branch and
+    the live files equal the sequential oracle."""
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        expected_final_state,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=80, seed=23))
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+    tbl = str(tmp_path / "tbl")
+    z = _zip_pkg(tmp_path)
+
+    res = _spark_submit(
+        ["--py-files", z, os.path.join(REPO, "scripts", "submit_apply.py"),
+         "--input", in_dir, "--table", tbl, "--buckets", "8",
+         "--max-batches", "1"],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    snaps = os.path.join(tbl, "snapshots")
+    head_before = sorted(
+        f for f in os.listdir(snaps) if f.startswith("v")
+    )[-1]
+
+    res2 = _spark_submit(
+        ["--py-files", z, os.path.join(REPO, "scripts", "submit_apply.py"),
+         "--input", in_dir, "--table", tbl, "--buckets", "8",
+         "--branch", "staging"],
+        cwd=str(tmp_path),
+    )
+    assert res2.returncode == 0, res2.stderr[-4000:]
+    # main head untouched; branch chain exists
+    assert sorted(
+        f for f in os.listdir(snaps) if f.startswith("v")
+    )[-1] == head_before
+    assert os.path.isdir(os.path.join(snaps, "branches", "staging"))
+
+    res3 = _spark_submit(
+        ["--py-files", z, os.path.join(REPO, "scripts", "submit_apply.py"),
+         "--input", in_dir, "--table", tbl,
+         "--fast-forward", "staging", "--max-batches", "0"],
+        cwd=str(tmp_path),
+    )
+    assert res3.returncode == 0, res3.stderr[-4000:]
+    with open(os.path.join(snaps, sorted(
+        f for f in os.listdir(snaps) if f.startswith("v")
+    )[-1])) as f:
+        m = json.load(f)
+    assert m["summary"]["operation"] == "fast-forward"
+    assert not os.path.isdir(os.path.join(snaps, "branches", "staging"))
+
+    import duckdb
+
+    sys.path.insert(0, REPO)
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    t = LakeTable.load(tbl)
+    files = [os.path.join(tbl, p) for p in t.live_files()]
+    flist = ", ".join(f"'{f}'" for f in files)
+    got = (
+        duckdb.connect()
+        .execute(
+            f"SELECT text FROM read_parquet([{flist}], union_by_name=true) ORDER BY conv_id, turn_idx"
+        )
+        .df()
+    )
+    exp = expected_final_state(ev).sort_values(["conv_id", "turn_idx"])
+    assert got["text"].tolist() == exp["text"].tolist()
