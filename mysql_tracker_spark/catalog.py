@@ -93,6 +93,17 @@ def register_table(
             seen[safe] = tag
             t.read_tag(spark, tag).createOrReplaceTempView(f"{name}__at_{safe}")
             created.append(f"{name}__at_{safe}")
+
+    # live branches: one pinned view per branch head (branch names
+    # share the tag charset, so the same sanitize rule applies; the
+    # branch chain can advance after registration — re-register to
+    # see newer branch commits, same pinning contract as the base view)
+    for bname in t.branch_names():
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", bname)
+        t.load_branch(bname).read(spark).createOrReplaceTempView(
+            f"{name}__branch_{safe}"
+        )
+        created.append(f"{name}__branch_{safe}")
     return created
 
 

@@ -411,6 +411,14 @@ class CdcApplyJob:
                 bloom_cols=self.bloom_cols,
             )
         if self.branch is not None:
+            if self.expire_keep_last is not None:
+                # snapshot retention is a MAIN-chain maintenance concern
+                # (_BranchTable.expire_snapshots raises); failing here
+                # beats crashing mid-batch after work was committed
+                raise ValueError(
+                    "expire_keep_last cannot be combined with branch= — "
+                    "run retention on the main table after fast_forward"
+                )
             root = self.table
             try:
                 self.table = root.load_branch(self.branch)

@@ -149,3 +149,44 @@ def test_register_eventlog_sql(spark, tmp_path):
     ).collect()
     assert sum(r.rows for r in segs) == n
     assert segs[0].seq_min == 0 and segs[-1].seq_max == n - 1
+
+
+def test_register_table_exposes_branch_views(spark, tmp_path):
+    """Live branches surface as pinned `name__branch_<x>` SQL views —
+    main's view is unaffected by branch commits, the branch view shows
+    the branch head, and fast-forwarding then re-registering retires
+    the branch view."""
+    from pyspark.sql import functions as F
+
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    rows = [("c1", 0, "a"), ("c2", 0, "b")]
+    base = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    t = LakeTable.create(
+        str(tmp_path / "t"), base.schema, key_cols=["conv_id", "turn_idx"],
+        bucket_by="conv_id", n_buckets=4,
+    )
+    t.merge(spark, base.withColumn("__delete", F.lit(False)))
+    br = t.branch("wip.1")
+    br.merge(
+        spark,
+        spark.createDataFrame(
+            [("c1", 0, "branched")], base.schema
+        ).withColumn("__delete", F.lit(False)),
+    )
+
+    created = register_table(spark, t, "bt")
+    assert "bt__branch_wip_1" in created
+    assert spark.sql(
+        "SELECT text FROM bt WHERE conv_id='c1'"
+    ).first().text == "a"
+    assert spark.sql(
+        "SELECT text FROM bt__branch_wip_1 WHERE conv_id='c1'"
+    ).first().text == "branched"
+
+    t.fast_forward("wip.1")
+    created2 = register_table(spark, t, "bt")
+    assert not any(c.startswith("bt__branch_") for c in created2)
+    assert spark.sql(
+        "SELECT text FROM bt WHERE conv_id='c1'"
+    ).first().text == "branched"

@@ -291,6 +291,7 @@ def test_eventlog_seq_dense_at_boundary_sampling_scale(spark, tmp_path):
     d = str(tmp_path / "in")
     write_batches(ev, d, n_batches=3)
     job = EventLogJob(spark, d, str(tmp_path / "log"))
+    cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     job.run()
     log = job.read().toPandas().sort_values("seq").reset_index(drop=True)
     n_unique = len(ev.drop_duplicates(["file", "pos", "row_idx"]))
@@ -300,4 +301,7 @@ def test_eventlog_seq_dense_at_boundary_sampling_scale(spark, tmp_path):
     by_log = log.sort_values(["file", "pos", "row_idx"])
     assert by_log["seq"].is_monotonic_increasing
     # the sequencer's per-batch persist is released after each batch
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # (delta-based: other suite members may hold their own caches)
+    assert (
+        len(spark.sparkContext._jsc.getPersistentRDDs()) == cached_before
+    )
