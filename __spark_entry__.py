@@ -75,7 +75,15 @@ def q_cdc_seq_numbering(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     seq = global_sequence(ev, ["ts", "event_id"], out_col="in_id")
-    return seq.select("event_id", F.col("in_id").cast("bigint").alias("in_id"))
+    result = seq.select(
+        "event_id", F.col("in_id").cast("bigint").alias("in_id")
+    )
+    # materialize, then release the sequencer's cache: returning the
+    # lazy frame would pin a full copy of the events table in executor
+    # memory for the ~100 queries that run after this one
+    rows = result.collect()
+    seq._mts_seq_cache.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 def q_cdc_txn_boundary_positions(spark, sf_dir):

@@ -95,15 +95,39 @@ def register_table(
             created.append(f"{name}__at_{safe}")
 
     # live branches: one pinned view per branch head (branch names
-    # share the tag charset, so the same sanitize rule applies; the
+    # share the tag charset, so the same sanitize + collision rule
+    # applies — distinct branches that sanitize identically get the
+    # branch head version appended instead of silently shadowing; the
     # branch chain can advance after registration — re-register to
     # see newer branch commits, same pinning contract as the base view)
+    bseen: set[str] = set()
     for bname in t.branch_names():
+        br = t.load_branch(bname)
         safe = re.sub(r"[^A-Za-z0-9_]", "_", bname)
-        t.load_branch(bname).read(spark).createOrReplaceTempView(
-            f"{name}__branch_{safe}"
-        )
+        if safe in bseen:
+            safe = f"{safe}_v{br.current_version()}"
+        bseen.add(safe)
+        br.read(spark).createOrReplaceTempView(f"{name}__branch_{safe}")
         created.append(f"{name}__branch_{safe}")
+
+    # retire STALE derived views from an earlier registration of this
+    # name (a fast-forwarded branch's view, a deleted tag's __at_
+    # view): leaving them bound would serve pre-publish data silently
+    # only sweep view classes this call actually (re)registered —
+    # include_tags=False must not retire live tag views
+    stale_prefixes = (
+        (f"{name}__branch_", f"{name}__at_")
+        if include_tags
+        else (f"{name}__branch_",)
+    )
+    mine = set(created)
+    for tbl in spark.catalog.listTables():
+        if (
+            tbl.isTemporary
+            and tbl.name not in mine
+            and tbl.name.startswith(stale_prefixes)
+        ):
+            spark.catalog.dropTempView(tbl.name)
     return created
 
 

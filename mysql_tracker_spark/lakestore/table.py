@@ -2492,9 +2492,17 @@ class LakeTable:
         d = self._branches_dir()
         if not os.path.isdir(d):
             return []
+        # a dir with no committed seed is crash debris from a killed
+        # branch() (created-dir-then-seed window) — not a live branch:
+        # listing it would wedge register_table/drop_branch behind
+        # FileNotFoundError, and branch() re-adopts the name
         return sorted(
             n for n in os.listdir(d)
             if os.path.isdir(os.path.join(d, n))
+            and any(
+                f.startswith("v") and f.endswith(".json")
+                for f in os.listdir(os.path.join(d, n))
+            )
         )
 
     def branch(self, name: str, from_version: int | None = None) -> "_BranchTable":
@@ -2515,14 +2523,25 @@ class LakeTable:
         try:
             os.makedirs(bdir, exist_ok=False)
         except FileExistsError:
-            raise ValueError(f"branch {name!r} already exists") from None
+            # an existing dir WITH a committed seed is a live branch;
+            # one without is debris from a crashed create — adopt it
+            # (the seed commit below is the create-once race arbiter:
+            # two adopters collide on the O_EXCL seed file)
+            if any(
+                f.startswith("v") and f.endswith(".json")
+                for f in os.listdir(bdir)
+            ):
+                raise ValueError(f"branch {name!r} already exists") from None
         br = _BranchTable(self, name)
         # seed: a verbatim copy of the fork manifest — the branch
         # chain's first version IS the fork point (fork_version() =
         # min version present), so no sidecar ref file is needed and
         # every chain-walking surface (changelog, history, watermark
         # fencing) works unmodified
-        br._commit(fork)
+        try:
+            br._commit(fork)
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
         return br
 
     def load_branch(self, name: str) -> "_BranchTable":
@@ -2543,7 +2562,10 @@ class LakeTable:
         return out
 
     def fast_forward(
-        self, name: str, properties: dict[str, str] | None = None
+        self,
+        name: str,
+        properties: dict[str, str] | None = None,
+        spark: SparkSession | None = None,
     ) -> int:
         """Publish a branch head onto main (Iceberg
         ``fast_forward('main', branch)``): main must still be at the
@@ -2555,8 +2577,25 @@ class LakeTable:
         the branch's final schema, layout, file set, and properties —
         including the replay watermark, so a CDC apply job fenced on
         the branch resumes correctly on main. The branch ref is
-        consumed on success."""
+        consumed on success.
+
+        A branch head holding merge-on-read DELTA entries is compacted
+        first (``spark`` required then): delta seqs are BRANCH commit
+        numbers, which can exceed the single squashed main version —
+        published raw, a later main MOR commit would stamp an equal-or-
+        lower seq and the ``max_by(seq)`` read would silently prefer
+        the stale branch delta over the newer main write. Compaction
+        folds the deltas into base files (seq-free), making the squash
+        sound. Pending WAP stages on the branch must be published or
+        aborted first — fast-forward refuses rather than silently
+        destroying a staged audit snapshot."""
         br = self.load_branch(name)
+        if br.staged():
+            raise ValueError(
+                f"branch {name!r} has pending WAP stages "
+                f"{br.staged()}: publish or abort them on the branch "
+                "before fast-forwarding"
+            )
         fork = br.fork_version()
         head = br.manifest()
         cur = self.current_version()
@@ -2570,6 +2609,16 @@ class LakeTable:
             # empty branch: nothing to publish, just drop the ref
             shutil.rmtree(os.path.join(self._branches_dir(), name))
             return cur
+        if _has_delta([fe for fs in head["buckets"].values() for fe in fs]):
+            if spark is None:
+                raise ValueError(
+                    f"branch {name!r} holds merge-on-read delta files; "
+                    "pass spark= so fast_forward can compact them (or "
+                    "run branch.compact(spark) first) — publishing raw "
+                    "branch delta seqs would corrupt main's LWW order"
+                )
+            br.compact(spark)
+            head = br.manifest()
         new = dict(head)
         new["version"] = cur + 1
         new["parent"] = cur

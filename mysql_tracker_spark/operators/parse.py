@@ -197,10 +197,13 @@ def with_sequence(df: DataFrame, batch_id: int) -> DataFrame:
     ``batchId/inId`` counters (``HandlerMagpieKafka.java:840-864``).
     The log order already *is* a total order, so in_id is derived, not
     stateful — a two-phase global sequence over it (no single-task
-    sort; see :func:`global_sequence`)."""
-    return global_sequence(df, LOG_ORDER, out_col="in_id").withColumn(
-        "batch_id", F.lit(batch_id)
-    )
+    sort; see :func:`global_sequence`). The sequencer's per-batch
+    cache handle is re-exposed on the returned frame so callers can
+    release it after consuming."""
+    gs = global_sequence(df, LOG_ORDER, out_col="in_id")
+    out = gs.withColumn("batch_id", F.lit(batch_id))
+    out._mts_seq_cache = gs._mts_seq_cache
+    return out
 
 
 def txn_end_position(batch: DataFrame) -> tuple[str, int] | None:

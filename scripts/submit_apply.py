@@ -249,7 +249,9 @@ def main() -> None:
     if args.fast_forward is not None:
         from mysql_tracker_spark.lakestore import LakeTable
 
-        v = LakeTable.load(args.table).fast_forward(args.fast_forward)
+        v = LakeTable.load(args.table).fast_forward(
+            args.fast_forward, spark=spark
+        )
         print(
             json.dumps({"fast_forward": args.fast_forward, "new_version": v}),
             file=sys.stderr,

@@ -201,3 +201,52 @@ def test_cdc_apply_onto_branch_then_publish(spark, tmp_path):
     # main job resumes past the branch's published watermark: full no-op
     again = CdcApplyJob(spark, in_dir, tbl, n_buckets=8).run()
     assert all(s.skipped for s in again)
+
+
+def test_fast_forward_mor_branch_compacts_first(spark, tmp_path):
+    """A branch head holding MOR delta entries (branch-chain seqs) must
+    not be published raw: the squashed main version is lower than the
+    branch delta seqs, so a later main MOR commit would stamp an
+    equal-or-lower seq and max_by(seq) reads would prefer the stale
+    branch delta. fast_forward compacts first (spark required), and a
+    post-publish main MOR write wins LWW."""
+    t = _mk_table(spark, str(tmp_path / "t"), [("c1", 0, "a")])
+    br = t.branch("m")
+    br.merge_mor(spark, _ch(spark, [("c1", 0, "d1")]))
+    br.merge_mor(spark, _ch(spark, [("c1", 0, "d2")]))
+    with pytest.raises(ValueError, match="delta"):
+        t.fast_forward("m")  # no spark -> refuse, branch intact
+    assert "m" in t.branch_names()
+    v = t.fast_forward("m", spark=spark)
+    assert t.current_version() == v
+    assert _state(spark, t) == {("c1", 0): "d2"}
+    rep = t.validate(spark, deep=True)
+    assert rep["ok"], rep["issues"]  # no delta seq above the version
+    # the decisive check: a NEWER main MOR write must beat the
+    # published branch state under LWW-by-seq
+    t.merge_mor(spark, _ch(spark, [("c1", 0, "after-publish")]))
+    assert _state(spark, t) == {("c1", 0): "after-publish"}
+
+
+def test_fast_forward_refuses_pending_branch_stage(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"), [("c1", 0, "a")])
+    br = t.branch("w")
+    br.merge(spark, _ch(spark, [("c1", 0, "staged")]), stage_as="audit-1")
+    with pytest.raises(ValueError, match="WAP"):
+        t.fast_forward("w")
+    # resolve the stage, then publish cleanly
+    br.publish_staged("audit-1")
+    t.fast_forward("w")
+    assert _state(spark, t) == {("c1", 0): "staged"}
+
+
+def test_branch_create_adopts_crash_debris_dir(spark, tmp_path):
+    """A killed branch() can leave a seedless branch dir; it must not
+    wedge the name nor break listings."""
+    t = _mk_table(spark, str(tmp_path / "t"), [("c1", 0, "a")])
+    os.makedirs(os.path.join(t.path, "snapshots", "branches", "ghost"))
+    assert t.branch_names() == []  # seedless dir is not a live branch
+    br = t.branch("ghost")  # adopted, not "already exists"
+    assert t.branch_names() == ["ghost"]
+    br.merge(spark, _ch(spark, [("c1", 0, "g")]))
+    assert _state(spark, br) == {("c1", 0): "g"}

@@ -184,9 +184,24 @@ def test_register_table_exposes_branch_views(spark, tmp_path):
         "SELECT text FROM bt__branch_wip_1 WHERE conv_id='c1'"
     ).first().text == "branched"
 
+    # a second branch that sanitizes to the same view name must not
+    # shadow the first (same collision rule as tag views)
+    t.branch("wip-1")
+    created_dup = register_table(spark, t, "bt")
+    dup_views = [c for c in created_dup if c.startswith("bt__branch_")]
+    assert len(dup_views) == 2 and len(set(dup_views)) == 2
+
     t.fast_forward("wip.1")
+    t.drop_branch("wip-1")
     created2 = register_table(spark, t, "bt")
     assert not any(c.startswith("bt__branch_") for c in created2)
     assert spark.sql(
         "SELECT text FROM bt WHERE conv_id='c1'"
     ).first().text == "branched"
+    # stale branch views are RETIRED, not left serving pre-publish data
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    for v in dup_views:
+        with pytest.raises(AnalysisException):
+            spark.sql(f"SELECT * FROM {v}")
