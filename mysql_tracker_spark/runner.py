@@ -402,7 +402,7 @@ class CdcApplyJob:
             import shutil
 
             for d in os.listdir(self.table_path):
-                if d.startswith("_delta_"):
+                if d.startswith(("_delta_", "_winners_")):
                     shutil.rmtree(os.path.join(self.table_path, d), ignore_errors=True)
         else:
             if self.branch is not None:
@@ -872,17 +872,48 @@ class CdcApplyJob:
                 pool.shutdown(wait=True, cancel_futures=True)
 
     def _submit_prefetch(self, pool, batch_id: int, paths: list[str]) -> None:
-        """Schedule the NEXT batch's manifest pass on the helper thread
-        (Spark sessions are thread-safe; the job runs concurrently with
-        the current batch's delta+merge). Captures the watermark in
-        force at submit time — the consumer revalidates it after the
-        intervening commit advances the fence."""
+        """Schedule the NEXT batch's manifest pass — and, when the
+        batch is eligible (no candidate DDL, no quarantine sink, no
+        fence overlap at submit), its full decode->LWW->staged-delta
+        phase — on the helper thread, concurrently with the current
+        batch's delta+merge (Spark sessions are thread-safe).
+        Captures the watermark in force at submit time; the consumer
+        revalidates fence and table layout after the intervening
+        commit advances them."""
+        wm_file, wm_pos, _ = self.watermark()
+        fut = pool.submit(self._prefetch_work, batch_id, paths, wm_file, wm_pos)
+        self._prefetch[batch_id] = (fut, (wm_file, wm_pos))
+
+    def _prefetch_work(self, batch_id: int, paths: list[str], wm_file, wm_pos):
+        """Helper-thread body: manifest pass, then (when safe) the
+        speculative staged delta. Any failure in the speculative part
+        degrades to the synchronous path at consume time."""
+        import shutil
+
         from .schema import RAW_FRAME_SCHEMA
 
-        wm_file, wm_pos, _ = self.watermark()
         raw = self.spark.read.schema(RAW_FRAME_SCHEMA).parquet(*paths)
-        fut = pool.submit(self._wire_manifest, raw, wm_file, wm_pos)
-        self._prefetch[batch_id] = (fut, (wm_file, wm_pos))
+        m = self._wire_manifest(raw, wm_file, wm_pos)
+        delta = None
+        eligible = (
+            int(m["n"] or 0) > 0
+            and self.quarantine_dir is None
+            and (
+                wm_file is None
+                or m["lo"] is None
+                or (wm_file, wm_pos) < (m["lo"]["file"], m["lo"]["pos"])
+            )
+        )
+        if eligible:
+            scratch = ApplyStats(batch_id=batch_id)
+            try:
+                self._wire_winners(
+                    batch_id, raw, m, wm_file, wm_pos, None, scratch
+                )
+                delta = {"stats": scratch}
+            except Exception:
+                shutil.rmtree(self._winners_dir(batch_id), ignore_errors=True)
+        return m, delta
 
     # ----------------------------------------------------------- micro-batch
 
@@ -917,10 +948,238 @@ class CdcApplyJob:
         pf = self._prefetch.pop(batch_id, None)
         if pf is not None:
             try:
-                pre = (pf[0].result(), pf[1])
+                m_row, delta = pf[0].result()
+                pre = (m_row, pf[1], delta)
             except Exception:
                 pre = None  # prefetch failure -> synchronous pass
         return self._apply_wire_df(batch_id, raw, prefetched=pre)
+
+    def _winners_dir(self, batch_id: int) -> str:
+        return os.path.join(self.table_path, f"_winners_{batch_id}")
+
+    def _wire_winners(
+        self,
+        batch_id: int,
+        raw: DataFrame,
+        m,
+        wm_file,
+        wm_pos,
+        trunc_fp,
+        stats: ApplyStats,
+    ) -> None:
+        """Phase 2a of the wire apply: ONE Arrow decode pass over the
+        fenced row-event frames -> narrow LWW dedup, materialized as
+        the WINNERS set (key cols + op + packed after_kv) under
+        ``_winners_<batch_id>``. Deliberately SCHEMA-FREE: the packed
+        kv strings never touch the table schema, so the run loop's
+        prefetch thread can execute this — the expensive decode+shuffle
+        — for batch k+1 while batch k merges, even when batch k (or
+        k+1) carries additive/rename DDL; only a TRUNCATE (which
+        discards a prefix of the batch pre-LWW) invalidates it. The
+        typed projection happens at consume time, after the batch's
+        DDL evolved the schema (_wire_project)."""
+        import shutil
+
+        from .sources.wire import ENTRY_SEP, decode_frames_kv, kv_to_map
+
+        raw_f = after_watermark(raw, wm_file, wm_pos)
+        if trunc_fp is not None:
+            # discard DML at or before the truncate (it was wiped)
+            raw_f = after_watermark(raw_f, *trunc_fp)
+        if self.quarantine_dir is not None:
+            stats.frames_quarantined = self._quarantine(raw_f, batch_id)
+        # F4 pre-decode gate, faithful to the reference's decoder
+        # BitSet (LogDecoder.java:108-134): only row-event frames
+        # (WRITE/UPDATE/DELETE_ROWS, header type byte 30/31/32) reach
+        # the Python decode — BEGIN/COMMIT/DDL frames (~1/3 of the
+        # stream) were fully consumed by the JVM manifest pass above
+        raw_dml = raw_f.filter(
+            F.expr("substring(payload, 5, 1) IN (X'1E', X'1F', X'20')")
+        )
+        dec = decode_frames_kv(raw_dml)
+        dml = dml_for_table(self._stream_filters(dec), self.schema_name, self.table_name)
+        # keys from the tiny key_kv map (isKey columns), NOT the full
+        # row image — the full after map is built only for LWW winners.
+        # key_kv is the ROW IDENTITY (before-image key, MySQL RBR
+        # semantics) — equal to the after key for everything except a
+        # PK-MOVING UPDATE. The upsert key is always the AFTER key;
+        # `same_key` is a pure string test (after_kv packs the key
+        # columns first, encoder invariant), so the full after map is
+        # parsed pre-LWW only for the rare rows that actually moved —
+        # and even a false negative here only costs that parse, never
+        # correctness.
+        k0, k1 = self.key_cols
+        key_map = kv_to_map("key_kv")
+        if not int(m["has_moves"] or 0):
+            # no PK-moving UPDATE in this batch (manifest-pass raw-text
+            # test above) — zero-overhead keyed plan, keys straight off
+            # the tiny key_kv map (row identity == upsert key)
+            keyed = dml.select(
+                F.element_at(key_map, k0).alias(k0),
+                F.element_at(key_map, k1).cast("int").alias(k1),
+                *[F.col(c) for c in LOG_ORDER],
+                "op",
+                "after_kv",
+            )
+        else:
+            akey = kv_to_map("after_kv")
+            same_key = (F.col("after_kv") == F.col("key_kv")) | F.col(
+                "after_kv"
+            ).startswith(F.concat(F.col("key_kv"), F.lit(ENTRY_SEP)))
+            maybe_moved = (F.col("op") == "UPDATE") & ~same_key
+            # authoritative map comparison, evaluated only under the
+            # rare maybe_moved branch (CASE WHEN short-circuits)
+            is_move = maybe_moved & (
+                (F.element_at(akey, k0) != F.element_at(key_map, k0))
+                | (
+                    F.element_at(akey, k1).cast("int")
+                    != F.element_at(key_map, k1).cast("int")
+                )
+            )
+            upsert = F.struct(
+                F.when(maybe_moved, F.element_at(akey, k0))
+                .otherwise(F.element_at(key_map, k0))
+                .alias(k0),
+                F.when(maybe_moved, F.element_at(akey, k1))
+                .otherwise(F.element_at(key_map, k1))
+                .cast("int")
+                .alias(k1),
+                F.col("op").alias("op"),
+                F.col("after_kv").alias("after_kv"),
+            )
+            # tombstone the OLD key of a PK-moving UPDATE at the same
+            # log position; payload = key_kv, enough for a delete
+            # (merge keys on key_cols, payload ignored). Emitted via
+            # explode of a 1-2 element struct array so the Arrow decode
+            # runs ONCE per batch (a union of two selects over `dml`
+            # would decode twice).
+            tomb = F.struct(
+                F.element_at(key_map, k0).alias(k0),
+                F.element_at(key_map, k1).cast("int").alias(k1),
+                F.lit("DELETE").alias("op"),
+                F.col("key_kv").alias("after_kv"),
+            )
+            keyed = dml.select(
+                *[F.col(c) for c in LOG_ORDER],
+                F.explode(
+                    F.when(is_move, F.array(tomb, upsert)).otherwise(
+                        F.array(upsert)
+                    )
+                ).alias("__e"),
+            ).select(
+                f"__e.{k0}", f"__e.{k1}", *[F.col(c) for c in LOG_ORDER],
+                "__e.op", "__e.after_kv",
+            )
+        if self.n_salts > 0:
+            latest = self._lww(keyed, ["op", "after_kv"])
+            stats.lww_variant = f"salted{self.n_salts}"
+        elif self._escalated:
+            # AUTO skew escalation: the previous batch's collapse ratio
+            # (applied rows / LWW winners, free from the manifest pass +
+            # delta footers) crossed AUTO_SALT_RATIO — a single-key
+            # flood regime where the explicit two-phase salted LWW
+            # measures ~1.5x faster than the packed path (BENCH/
+            # BASELINE.md hot-key section). Semantics identical
+            # (property-tested); de-escalates as soon as a batch's
+            # ratio drops back under the threshold.
+            from .operators.dedup import lww_latest_salted
+
+            latest = lww_latest_salted(
+                keyed, self.key_cols, ["op", "after_kv"], self.AUTO_SALTS
+            )
+            stats.lww_variant = f"auto_salted{self.AUTO_SALTS}"
+        else:
+            # packed-argmax partial+final aggregation: hot keys
+            # collapse map-side instead of flooding one shuffle task
+            # (equal wall on uniform keys, strictly better under skew —
+            # see operators.dedup.lww_latest_packed). The explicit
+            # salted variant stays honored above.
+            from .operators.dedup import lww_latest_packed
+
+            latest = lww_latest_packed(keyed, self.key_cols)
+            stats.lww_variant = "packed"
+        wdir = self._winners_dir(batch_id)
+        shutil.rmtree(wdir, ignore_errors=True)
+        t1 = time.time()
+        latest.write.parquet(wdir)
+        stats.phase_ms["lww"] = int((time.time() - t1) * 1000)
+
+    def _wire_project(self, batch_id: int, m, stats: ApplyStats) -> str:
+        """Phase 2b: typed projection of the materialized LWW winners
+        under the CURRENT (post-DDL) schema -> ingest transform ->
+        data-quality gate -> bucket-aligned staged delta. Cheap (no
+        decode, no shuffle: the winners frame is narrow and the bucket
+        repartition is its only exchange); always runs at consume
+        time."""
+        import shutil
+
+        from .sources.wire import kv_to_map
+        from .lakestore.table import _bucket_expr
+
+        schema = self.table.schema()
+        nb = self.table.manifest()["n_buckets"]
+        latest = self.spark.read.parquet(self._winners_dir(batch_id))
+        non_key = [f for f in schema.fields if f.name not in self.key_cols]
+        changes = latest.select(
+            *self.key_cols,
+            *typed_from_map(
+                kv_to_map("after_kv"),
+                T.StructType(non_key),
+                aliases=self.table.column_aliases(),
+            ),
+            (F.col("op") == "DELETE").alias("__delete"),
+        )
+        changes = self._apply_transform(changes).withColumn(
+            "__bucket", _bucket_expr(self.key_cols[0], nb)
+        )
+        self._gate_expectations(changes, stats)
+        delta_dir = os.path.join(self.table_path, f"_delta_{batch_id}")
+        shutil.rmtree(delta_dir, ignore_errors=True)
+        t1 = time.time()
+        # repartition by the bucketing KEY with numPartitions=n_buckets:
+        # partition i == bucket i (see _bucket_expr), so each task
+        # writes exactly one file into one bucket dir. Without this
+        # every task writes every bucket dir (tasks x buckets small
+        # files) and the file explosion compounds into thousands of
+        # scan tasks downstream (measured: 97% wait at 32 cores).
+        changes.repartition(nb, F.col(self.key_cols[0])).write.partitionBy(
+            "__bucket"
+        ).parquet(delta_dir)
+        stats.phase_ms["delta"] = int((time.time() - t1) * 1000)
+        return delta_dir
+
+    def _target_ddl_rows(self, m, wm_file, wm_pos) -> list:
+        """Decode the manifest's capped candidate-DDL frames driver-side
+        and keep the past-fence DDL statements addressed to the target
+        table — the batch's ordered schema-evolution input. Also used
+        by the prefetch worker as the speculation gate: an empty result
+        under the SUBMIT watermark stays empty under any later one (a
+        fence only removes more frames), so a batch proven DDL-free at
+        submit cannot evolve the schema at consume."""
+        if not m["ddl_frames"]:
+            return []
+        import pandas as pd
+
+        from .sources.wire import _decode_batch
+
+        pdf = pd.DataFrame(
+            [(r["file"], r["pos"], bytes(r["payload"])) for r in m["ddl_frames"]],
+            columns=["file", "pos", "payload"],
+        )
+        dd = _decode_batch(pdf)
+        dd = dd[
+            dd["is_ddl"]
+            & dd["crc_ok"]
+            & (dd["schema_name"] == self.schema_name)
+            & (dd["table_name"] == self.table_name)
+        ]
+        if wm_file is not None:
+            dd = dd[
+                dd.apply(
+                    lambda r: (r["file"], r["pos"]) > (wm_file, wm_pos), axis=1
+                )
+            ]
+        return dd.sort_values(["file", "pos", "row_idx"]).to_dict("records")
 
     def _wire_manifest(self, raw: DataFrame, wm_file, wm_pos):
         """The single JVM aggregation over a batch's raw frames that
@@ -1078,7 +1337,7 @@ class CdcApplyJob:
         # --- 1. manifest pass: one JVM aggregation over raw frames ----
         m = None
         if prefetched is not None:
-            pm, pwm = prefetched
+            pm, pwm = prefetched[0], prefetched[1]
             # a prefetched manifest was computed under the watermark in
             # force at SUBMIT time (before the previous batch's commit
             # advanced it). Every field except n_dml is watermark-free;
@@ -1121,176 +1380,42 @@ class CdcApplyJob:
             return stats
 
         # --- DDL: decode the handful of collected frames driver-side --
-        if m["ddl_frames"]:
-            import pandas as pd
+        ddl_rows = self._target_ddl_rows(m, wm_file, wm_pos)
+        trunc_fp = self._handle_ddl(ddl_rows) if ddl_rows else None
 
-            pdf = pd.DataFrame(
-                [(r["file"], r["pos"], bytes(r["payload"])) for r in m["ddl_frames"]],
-                columns=["file", "pos", "payload"],
+        # --- 2. decode -> LWW winners (or ADOPT the prefetch thread's
+        # already-materialized winners: valid iff the manifest prefetch
+        # was accepted above — identical fenced row set — and no
+        # TRUNCATE discards a prefix of this batch; the winners are
+        # schema-free, so the batch's own additive/rename DDL, applied
+        # just above, never invalidates them) -> typed projection under
+        # the POST-DDL schema -> staged bucket-aligned delta
+        wdir = self._winners_dir(batch_id)
+        adopted = False
+        if (
+            prefetched is not None
+            and prefetched[0] is m  # manifest prefetch accepted above
+            and len(prefetched) > 2
+            and prefetched[2] is not None
+        ):
+            if trunc_fp is None and os.path.isdir(wdir):
+                scratch = prefetched[2]["stats"]
+                for k, v in scratch.phase_ms.items():
+                    stats.phase_ms[k] = v
+                stats.phase_ms["winners_prefetched"] = 1
+                stats.lww_variant = scratch.lww_variant
+                adopted = True
+            else:
+                shutil.rmtree(wdir, ignore_errors=True)
+        if not adopted:
+            self._wire_winners(
+                batch_id, raw, m, wm_file, wm_pos, trunc_fp, stats
             )
-            dd = _decode_batch(pdf)
-            dd = dd[
-                dd["is_ddl"]
-                & dd["crc_ok"]
-                & (dd["schema_name"] == self.schema_name)
-                & (dd["table_name"] == self.table_name)
-            ]
-            if wm_file is not None:
-                dd = dd[
-                    dd.apply(lambda r: (r["file"], r["pos"]) > (wm_file, wm_pos), axis=1)
-                ]
-            ddl_rows = dd.sort_values(["file", "pos", "row_idx"]).to_dict("records")
-            trunc_fp = self._handle_ddl(ddl_rows) if ddl_rows else None
-        else:
-            trunc_fp = None
-
-        schema = self.table.schema()
         nb = self.table.manifest()["n_buckets"]
-
-        # --- 2. single decode pass -> narrow dedup -> typed delta -----
-        raw_f = after_watermark(raw, wm_file, wm_pos)
-        if trunc_fp is not None:
-            # discard DML at or before the truncate (it was wiped)
-            raw_f = after_watermark(raw_f, *trunc_fp)
-        if self.quarantine_dir is not None:
-            stats.frames_quarantined = self._quarantine(raw_f, batch_id)
-        # F4 pre-decode gate, faithful to the reference's decoder
-        # BitSet (LogDecoder.java:108-134): only row-event frames
-        # (WRITE/UPDATE/DELETE_ROWS, header type byte 30/31/32) reach
-        # the Python decode — BEGIN/COMMIT/DDL frames (~1/3 of the
-        # stream) were fully consumed by the JVM manifest pass above
-        raw_dml = raw_f.filter(
-            F.expr("substring(payload, 5, 1) IN (X'1E', X'1F', X'20')")
-        )
-        dec = decode_frames_kv(raw_dml)
-        dml = dml_for_table(self._stream_filters(dec), self.schema_name, self.table_name)
-        # keys from the tiny key_kv map (isKey columns), NOT the full
-        # row image — the full after map is built only for LWW winners.
-        # key_kv is the ROW IDENTITY (before-image key, MySQL RBR
-        # semantics) — equal to the after key for everything except a
-        # PK-MOVING UPDATE. The upsert key is always the AFTER key;
-        # `same_key` is a pure string test (after_kv packs the key
-        # columns first, encoder invariant), so the full after map is
-        # parsed pre-LWW only for the rare rows that actually moved —
-        # and even a false negative here only costs that parse, never
-        # correctness.
-        k0, k1 = self.key_cols
-        key_map = kv_to_map("key_kv")
-        if not int(m["has_moves"] or 0):
-            # no PK-moving UPDATE in this batch (manifest-pass raw-text
-            # test above) — zero-overhead keyed plan, keys straight off
-            # the tiny key_kv map (row identity == upsert key)
-            keyed = dml.select(
-                F.element_at(key_map, k0).alias(k0),
-                F.element_at(key_map, k1).cast("int").alias(k1),
-                *[F.col(c) for c in LOG_ORDER],
-                "op",
-                "after_kv",
-            )
-        else:
-            akey = kv_to_map("after_kv")
-            same_key = (F.col("after_kv") == F.col("key_kv")) | F.col(
-                "after_kv"
-            ).startswith(F.concat(F.col("key_kv"), F.lit(ENTRY_SEP)))
-            maybe_moved = (F.col("op") == "UPDATE") & ~same_key
-            # authoritative map comparison, evaluated only under the
-            # rare maybe_moved branch (CASE WHEN short-circuits)
-            is_move = maybe_moved & (
-                (F.element_at(akey, k0) != F.element_at(key_map, k0))
-                | (
-                    F.element_at(akey, k1).cast("int")
-                    != F.element_at(key_map, k1).cast("int")
-                )
-            )
-            upsert = F.struct(
-                F.when(maybe_moved, F.element_at(akey, k0))
-                .otherwise(F.element_at(key_map, k0))
-                .alias(k0),
-                F.when(maybe_moved, F.element_at(akey, k1))
-                .otherwise(F.element_at(key_map, k1))
-                .cast("int")
-                .alias(k1),
-                F.col("op").alias("op"),
-                F.col("after_kv").alias("after_kv"),
-            )
-            # tombstone the OLD key of a PK-moving UPDATE at the same
-            # log position; payload = key_kv, enough for a delete
-            # (merge keys on key_cols, payload ignored). Emitted via
-            # explode of a 1-2 element struct array so the Arrow decode
-            # runs ONCE per batch (a union of two selects over `dml`
-            # would decode twice).
-            tomb = F.struct(
-                F.element_at(key_map, k0).alias(k0),
-                F.element_at(key_map, k1).cast("int").alias(k1),
-                F.lit("DELETE").alias("op"),
-                F.col("key_kv").alias("after_kv"),
-            )
-            keyed = dml.select(
-                *[F.col(c) for c in LOG_ORDER],
-                F.explode(
-                    F.when(is_move, F.array(tomb, upsert)).otherwise(
-                        F.array(upsert)
-                    )
-                ).alias("__e"),
-            ).select(
-                f"__e.{k0}", f"__e.{k1}", *[F.col(c) for c in LOG_ORDER],
-                "__e.op", "__e.after_kv",
-            )
-        if self.n_salts > 0:
-            latest = self._lww(keyed, ["op", "after_kv"])
-            stats.lww_variant = f"salted{self.n_salts}"
-        elif self._escalated:
-            # AUTO skew escalation: the previous batch's collapse ratio
-            # (applied rows / LWW winners, free from the manifest pass +
-            # delta footers) crossed AUTO_SALT_RATIO — a single-key
-            # flood regime where the explicit two-phase salted LWW
-            # measures ~1.5x faster than the packed path (BENCH/
-            # BASELINE.md hot-key section). Semantics identical
-            # (property-tested); de-escalates as soon as a batch's
-            # ratio drops back under the threshold.
-            from .operators.dedup import lww_latest_salted
-
-            latest = lww_latest_salted(
-                keyed, self.key_cols, ["op", "after_kv"], self.AUTO_SALTS
-            )
-            stats.lww_variant = f"auto_salted{self.AUTO_SALTS}"
-        else:
-            # packed-argmax partial+final aggregation: hot keys
-            # collapse map-side instead of flooding one shuffle task
-            # (equal wall on uniform keys, strictly better under skew —
-            # see operators.dedup.lww_latest_packed). The explicit
-            # salted variant stays honored above.
-            from .operators.dedup import lww_latest_packed
-
-            latest = lww_latest_packed(keyed, self.key_cols)
-            stats.lww_variant = "packed"
-        non_key = [f for f in schema.fields if f.name not in self.key_cols]
-        changes = latest.select(
-            *self.key_cols,
-            *typed_from_map(
-                kv_to_map("after_kv"),
-                T.StructType(non_key),
-                aliases=self.table.column_aliases(),
-            ),
-            (F.col("op") == "DELETE").alias("__delete"),
-        )
-        changes = self._apply_transform(changes).withColumn(
-            "__bucket", _bucket_expr(self.key_cols[0], nb)
-        )
-        self._gate_expectations(changes, stats)
-        delta_dir = os.path.join(self.table_path, f"_delta_{batch_id}")
-        shutil.rmtree(delta_dir, ignore_errors=True)
-        t1 = time.time()
-        # repartition by the bucketing KEY with numPartitions=n_buckets:
-        # partition i == bucket i (see _bucket_expr), so each task
-        # writes exactly one file into one bucket dir. Without this
-        # every task writes every bucket dir (tasks x buckets small
-        # files) and the file explosion compounds into thousands of
-        # scan tasks downstream (measured: 97% wait at 32 cores).
-        changes.repartition(nb, F.col(self.key_cols[0])).write.partitionBy(
-            "__bucket"
-        ).parquet(delta_dir)
-        stats.phase_ms["delta"] = int((time.time() - t1) * 1000)
+        try:
+            delta_dir = self._wire_project(batch_id, m, stats)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
         t1 = time.time()
 
         # LWW winners from the delta files' parquet FOOTERS (driver

@@ -190,7 +190,12 @@ def test_auto_skew_escalation_on_flood(spark, tmp_path):
     collapse ratio (applied rows / LWW winners) over AUTO_SALT_RATIO,
     so the NEXT batch switches to the two-phase salted LWW; a uniform
     workload never escalates; both converge to the sequential oracle
-    (the variants are semantically identical)."""
+    (the variants are semantically identical). Under pipelined
+    prefetch, batch k+1's winners are speculated BEFORE batch k's
+    collapse ratio exists, so escalation engages one batch later than
+    in the serial loop (the speculated work overlapped the previous
+    merge either way); the serial loop keeps the strict next-batch
+    sequence."""
     from mysql_tracker_spark.sources.wire import write_wire_batches
 
     # flood: 9000 events over <=18 (conv_id, turn_idx) keys, zipf(3.0)
@@ -205,12 +210,20 @@ def test_auto_skew_escalation_on_flood(spark, tmp_path):
     )
     stats = [s for s in job.run() if not s.skipped]
     assert stats[0].lww_variant == "packed"  # no prior ratio yet
-    assert all(
-        s.lww_variant == f"auto_salted{CdcApplyJob.AUTO_SALTS}" for s in stats[1:]
-    ), [s.lww_variant for s in stats]
+    # pipelined loop: batch 1's winners were speculated before batch
+    # 0's ratio was known -> packed; escalation engages from batch 2
+    salted = f"auto_salted{CdcApplyJob.AUTO_SALTS}"
+    assert [s.lww_variant for s in stats] == ["packed", "packed", salted]
     assert all(
         s.rows_applied / s.rows_winners >= CdcApplyJob.AUTO_SALT_RATIO for s in stats
     )
+    # serial loop keeps the strict next-batch escalation sequence
+    job_serial = CdcApplyJob(
+        spark, d, str(tmp_path / "t_serial"), n_buckets=8,
+        source_format="wire", pipeline_prefetch=False,
+    )
+    st_serial = [s for s in job_serial.run() if not s.skipped]
+    assert [s.lww_variant for s in st_serial] == ["packed", salted, salted]
     got = normalize(job.table.read(spark).toPandas())
     exp = normalize(expected_final_state(ev))
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
@@ -249,8 +262,13 @@ def test_auto_skew_escalation_on_flood(spark, tmp_path):
     )
     variants = [s.lww_variant for s in job2.run() if not s.skipped]
     auto = f"auto_salted{CdcApplyJob.AUTO_SALTS}"
-    # 3 flood batches + 2 uniform: [packed, auto, auto, auto(lag), packed]
-    assert variants == ["packed", auto, auto, auto, "packed"], variants
+    # 3 flood batches + 2 uniform, PIPELINED loop: batch 1's winners
+    # were speculated before batch 0's ratio existed (packed); batches
+    # 2-3 speculated under the flood ratios (auto); batch 4 carries the
+    # continuation generator's duplicated-frame tail, so its prefetch
+    # fails fence revalidation and the synchronous pass runs with the
+    # post-batch-3 (de-escalated) state -> packed
+    assert variants == ["packed", "packed", auto, auto, "packed"], variants
 
 
 def test_invalid_position_detect_and_reset(spark, stream, tmp_path):
