@@ -867,24 +867,40 @@ class CdcApplyJob:
                 out.append(self.apply_batch(i, group))
             return out
         finally:
-            self._prefetch.clear()
             if pool is not None:
                 pool.shutdown(wait=True, cancel_futures=True)
+            # unconsumed speculations (abort mid-run, max_batches cut):
+            # reap their winners staging dirs — a long-lived job calling
+            # run() again never re-runs prepare()'s debris sweep
+            import shutil as _sh
+
+            for bid in list(self._prefetch):
+                _sh.rmtree(self._winners_dir(bid), ignore_errors=True)
+            self._prefetch.clear()
 
     def _submit_prefetch(self, pool, batch_id: int, paths: list[str]) -> None:
         """Schedule the NEXT batch's manifest pass — and, when the
-        batch is eligible (no candidate DDL, no quarantine sink, no
-        fence overlap at submit), its full decode->LWW->staged-delta
-        phase — on the helper thread, concurrently with the current
-        batch's delta+merge (Spark sessions are thread-safe).
-        Captures the watermark in force at submit time; the consumer
-        revalidates fence and table layout after the intervening
-        commit advances them."""
+        batch is eligible (non-empty, no quarantine sink, no fence
+        overlap at submit), its decode->LWW winners materialization —
+        on the helper thread, concurrently with the current batch's
+        projection+merge (Spark sessions are thread-safe). DDL does
+        NOT gate speculation: the winners are schema-free; the consume
+        side rejects the speculation only on a TRUNCATE or a fence
+        overlap. Captures the watermark AND the auto-skew state in
+        force at submit time — the consumer revalidates the fence
+        after the intervening commit, and the captured skew state
+        makes the speculated LWW variant deterministic (documented
+        one-batch escalation lag)."""
         wm_file, wm_pos, _ = self.watermark()
-        fut = pool.submit(self._prefetch_work, batch_id, paths, wm_file, wm_pos)
+        fut = pool.submit(
+            self._prefetch_work,
+            batch_id, paths, wm_file, wm_pos, self._escalated,
+        )
         self._prefetch[batch_id] = (fut, (wm_file, wm_pos))
 
-    def _prefetch_work(self, batch_id: int, paths: list[str], wm_file, wm_pos):
+    def _prefetch_work(
+        self, batch_id: int, paths: list[str], wm_file, wm_pos, escalated: bool
+    ):
         """Helper-thread body: manifest pass, then (when safe) the
         speculative staged delta. Any failure in the speculative part
         degrades to the synchronous path at consume time."""
@@ -908,7 +924,7 @@ class CdcApplyJob:
             scratch = ApplyStats(batch_id=batch_id)
             try:
                 self._wire_winners(
-                    batch_id, raw, m, wm_file, wm_pos, None, scratch
+                    batch_id, raw, m, wm_file, wm_pos, scratch, escalated
                 )
                 delta = {"stats": scratch}
             except Exception:
@@ -957,7 +973,7 @@ class CdcApplyJob:
     def _winners_dir(self, batch_id: int) -> str:
         return os.path.join(self.table_path, f"_winners_{batch_id}")
 
-    def _wire_winners(
+    def _wire_lww(
         self,
         batch_id: int,
         raw: DataFrame,
@@ -966,21 +982,26 @@ class CdcApplyJob:
         wm_pos,
         trunc_fp,
         stats: ApplyStats,
-    ) -> None:
-        """Phase 2a of the wire apply: ONE Arrow decode pass over the
-        fenced row-event frames -> narrow LWW dedup, materialized as
-        the WINNERS set (key cols + op + packed after_kv) under
-        ``_winners_<batch_id>``. Deliberately SCHEMA-FREE: the packed
-        kv strings never touch the table schema, so the run loop's
-        prefetch thread can execute this — the expensive decode+shuffle
-        — for batch k+1 while batch k merges, even when batch k (or
-        k+1) carries additive/rename DDL; only a TRUNCATE (which
-        discards a prefix of the batch pre-LWW) invalidates it. The
-        typed projection happens at consume time, after the batch's
-        DDL evolved the schema (_wire_project)."""
-        import shutil
-
+        escalated: bool | None = None,
+    ) -> DataFrame:
+        """Phase 2a of the wire apply, LAZY: ONE Arrow decode pass over
+        the fenced row-event frames -> narrow LWW dedup -> the WINNERS
+        frame (key cols + op + packed after_kv). Deliberately
+        SCHEMA-FREE: the packed kv strings never touch the table
+        schema. The synchronous path pipes this frame straight into
+        the typed projection (one materialization, the pre-pipelining
+        plan); the prefetch worker materializes it via _wire_winners
+        so batch k+1's decode+shuffle overlaps batch k's merge — valid
+        even when either batch carries additive/rename DDL; only a
+        TRUNCATE (which discards a prefix of the batch pre-LWW)
+        invalidates speculation. ``escalated`` overrides the auto-skew
+        state (the submit-time snapshot, so the speculated variant is
+        deterministic — not a helper-thread race with the current
+        batch's consume)."""
         from .sources.wire import ENTRY_SEP, decode_frames_kv, kv_to_map
+
+        if escalated is None:
+            escalated = self._escalated
 
         raw_f = after_watermark(raw, wm_file, wm_pos)
         if trunc_fp is not None:
@@ -1073,7 +1094,7 @@ class CdcApplyJob:
         if self.n_salts > 0:
             latest = self._lww(keyed, ["op", "after_kv"])
             stats.lww_variant = f"salted{self.n_salts}"
-        elif self._escalated:
+        elif escalated:
             # AUTO skew escalation: the previous batch's collapse ratio
             # (applied rows / LWW winners, free from the manifest pass +
             # delta footers) crossed AUTO_SALT_RATIO — a single-key
@@ -1098,19 +1119,44 @@ class CdcApplyJob:
 
             latest = lww_latest_packed(keyed, self.key_cols)
             stats.lww_variant = "packed"
+        return latest
+
+    def _wire_winners(
+        self,
+        batch_id: int,
+        raw: DataFrame,
+        m,
+        wm_file,
+        wm_pos,
+        stats: ApplyStats,
+        escalated: bool,
+    ) -> None:
+        """Prefetch-worker twin of :meth:`_wire_lww`: materialize the
+        winners frame under ``_winners_<batch_id>`` so the consume side
+        can adopt it without recomputing the decode+shuffle. Runs with
+        ``trunc_fp=None`` — the consume side rejects the speculation
+        when the batch turns out to carry a TRUNCATE."""
+        import shutil
+
+        latest = self._wire_lww(
+            batch_id, raw, m, wm_file, wm_pos, None, stats, escalated
+        )
         wdir = self._winners_dir(batch_id)
         shutil.rmtree(wdir, ignore_errors=True)
         t1 = time.time()
         latest.write.parquet(wdir)
         stats.phase_ms["lww"] = int((time.time() - t1) * 1000)
 
-    def _wire_project(self, batch_id: int, m, stats: ApplyStats) -> str:
-        """Phase 2b: typed projection of the materialized LWW winners
-        under the CURRENT (post-DDL) schema -> ingest transform ->
-        data-quality gate -> bucket-aligned staged delta. Cheap (no
-        decode, no shuffle: the winners frame is narrow and the bucket
-        repartition is its only exchange); always runs at consume
-        time."""
+    def _wire_project(
+        self, batch_id: int, latest: DataFrame, stats: ApplyStats
+    ) -> tuple[str, int]:
+        """Phase 2b: typed projection of the LWW winners frame under
+        the CURRENT (post-DDL) schema -> ingest transform ->
+        data-quality gate -> bucket-aligned staged delta. Always runs
+        at consume time; ``latest`` is either the lazy _wire_lww frame
+        (synchronous path — one pipeline, no extra materialization) or
+        a read of the adopted prefetched winners. Returns the staged
+        delta dir and the bucket count the write used."""
         import shutil
 
         from .sources.wire import kv_to_map
@@ -1118,7 +1164,6 @@ class CdcApplyJob:
 
         schema = self.table.schema()
         nb = self.table.manifest()["n_buckets"]
-        latest = self.spark.read.parquet(self._winners_dir(batch_id))
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
             *self.key_cols,
@@ -1146,16 +1191,14 @@ class CdcApplyJob:
             "__bucket"
         ).parquet(delta_dir)
         stats.phase_ms["delta"] = int((time.time() - t1) * 1000)
-        return delta_dir
+        return delta_dir, nb
 
     def _target_ddl_rows(self, m, wm_file, wm_pos) -> list:
         """Decode the manifest's capped candidate-DDL frames driver-side
         and keep the past-fence DDL statements addressed to the target
-        table — the batch's ordered schema-evolution input. Also used
-        by the prefetch worker as the speculation gate: an empty result
+        table — the batch's ordered schema-evolution input. An empty result
         under the SUBMIT watermark stays empty under any later one (a
-        fence only removes more frames), so a batch proven DDL-free at
-        submit cannot evolve the schema at consume."""
+        fence only removes more frames)."""
         if not m["ddl_frames"]:
             return []
         import pandas as pd
@@ -1319,15 +1362,6 @@ class CdcApplyJob:
         """
         import shutil
 
-        from .sources.wire import (
-            ENTRY_SEP,
-            FIELD_SEP,
-            _decode_batch,
-            decode_frames_kv,
-            kv_to_map,
-        )
-        from .lakestore.table import _bucket_expr
-
         if self.table is None:
             self.prepare()
         t0 = time.time()
@@ -1368,6 +1402,7 @@ class CdcApplyJob:
         stats.rows_in = int(m["n"] or 0)
         if stats.rows_in == 0:
             stats.skipped = True
+            shutil.rmtree(self._winners_dir(batch_id), ignore_errors=True)
             return stats
         stats.file_start, stats.pos_start = m["lo"]["file"], m["lo"]["pos"]
         stats.file_end, stats.pos_end = m["hi"]["file"], m["hi"]["pos"]
@@ -1376,6 +1411,7 @@ class CdcApplyJob:
             stats.txn_file_end, stats.txn_pos_end = m["txn_hi"]["file"], m["txn_hi"]["pos"]
         if wm_file is not None and (stats.file_end, stats.pos_end) <= (wm_file, wm_pos):
             stats.skipped = True
+            shutil.rmtree(self._winners_dir(batch_id), ignore_errors=True)
             stats.wall_ms = int((time.time() - t0) * 1000)
             return stats
 
@@ -1391,7 +1427,7 @@ class CdcApplyJob:
         # just above, never invalidates them) -> typed projection under
         # the POST-DDL schema -> staged bucket-aligned delta
         wdir = self._winners_dir(batch_id)
-        adopted = False
+        latest = None
         if (
             prefetched is not None
             and prefetched[0] is m  # manifest prefetch accepted above
@@ -1404,16 +1440,17 @@ class CdcApplyJob:
                     stats.phase_ms[k] = v
                 stats.phase_ms["winners_prefetched"] = 1
                 stats.lww_variant = scratch.lww_variant
-                adopted = True
+                latest = self.spark.read.parquet(wdir)
             else:
                 shutil.rmtree(wdir, ignore_errors=True)
-        if not adopted:
-            self._wire_winners(
+        if latest is None:
+            # synchronous path: ONE pipeline — the lazy LWW frame feeds
+            # the projection directly, exactly the pre-pipelining plan
+            latest = self._wire_lww(
                 batch_id, raw, m, wm_file, wm_pos, trunc_fp, stats
             )
-        nb = self.table.manifest()["n_buckets"]
         try:
-            delta_dir = self._wire_project(batch_id, m, stats)
+            delta_dir, nb = self._wire_project(batch_id, latest, stats)
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
         t1 = time.time()

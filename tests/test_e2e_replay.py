@@ -262,13 +262,20 @@ def test_auto_skew_escalation_on_flood(spark, tmp_path):
     )
     variants = [s.lww_variant for s in job2.run() if not s.skipped]
     auto = f"auto_salted{CdcApplyJob.AUTO_SALTS}"
-    # 3 flood batches + 2 uniform, PIPELINED loop: batch 1's winners
-    # were speculated before batch 0's ratio existed (packed); batches
-    # 2-3 speculated under the flood ratios (auto); batch 4 carries the
-    # continuation generator's duplicated-frame tail, so its prefetch
-    # fails fence revalidation and the synchronous pass runs with the
-    # post-batch-3 (de-escalated) state -> packed
-    assert variants == ["packed", "packed", auto, auto, "packed"], variants
+    # 3 flood batches + 2 uniform, PIPELINED loop: batch k+1's variant
+    # is the submit-time snapshot (deterministic, not a helper-thread
+    # race), so both escalation AND de-escalation lag one batch:
+    # batch 1 speculated pre-ratio (packed), 2-3 under flood ratios
+    # (auto), 4 under batch 2's still-flood state (auto) — a 6th batch
+    # would de-escalate. The serial loop below keeps the strict
+    # next-batch sequence including de-escalation at batch 4.
+    assert variants == ["packed", "packed", auto, auto, auto], variants
+    job2s = CdcApplyJob(
+        spark, d2, str(tmp_path / "t2_serial"), n_buckets=8,
+        source_format="wire", pipeline_prefetch=False,
+    )
+    variants_s = [s.lww_variant for s in job2s.run() if not s.skipped]
+    assert variants_s == ["packed", auto, auto, auto, "packed"], variants_s
 
 
 def test_invalid_position_detect_and_reset(spark, stream, tmp_path):
