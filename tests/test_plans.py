@@ -165,9 +165,15 @@ def test_seq_numbering_has_no_global_single_task_sort(spark):
     the full input). The only SinglePartition exchange allowed is the
     tiny per-partition-counts branch (<= shuffle.partitions rows),
     which sits directly above a HashAggregate."""
+    from mysql_tracker_spark.operators.parse import global_sequence
     from mysql_tracker_spark.plans.checks import explain_str
 
-    df = entrymod.q_cdc_seq_numbering(spark, SF)
+    # inspect the ENGINE plan (the contract query materializes its
+    # result to release the sequencer cache, so ITS plan is a local
+    # scan); building the frame runs the eager counts collect
+    ev = entrymod._t(spark, SF, "events")
+    gs = global_sequence(ev, ["ts", "event_id"], out_col="in_id")
+    df = gs.select("event_id", "in_id")
     txt = explain_str(df, mode="simple")
     assert "row_number" not in txt, "global-window row_number reintroduced"
     assert "rangepartitioning" in txt, "two-phase range repartition missing"
@@ -176,6 +182,7 @@ def test_seq_numbering_has_no_global_single_task_sort(spark):
     for seg in txt.split("Exchange SinglePartition")[1:]:
         first_node = seg.strip().splitlines()[1] if "\n" in seg else ""
         assert "HashAggregate" in first_node or "HashAggregate" in seg[:300], txt
+    gs._mts_seq_cache.unpersist()
 
 
 def test_decode_has_exactly_one_python_stage(spark, tmp_path):
