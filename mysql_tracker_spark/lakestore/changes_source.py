@@ -67,7 +67,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from .spark_hash import pmod_bucket
+from .spark_hash import pmod_bucket_array
 from .table import _current_name, _source_map
 
 _TOMBSTONE = "__delete"
@@ -129,10 +129,11 @@ def _bucket_state(path: str, entries: list[dict], meta: dict):
             # shared post-split entry: the physical file holds a
             # superset of this bucket's rows — keep only rows whose
             # CURRENT placement under the residual's layout is the
-            # child id (same predicate as table._residual_pred)
+            # child id (same predicate as table._residual_pred);
+            # vectorized numpy murmur3, not a per-row map
             col = _current_name(r["col"], r["sid"], renames)
-            keep = part[col].map(
-                lambda v: pmod_bucket(v, types[col], r["n"]) == r["id"]
+            keep = (
+                pmod_bucket_array(part[col], types[col], r["n"]) == r["id"]
             )
             part = part[keep]
         parts.append(part)
@@ -264,8 +265,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
     # ---- executor-side read -------------------------------------------
     def read(self, partition: _BucketDiffPart):
-        import math
-
+        """Vectorized per-bucket diff — outer merge on the key plus
+        column-wise NaN-aware compare; emits ONE Arrow RecordBatch per
+        bucket.  No per-row Python runs on the data path: merge,
+        compare, and Arrow conversion are all C-level over whole
+        columns (the earlier iterrows/dict implementation was the
+        engine's only row-at-a-time executor loop)."""
+        import numpy as np
         import pandas as pd
 
         meta = partition.meta
@@ -289,52 +295,103 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     "stream to pick up the current schema"
                 )
             n_to = meta["n_to"]
-            keep = old[bcol].map(
-                lambda v: pmod_bucket(v, btype, n_to)
+            keep = (
+                pmod_bucket_array(old[bcol], btype, n_to)
                 == partition.old_filter_bucket
             )
             old = old[keep]
-        o = {tuple(r[k] for k in key): r for _, r in old.iterrows()}
-        n = {tuple(r[k] for k in key): r for _, r in new.iterrows()}
 
-        def eq(a, b) -> bool:
-            if a is None and b is None:
-                return True
-            try:
-                if pd.isna(a) and pd.isna(b):
-                    return True
-                if pd.isna(a) or pd.isna(b):
-                    return False
-            except (TypeError, ValueError):
-                pass
-            if isinstance(a, float) and isinstance(b, float):
-                return a == b or (math.isnan(a) and math.isnan(b))
-            return a == b
-
-        for k in set(o) | set(n):
-            if k not in o:
-                row = n[k]
-                op = "insert"
-            elif k not in n:
-                row = o[k]
-                op = "delete"
-            else:
-                row = n[k]
-                if all(eq(o[k][c], row[c]) for c in non_key):
-                    continue
-                op = "update"
-            yield tuple(
-                [op] + [None if _is_na(row[c]) else row[c] for c in names]
+        # keys are unique within each side (one live row per key), so
+        # the outer merge is 1:1; empty sides short-circuit to avoid
+        # dtype-less empty-frame merges
+        if not len(old) and not len(new):
+            return
+        if not len(new):
+            out = old[names].copy()
+            out.insert(0, "op", "delete")
+        elif not len(old):
+            out = new[names].copy()
+            out.insert(0, "op", "insert")
+        else:
+            merged = old[names].merge(
+                new[names],
+                on=key,
+                how="outer",
+                suffixes=("__old", ""),
+                indicator=True,
+                sort=False,
             )
+            side = merged["_merge"].to_numpy()
+            ins = side == "right_only"
+            dele = side == "left_only"
+            if non_key:
+                changed = np.zeros(len(merged), dtype=bool)
+                for c in non_key:
+                    a, b = merged[c + "__old"], merged[c]
+                    # NaN-aware: both-missing counts as equal (floats
+                    # promoted by the outer merge compare numerically)
+                    eq = (a == b) | (a.isna() & b.isna())
+                    changed |= ~eq.to_numpy()
+                upd = (side == "both") & changed
+            else:
+                upd = np.zeros(len(merged), dtype=bool)
+
+            def take(mask, op, suffix):
+                cols = [c if c in key else c + suffix for c in names]
+                df = merged.loc[mask, cols]
+                df.columns = names
+                df = df.copy()
+                df.insert(0, "op", op)
+                return df
+
+            sides = [
+                take(mask, op, sfx)
+                for mask, op, sfx in (
+                    (ins, "insert", ""),
+                    (dele, "delete", "__old"),
+                    (upd, "update", ""),
+                )
+                if mask.any()  # empty/all-NA frames poison concat dtypes
+            ]
+            if not sides:
+                return
+            out = (
+                sides[0]
+                if len(sides) == 1
+                else pd.concat(sides, ignore_index=True)
+            )
+        if not len(out):
+            return
+        yield _to_record_batch(out, meta["target_fields"])
 
 
-def _is_na(v) -> bool:
-    import pandas as pd
+def _to_record_batch(pdf, target_fields: list[dict]):
+    """pandas → one Arrow RecordBatch matching the declared stream
+    schema (op + table columns); NaN/NaT/None become Arrow nulls and
+    outer-merge float-promoted int columns are cast back losslessly."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
 
-    try:
-        return v is None or pd.isna(v)
-    except (TypeError, ValueError):
-        return False
+    full = T.StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "op",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ]
+            + list(target_fields),
+        }
+    )
+    schema = to_arrow_schema(full)
+    arrays = [
+        pa.array(pdf[f.name], type=f.type, from_pandas=True)
+        for f in schema
+    ]
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
 class LakeChangesDataSource(DataSource):

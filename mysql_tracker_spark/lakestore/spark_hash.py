@@ -115,3 +115,119 @@ def pmod_bucket(value, spark_type: str, n_buckets: int) -> int:
     key (twin of ``table._bucket_expr``)."""
     h = spark_hash(value, spark_type)
     return ((h % n_buckets) + n_buckets) % n_buckets
+
+
+# ---- vectorized twins (numpy) -----------------------------------------
+# The streaming changelog reader filters whole pandas buckets by
+# placement; a per-row Python map over millions of rows is the slow
+# path.  These compute the same Murmur3 over numpy arrays: the per-row
+# work is C-level ufuncs, Python loops run only over WORD POSITIONS
+# (max key length / 4 iterations), not rows.  Equivalence with the
+# scalar functions (and hence with F.hash) is property-tested in
+# tests/test_spark_hash.py.
+
+
+def _mix_k1_np(k1):
+    import numpy as np
+
+    k1 = k1 * np.uint32(0xCC9E2D51)
+    k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+    return k1 * np.uint32(0x1B873593)
+
+
+def _mix_h1_np(h1, k1):
+    import numpy as np
+
+    h1 = h1 ^ k1
+    h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+    return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+
+def _fmix_np(h1, length):
+    import numpy as np
+
+    h1 = h1 ^ length
+    h1 = h1 ^ (h1 >> np.uint32(16))
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 = h1 ^ (h1 >> np.uint32(13))
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    return h1 ^ (h1 >> np.uint32(16))
+
+
+def _hash_bytes_np(byte_list, seed: int = 42):
+    """Vectorized :func:`hash_bytes` over a list of bytes objects."""
+    import numpy as np
+
+    n = len(byte_list)
+    lengths = np.fromiter(
+        (len(b) for b in byte_list), dtype=np.int64, count=n
+    )
+    buf = np.frombuffer(b"".join(byte_list), dtype=np.uint8)
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    h1 = np.full(n, seed, dtype=np.uint32)
+    aligned = lengths - lengths % 4
+    for w in range(0, int(aligned.max(initial=0)), 4):
+        act = aligned > w
+        idx = offsets[act] + w
+        k = (
+            buf[idx].astype(np.uint32)
+            | (buf[idx + 1].astype(np.uint32) << np.uint32(8))
+            | (buf[idx + 2].astype(np.uint32) << np.uint32(16))
+            | (buf[idx + 3].astype(np.uint32) << np.uint32(24))
+        )
+        h1[act] = _mix_h1_np(h1[act], _mix_k1_np(k))
+    for t in range(3):
+        act = (aligned + t) < lengths
+        if not act.any():
+            break
+        idx = offsets[act] + aligned[act] + t
+        # Java bytes are signed: sign-extend before masking to 32 bits
+        half = buf[idx].astype(np.int8).astype(np.int64).astype(np.uint32)
+        h1[act] = _mix_h1_np(h1[act], _mix_k1_np(half))
+    return _fmix_np(h1, lengths.astype(np.uint32)).astype(np.int32)
+
+
+def spark_hash_array(values, spark_type: str):
+    """``F.hash(col)`` for a 1-D sequence (pandas Series / numpy array /
+    list) of NON-NULL values; returns an int32 numpy array.  Same type
+    vocabulary as :func:`spark_hash`."""
+    import numpy as np
+
+    if spark_type in ("string", "binary"):
+        if spark_type == "string":
+            blist = [str(v).encode("utf-8") for v in values]
+        else:
+            blist = [bytes(v) for v in values]
+        return _hash_bytes_np(blist)
+    arr = np.asarray(values)
+    if spark_type == "long":
+        v = arr.astype(np.int64).view(np.uint64)
+        h1 = _mix_h1_np(
+            np.full(len(v), 42, dtype=np.uint32),
+            _mix_k1_np((v & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        )
+        h1 = _mix_h1_np(
+            h1, _mix_k1_np((v >> np.uint64(32)).astype(np.uint32))
+        )
+        return _fmix_np(h1, np.uint32(8)).astype(np.int32)
+    if spark_type in _INT_TYPES or spark_type == "boolean":
+        if spark_type == "boolean":
+            v = arr.astype(bool).astype(np.uint32)
+        else:
+            v = arr.astype(np.int64).astype(np.int32).view(np.uint32)
+        h1 = _mix_h1_np(
+            np.full(len(v), 42, dtype=np.uint32), _mix_k1_np(v)
+        )
+        return _fmix_np(h1, np.uint32(4)).astype(np.int32)
+    raise NotImplementedError(
+        f"spark_hash_array: unsupported bucket-key type {spark_type!r}"
+    )
+
+
+def pmod_bucket_array(values, spark_type: str, n_buckets: int):
+    """Vectorized :func:`pmod_bucket`: int64 numpy array of bucket ids."""
+    import numpy as np
+
+    h = spark_hash_array(values, spark_type).astype(np.int64)
+    return ((h % n_buckets) + n_buckets) % n_buckets

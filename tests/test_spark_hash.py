@@ -85,3 +85,44 @@ def test_pmod_bucket_matches_bucket_expr(spark):
             r[0] for r in df.select(_bucket_expr("k", n)).collect()
         ]
         assert [pmod_bucket(v, "string", n) for v in vals] == expect
+
+
+def test_array_twins_match_scalar():
+    """The numpy-vectorized hashes (used by the streaming changelog's
+    bucket filters) are value-equal to the scalar functions — and hence,
+    by the tests above, to F.hash — across types, lengths, and sign
+    edges."""
+    import numpy as np
+
+    from mysql_tracker_spark.lakestore.spark_hash import (
+        pmod_bucket,
+        pmod_bucket_array,
+        spark_hash,
+        spark_hash_array,
+    )
+
+    rng = random.Random(42)
+    strings = ["", "a", "ab", "abc", "abcd", "é漢字🙂", "conv-000123"] + [
+        "".join(chr(rng.randint(32, 0x2FFF)) for _ in range(rng.randint(0, 33)))
+        for _ in range(400)
+    ]
+    longs = [0, 1, -1, 2**63 - 1, -(2**63), 2**31, -(2**31) - 1] + [
+        rng.randint(-(2**63), 2**63 - 1) for _ in range(400)
+    ]
+    ints = [0, 1, -1, 2**31 - 1, -(2**31)] + [
+        rng.randint(-(2**31), 2**31 - 1) for _ in range(400)
+    ]
+    bins = [bytes(rng.randint(0, 255) for _ in range(rng.randint(0, 19))) for _ in range(200)]
+    for vals, ty in [
+        (strings, "string"),
+        (longs, "long"),
+        (ints, "integer"),
+        ([True, False], "boolean"),
+        (bins, "binary"),
+    ]:
+        got = spark_hash_array(vals, ty)
+        exp = np.array([spark_hash(v, ty) for v in vals], dtype=np.int32)
+        assert (got == exp).all(), ty
+        gotb = pmod_bucket_array(vals, ty, 13)
+        expb = np.array([pmod_bucket(v, ty, 13) for v in vals])
+        assert (gotb == expb).all(), ty
