@@ -78,12 +78,14 @@ def q_cdc_seq_numbering(spark, sf_dir):
     result = seq.select(
         "event_id", F.col("in_id").cast("bigint").alias("in_id")
     )
-    # materialize, then release the sequencer's cache: returning the
-    # lazy frame would pin a full copy of the events table in executor
-    # memory for the ~100 queries that run after this one
-    rows = result.collect()
+    # materialize the 2-column result executor-side, then release the
+    # sequencer's cache: returning the lazy frame would pin a full copy
+    # of the events table in executor memory for the ~100 queries that
+    # run after this one, and a driver collect/recreate round-trip costs
+    # ~2x the whole query
+    out = result.localCheckpoint(eager=True)
     seq._mts_seq_cache.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    return out
 
 
 def q_cdc_txn_boundary_positions(spark, sf_dir):

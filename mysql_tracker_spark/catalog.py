@@ -102,12 +102,19 @@ def register_table(
     # see newer branch commits, same pinning contract as the base view)
     bseen: set[str] = set()
     for bname in t.branch_names():
-        br = t.load_branch(bname)
-        safe = re.sub(r"[^A-Za-z0-9_]", "_", bname)
-        if safe in bseen:
-            safe = f"{safe}_v{br.current_version()}"
-        bseen.add(safe)
-        br.read(spark).createOrReplaceTempView(f"{name}__branch_{safe}")
+        try:
+            br = t.load_branch(bname)
+            safe = re.sub(r"[^A-Za-z0-9_]", "_", bname)
+            if safe in bseen:
+                safe = f"{safe}_v{br.current_version()}"
+            bseen.add(safe)
+            br.read(spark).createOrReplaceTempView(f"{name}__branch_{safe}")
+        except FileNotFoundError:
+            # a concurrent fast_forward/drop_branch removed the branch
+            # dir between the listing and the load (rmtree is not
+            # atomic w.r.t. readers) — skip it rather than abort the
+            # whole registration
+            continue
         created.append(f"{name}__branch_{safe}")
 
     # retire STALE derived views from an earlier registration of this

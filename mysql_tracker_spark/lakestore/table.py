@@ -2600,10 +2600,26 @@ class LakeTable:
         head = br.manifest()
         cur = self.current_version()
         if cur != fork:
+            # a crash between a previous fast_forward's main commit and
+            # its branch-ref cleanup leaves an ALREADY-PUBLISHED branch
+            # behind; without this check the retry would raise a
+            # misleading "commit landed on main" conflict forever. Scan
+            # the main chain since the fork for this exact publish and
+            # finish the cleanup as a no-op instead.
+            for v in range(fork + 1, cur + 1):
+                s = self.manifest(v).get("summary") or {}
+                if (
+                    s.get("operation") == "fast-forward"
+                    and s.get("branch") == name
+                    and s.get("branch_head") == head["version"]
+                ):
+                    shutil.rmtree(os.path.join(self._branches_dir(), name))
+                    return cur
             raise CommitConflictError(
                 f"branch {name!r} forked at v{fork} but main is at "
                 f"v{cur}: a commit landed on main after the fork; "
-                "replay the branch work against the new head"
+                "replay the branch work against the new head (or, if "
+                "the branch is abandoned, drop_branch it)"
             )
         if head["version"] == fork:
             # empty branch: nothing to publish, just drop the ref

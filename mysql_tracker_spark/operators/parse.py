@@ -168,8 +168,19 @@ def global_sequence(
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.shiftright(F.col("__mid"), 33))
         .withColumn("__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if df.sparkSession.sparkContext.master.startswith("local"):
+        # single JVM: MEMORY_AND_DISK spills but can never lose a block,
+        # so the cache IS the barrier
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        # multi-executor: a lost cache block would silently recompute
+        # with freshly-sampled repartitionByRange boundaries and
+        # reintroduce duplicate/missing sequence numbers. localCheckpoint
+        # cuts the lineage so block loss (executor decommission) FAILS
+        # the job loudly instead — the runner's retry-with-reload path
+        # then renumbers the whole batch consistently.
+        tagged = tagged.localCheckpoint(eager=False)
     # this action MATERIALIZES the cache; every later read (the join
     # below, the caller's write) consumes the frozen rows, so the ids
     # the counts were derived from are the ids the output carries

@@ -250,3 +250,68 @@ def test_branch_create_adopts_crash_debris_dir(spark, tmp_path):
     assert t.branch_names() == ["ghost"]
     br.merge(spark, _ch(spark, [("c1", 0, "g")]))
     assert _state(spark, br) == {("c1", 0): "g"}
+
+
+def test_fast_forward_retry_after_crash_between_commit_and_cleanup(
+    spark, tmp_path
+):
+    """Crash window: the main commit landed but the branch-ref rmtree
+    did not.  A retried fast_forward must recognize the already-
+    published head and finish the cleanup as a no-op — not raise a
+    (misleading) CommitConflictError forever."""
+    import shutil
+
+    t = _mk_table(spark, str(tmp_path / "t"), [("c1", 0, "a")])
+    br = t.branch("audit")
+    br.merge(spark, _ch(spark, [("c2", 0, "b")]))
+    # simulate the crash: copy the branch dir aside, publish, restore
+    bdir = os.path.join(t._branches_dir(), "audit")
+    shutil.copytree(bdir, str(tmp_path / "saved"))
+    v = t.fast_forward("audit")
+    shutil.copytree(str(tmp_path / "saved"), bdir)
+    assert t.branch_names() == ["audit"]
+    # retry completes as ref cleanup, state unchanged
+    assert t.fast_forward("audit") == v
+    assert t.branch_names() == []
+    assert _state(spark, t) == {("c1", 0): "a", ("c2", 0): "b"}
+    # a DIFFERENT stale branch whose head was never published still
+    # conflicts (with the drop_branch hint)
+    t2 = _mk_table(spark, str(tmp_path / "t2"), [("x", 0, "a")])
+    b2 = t2.branch("dev")
+    b2.merge(spark, _ch(spark, [("y", 0, "n")]))
+    t2.merge(spark, _ch(spark, [("z", 0, "m")]))  # main moves on
+    with pytest.raises(CommitConflictError, match="drop_branch"):
+        t2.fast_forward("dev")
+
+
+def test_register_table_skips_branch_dropped_mid_registration(
+    spark, tmp_path
+):
+    """A branch removed between branch_names() and load_branch() must
+    not abort catalog registration."""
+    from mysql_tracker_spark.catalog import register_table
+
+    t = _mk_table(spark, str(tmp_path / "t"), [("c1", 0, "a")])
+    br = t.branch("ghost")
+    br.merge(spark, _ch(spark, [("c2", 0, "b")]))
+    t.branch("alive").merge(spark, _ch(spark, [("c3", 0, "c")]))
+
+    orig = LakeTable.load_branch
+
+    def racy(self, name):
+        if name == "ghost" and os.path.isdir(
+            os.path.join(self._branches_dir(), "ghost")
+        ):
+            import shutil
+
+            shutil.rmtree(os.path.join(self._branches_dir(), "ghost"))
+        return orig(self, name)
+
+    try:
+        LakeTable.load_branch = racy
+        created = register_table(spark, t.path, "racereg")
+    finally:
+        LakeTable.load_branch = orig
+    assert any(v.endswith("__branch_alive") for v in created)
+    assert not any("ghost" in v for v in created)
+    assert spark.sql("SELECT count(*) FROM racereg__branch_alive").collect()[0][0] == 2
