@@ -2647,6 +2647,45 @@ def q_cdc_apply_mor_final_state(spark, sf_dir):
     return spark.createDataFrame(rows, result.schema)
 
 
+def q_cdc_apply_mariadb_final_state(spark, sf_dir):
+    """MariaDB event-surface parity (reference enumeration:
+    mysql/dbsync/LogEvent.java:189-214): the flagship stream re-flavored
+    as a MariaDB binlog — GTID events (type 162) replace BEGIN,
+    ANNOTATE_ROWS (160) frames precede each transaction's row events,
+    GTID_LIST (163) + BINLOG_CHECKPOINT (161) open the stream — applied
+    through the wire path. The control frames are skipped by the same
+    pre-decode type gate that skips BEGIN/COMMIT, and the DML bytes are
+    untouched by the flavoring, so the oracle is the flagship LWW
+    recomputation verbatim (sources/mariadb_events.py)."""
+    import shutil
+    import tempfile
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.mariadb_events import mariadb_flavor
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    work = tempfile.mkdtemp(prefix="mts_entry_maria_")
+    in_dir, tbl_dir = os.path.join(work, "in"), os.path.join(work, "tbl")
+    ev = _flagship_events()
+    _write_flagship_dump(ev)
+    write_wire_batches(mariadb_flavor(ev), in_dir, n_batches=3)
+    job = CdcApplyJob(spark, in_dir, tbl_dir, n_buckets=8, source_format="wire")
+    job.run()
+    out = job.table.read(spark)
+    result = out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_text"),
+        "score",
+    ).orderBy("conv_id", "turn_idx")
+    rows = result.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q_cdc_bootstrap_catchup(spark, sf_dir):
     """Initial-snapshot bootstrap + CDC catchup (Debezium "initial
     snapshot"; the reference bootstraps only the *position*,
@@ -3707,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   block D (50): green in r3 — rotate back into the window in round 5.
     return {
         # --- block A: never driver-checked -------------------------------
+        "cdc_apply_mariadb_final_state": q_cdc_apply_mariadb_final_state,
         "cdc_apply_mor_final_state": q_cdc_apply_mor_final_state,
         "cdc_eventlog_append": q_cdc_eventlog_append,
         "cdc_eventlog_range_read": q_cdc_eventlog_range_read,
@@ -5013,6 +5053,29 @@ def oracle_sql() -> dict[str, str]:
         # branch + fast-forward oracle: branching must not change the
         # converged state — same LWW recomputation as the flagship.
         "lake_branch_publish": f"""
+            WITH e AS (
+                SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
+                WHERE op IN ('INSERT','UPDATE','DELETE')
+                  AND schema_name = 'chat' AND table_name = 'transcripts'
+            ), d AS (
+                SELECT DISTINCT file, pos, row_idx, op, conv_id, turn_idx,
+                                role, text, tool, ts_text, score
+                FROM e
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY file DESC, pos DESC, row_idx DESC) AS rn
+                FROM d
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role, text, tool,
+                   ts_text, CAST(score AS BIGINT) AS score
+            FROM r WHERE rn = 1 AND op <> 'DELETE'
+            ORDER BY conv_id, turn_idx
+        """,
+        # MariaDB-flavor oracle: control frames (GTID/ANNOTATE/
+        # GTID_LIST/CHECKPOINT) must be skipped and the DML bytes are
+        # untouched — same LWW recomputation as the flagship.
+        "cdc_apply_mariadb_final_state": f"""
             WITH e AS (
                 SELECT * FROM read_parquet('{FLAGSHIP_ORACLE_DUMP}')
                 WHERE op IN ('INSERT','UPDATE','DELETE')

@@ -190,6 +190,12 @@ def main() -> None:
         "sf": sf,
         "apply_events": applied_events,
         "apply_sec": round(apply_sec, 3),
+        # per-rep walls make the host-noise floor visible in the
+        # recorded bench (documented 2x slowdown windows on this VM):
+        # deltas between rounds should be read against these, not just
+        # the min
+        "apply_rep_walls": [round(w, 3) for w in walls],
+        "apply_mor_rep_walls": [round(w, 3) for w in mor_walls],
         "apply_mor_sec": round(min(mor_walls), 3) if mor_walls else None,
         "mor_events_per_sec": round(applied_events / min(mor_walls), 1)
         if mor_walls

@@ -305,6 +305,12 @@ class EventLogJob:
                 "offset_pos": str(stats.pos_end),
                 "next_seq": str(next_seq + appended),
                 "batch_seq": str(batch_id),
+                # input-group cursor for the streaming front-end (same
+                # role as the keyed table's input_file_end property):
+                # lets a restarted stream skip fully-applied groups
+                # without re-reading them — the offset fence stays the
+                # correctness authority
+                "input_file_end": os.path.basename(paths[-1]),
             },
             "summary": {"operation": "append", "ts_ms": int(time.time() * 1000)},
         }

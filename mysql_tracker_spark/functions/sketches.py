@@ -177,12 +177,26 @@ def lsh_candidate_pairs(
     n: int = 3,
     seed: int = 42,
     use_fast: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: docs sharing at least one
     identical signature band. Returns distinct (id_a, id_b), id_a <
     id_b. Shuffle cost: one exchange on (band, band_hash).
     ``use_fast`` picks the Arrow signature (default); False uses the
-    pure-Catalyst reference implementation."""
+    pure-Catalyst reference implementation.
+
+    ``max_bucket`` is the DEGENERATE-BAND guard for dirty corpora: a
+    band shared by m docs emits m^2/2 pairs, and a real 100 TB crawl
+    always contains some template/empty-text class with m in the
+    millions — AQE skew-split parallelizes that bucket's join but
+    cannot remove its quadratic OUTPUT. Buckets larger than the cap
+    switch to a sorted CONSECUTIVE CHAIN (m-1 pairs): docs sharing an
+    entire signature band are near-certain duplicates of each other,
+    so the chain preserves exactly what downstream dedup consumes —
+    connectivity of the duplicate class (connected components group
+    the whole bucket with or without the intra-bucket all-pairs; a
+    verify step still sees every chained pair). None (default) keeps
+    the exact all-pairs semantics."""
     sig_col = (
         minhash_signature_fast(k, n, seed)(F.col(text_col))
         if use_fast
@@ -192,6 +206,32 @@ def lsh_candidate_pairs(
     banded = sig.select(
         "id", F.explode(band_hashes(F.col("sig"), k, bands)).alias("e")
     ).select("id", "e.band", "e.bh")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        sizes = banded.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("__m")
+        )
+        banded = banded.join(sizes, on=["band", "bh"])
+        small = banded.filter(F.col("__m") <= max_bucket).drop("__m")
+        big = banded.filter(F.col("__m") > max_bucket).drop("__m")
+        w = Window.partitionBy("band", "bh").orderBy("id")
+        chain = (
+            big.select(
+                F.lag("id").over(w).alias("id_a"), F.col("id").alias("id_b")
+            )
+            .filter(F.col("id_a").isNotNull())
+        )
+        left = small.alias("l")
+        right = small.alias("r")
+        pairs = (
+            left.join(right, on=["band", "bh"])
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .unionByName(chain)
+            .distinct()
+        )
+        return pairs
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -229,11 +229,39 @@ _CHARSET_CODECS: dict[int, str] = {
     54: "utf-16-be", 55: "utf-16-be",  # utf16
     56: "utf-16-le", 62: "utf-16-le",  # utf16le
     60: "utf-32-be", 61: "utf-32-be",  # utf32
-    57: "cp1256",  # cp1256_general_ci (Arabic)
+    57: "cp1256", 67: "cp1256",  # cp1256 (Arabic)
     63: None,  # binary: NO decode — bytes pass through
     95: "cp932", 96: "cp932",
     97: "euc_jis_2004", 98: "euc_jis_2004",  # eucjpms
+    19: "euc_kr", 85: "euc_kr",  # euckr
+    49: "latin-1",  # latin1_general_cs
+    # --- tier 3: charsets with NO exact Python codec decode as
+    # latin-1 (byte-preserving: every byte maps to U+00..U+FF, so the
+    # round trip is lossless and the divergence is visible, never a
+    # crash). The reference's own table maps several of these to Java
+    # names that don't exist either (Cp895/keybcs2) or to plain
+    # ISO8859_1 (dec8, hp8, swe7, armscii8, geostd8, filename) —
+    # CharsetConversion.java:71-140.
+    3: "latin-1", 69: "latin-1",  # dec8 (DEC MCS)
+    6: "latin-1", 72: "latin-1",  # hp8 (HP Roman8)
+    17: "latin-1",  # filename
+    32: "latin-1", 64: "latin-1",  # armscii8 (Armenian)
+    37: "latin-1", 73: "latin-1",  # keybcs2 (Kamenicky; Java Cp895
+    #                                is unmapped in the reference too)
+    92: "latin-1", 93: "latin-1",  # geostd8 (Georgian)
 }
+
+# collation-id RANGES for the per-language Unicode collations
+# (CharsetConversion.java:166-273): the charset is constant across
+# each range, only the collation differs
+_CHARSET_RANGES: list[tuple[int, int, str]] = [
+    (101, 120, "utf-16-be"),  # utf16_*_ci
+    (128, 147, "utf-16-be"),  # ucs2_*_ci
+    (160, 179, "utf-32-be"),  # utf32_*_ci
+    (192, 211, "utf-8"),      # utf8_*_ci
+    (224, 243, "utf-8"),      # utf8mb4_*_ci
+    (254, 254, "utf-8"),      # utf8_general_cs
+]
 
 _WARNED_CHARSET_IDS: set[int] = set()
 
@@ -249,17 +277,26 @@ def charset_decode(buf: bytes, charset_id: int, default: str = "utf-8"):
     try:
         codec = _CHARSET_CODECS[charset_id]
     except KeyError:
-        if charset_id not in _WARNED_CHARSET_IDS:
-            _WARNED_CHARSET_IDS.add(charset_id)
-            import warnings
+        codec = next(
+            (
+                c
+                for lo, hi, c in _CHARSET_RANGES
+                if lo <= charset_id <= hi
+            ),
+            None,
+        )
+        if codec is None:
+            if charset_id not in _WARNED_CHARSET_IDS:
+                _WARNED_CHARSET_IDS.add(charset_id)
+                import warnings
 
-            warnings.warn(
-                f"unknown MySQL collation id {charset_id}; falling back to "
-                f"{default!r} (reference CharsetConversion logs the same "
-                "warning for unmapped ids)",
-                stacklevel=2,
-            )
-        codec = default
+                warnings.warn(
+                    f"unknown MySQL collation id {charset_id}; falling back "
+                    f"to {default!r} (reference CharsetConversion logs the "
+                    "same warning for unmapped ids)",
+                    stacklevel=2,
+                )
+            codec = default
     if codec is None:
         return bytes(buf)
     return bytes(buf).decode(codec)

@@ -62,13 +62,15 @@ class ColumnSpec:
 
     name: str
     # decimal|timestamp2|datetime2|time2|date|year|double|enum|set|
-    # bit|int|varstring|blob
+    # bit|int|varstring|blob|geometry|string
     kind: str
     precision: int = 10  # decimal
     scale: int = 0  # decimal
-    meta: int = 0  # fractional-seconds meta for timestamp2/datetime2/time2
-    packlen: int = 1  # enum: 1 or 2
-    nbytes: int = 1  # set bitmask width
+    meta: int = 0  # frac-seconds meta (timestamp2/datetime2/time2);
+    #                raw table-map meta for kind="string" (CHAR),
+    #                including the >=256 long-CHAR encodings
+    packlen: int = 1  # enum: 1 or 2; geometry: length-prefix width 1-4
+    nbytes: int = 1  # set bitmask width (1-8)
     nbits: int = 1  # bit
     byte_len: int = 4  # int: 1/2/3/4/8
     unsigned: bool = False  # int
@@ -186,6 +188,49 @@ def encode_varstring(text: str, charset_id: int) -> bytes:
     return len(raw).to_bytes(2, "little") + raw
 
 
+def encode_geometry(raw: bytes, packlen: int) -> bytes:
+    """GEOMETRY: ``packlen``-byte (1-4) LE length prefix + WKB bytes —
+    the BLOB-style layout (RowsLogBuffer.java:860-914)."""
+    if packlen not in (1, 2, 3, 4):
+        raise ValueError(f"unknown MYSQL_TYPE_GEOMETRY packlen {packlen}")
+    return len(raw).to_bytes(packlen, "little") + raw
+
+
+def string_declared_len(meta: int) -> int:
+    """Declared byte length of a MYSQL_TYPE_STRING (CHAR) column from
+    its raw table-map meta, including the meta>=256 encodings
+    (RowsLogBuffer.java:246-270): the "long CHAR() field, see #37426"
+    split packs bits 4-5 of the length into byte0, and the
+    ENUM/SET/STRING-in-byte0 form carries the length in byte1."""
+    if meta < 256:
+        return meta
+    byte0, byte1 = meta >> 8, meta & 0xFF
+    if (byte0 & 0x30) != 0x30:
+        # long CHAR: real type = byte0 | 0x30, len gains 2 high bits
+        return byte1 | (((byte0 & 0x30) ^ 0x30) << 4)
+    if byte0 in (MYSQL_TYPE_SET, MYSQL_TYPE_ENUM, MYSQL_TYPE_STRING):
+        return byte1
+    raise ValueError(f"cannot handle STRING meta={meta} ({meta:#06x})")
+
+
+# LogEvent.java type codes used by the meta>=256 dispatch
+MYSQL_TYPE_ENUM = 247
+MYSQL_TYPE_SET = 248
+MYSQL_TYPE_STRING = 254
+
+
+def encode_string(text: str, meta: int, charset_id: int) -> bytes:
+    """CHAR/MYSQL_TYPE_STRING: 1-byte length prefix when the declared
+    length < 256, else 2-byte (RowsLogBuffer.java:855-875)."""
+    declared = string_declared_len(meta)
+    codec = MT._CHARSET_CODECS.get(charset_id, "utf-8")
+    raw = text.encode(codec) if codec else text.encode("latin-1")
+    if len(raw) > declared:
+        raise ValueError(f"CHAR value {len(raw)}B exceeds declared {declared}B")
+    prefix = 1 if declared < 256 else 2
+    return len(raw).to_bytes(prefix, "little") + raw
+
+
 def _encode_value(v, spec: ColumnSpec) -> bytes:
     k = spec.kind
     if k == "decimal":
@@ -214,6 +259,10 @@ def _encode_value(v, spec: ColumnSpec) -> bytes:
         return encode_double(v)
     if k == "blob":
         return encode_blob(v)
+    if k == "geometry":
+        return encode_geometry(v, spec.packlen)
+    if k == "string":
+        return encode_string(v, spec.meta, spec.charset_id)
     raise ValueError(f"unknown column kind {k!r}")
 
 
@@ -303,6 +352,25 @@ def _decode_one(image: bytes, specs: list[ColumnSpec]) -> list:
             pos += 4
             out.append(bytes(image[pos : pos + ln]))
             pos += ln
+        elif k == "geometry":
+            # BLOB-style with a 1-4 byte prefix (RowsLogBuffer:860-914);
+            # WKB bytes pass through undecoded, like the reference
+            ln = int.from_bytes(image[pos : pos + spec.packlen], "little")
+            pos += spec.packlen
+            out.append(bytes(image[pos : pos + ln]))
+            pos += ln
+        elif k == "string":
+            # CHAR: prefix width depends on the DECLARED length from
+            # the raw meta (incl. the meta>=256 long-CHAR quirk,
+            # RowsLogBuffer.java:246-270,855-875)
+            prefix = 1 if string_declared_len(spec.meta) < 256 else 2
+            ln = int.from_bytes(image[pos : pos + prefix], "little")
+            pos += prefix
+            decoded = MT.charset_decode(image[pos : pos + ln], spec.charset_id)
+            out.append(
+                decoded if isinstance(decoded, str) else decoded.decode("latin-1")
+            )
+            pos += ln
         else:
             raise ValueError(f"unknown column kind {k!r}")
     return out
@@ -311,7 +379,7 @@ def _decode_one(image: bytes, specs: list[ColumnSpec]) -> list:
 def _output_field(spec: ColumnSpec) -> T.StructField:
     if spec.kind in ("enum", "set", "bit"):
         return T.StructField(spec.name, T.LongType(), True)
-    if spec.kind == "blob":
+    if spec.kind in ("blob", "geometry"):
         return T.StructField(spec.name, T.BinaryType(), True)
     return T.StructField(spec.name, T.StringType(), True)
 

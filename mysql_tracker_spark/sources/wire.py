@@ -64,6 +64,13 @@ TYPE_XID = 16  # COMMIT (reference: XID_EVENT)
 TYPE_WRITE = 30
 TYPE_UPDATE = 31
 TYPE_DELETE = 32
+# MariaDB control events (LogEvent.java:189-214; bodies decoded by
+# sources.mariadb_events) — none is a row event, so the runner's
+# pre-decode type gate skips them like BEGIN/COMMIT frames
+TYPE_MARIA_ANNOTATE = 160
+TYPE_MARIA_CHECKPOINT = 161
+TYPE_MARIA_GTID = 162
+TYPE_MARIA_GTID_LIST = 163
 
 _OP_TO_TYPE = {
     "INSERT": TYPE_WRITE,
@@ -72,6 +79,10 @@ _OP_TO_TYPE = {
     "BEGIN": TYPE_QUERY,
     "COMMIT": TYPE_XID,
     "ALTER": TYPE_QUERY,
+    "ANNOTATE": TYPE_MARIA_ANNOTATE,
+    "CHECKPOINT": TYPE_MARIA_CHECKPOINT,
+    "GTID": TYPE_MARIA_GTID,
+    "GTID_LIST": TYPE_MARIA_GTID_LIST,
 }
 _TYPE_TO_OP_NONDML = {TYPE_XID: "COMMIT"}
 

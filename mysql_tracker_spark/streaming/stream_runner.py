@@ -180,6 +180,111 @@ class CdcStreamJob:
         return self.stats
 
 
+class EventLogStreamJob:
+    """Streaming tail for the APPEND-ONLY event-log pipeline (C6,
+    ``eventlog.EventLogJob``) — the reference's HBase event-log handler
+    ran forever off the binlog tail; the batch EventLogJob only drains
+    a directory once. Same shape as :class:`CdcStreamJob`: the file
+    source is a NEW-DATA SIGNAL only (its mtime ordering must not
+    decide append order), each trigger drains pending input in manifest
+    order through ``apply_batch``, and exactly-once rides the log's own
+    atomic ``(offset, next_seq)`` manifest commit — so a kill/restart
+    keeps the seq axis DENSE and duplicate-free regardless of what the
+    streaming checkpoint saw. The committed ``input_file_end`` property
+    lets a restart skip fully-applied groups without re-reading them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        log_path: str,
+        checkpoint_dir: str,
+        source_format: str = "typed",
+        max_files_per_trigger: int = 1,
+        **job_kwargs,
+    ):
+        from ..eventlog import EventLogJob, EventLogStats
+
+        self.job = EventLogJob(
+            spark, input_dir, log_path, source_format=source_format, **job_kwargs
+        )
+        self.spark = spark
+        self.input_dir = input_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.source_format = source_format
+        self.max_files_per_trigger = max_files_per_trigger
+        self.stats: list["EventLogStats"] = []
+        self._applied_files: set[str] = set()
+        self._apply_seq = 0
+
+    def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
+        # delivered micro-batch = new-data signal only (see class doc)
+        del batch_df, epoch_id
+        self._drain_in_order()
+
+    def _drain_in_order(self) -> None:
+        cursor = self.job.manifest()["properties"].get("input_file_end", "")
+        groups = self.job.batch_files()
+        pos = {
+            os.path.basename(p): i
+            for i, g in enumerate(groups)
+            for p in g
+        }
+        cur_i = -1
+        if cursor in pos:
+            j = pos[cursor]
+            # regrouping can land the cursor mid-group: re-apply that
+            # group — its committed prefix is fenced by the watermark
+            cur_i = j if os.path.basename(groups[j][-1]) == cursor else j - 1
+        for i, group in enumerate(groups):
+            if i <= cur_i or all(p in self._applied_files for p in group):
+                continue
+            st = self.job.apply_batch(self._apply_seq, group)
+            if (
+                self.job.compact_threshold is not None
+                and not st.skipped
+                and self.job.compact(max_segments=self.job.compact_threshold)
+                is not None
+            ):
+                st.extra["compacted"] = True
+            self._apply_seq += 1
+            self._applied_files.update(group)
+            self.stats.append(st)
+
+    def start(self, available_now: bool = True):
+        # drain the pre-existing backlog first: the file source only
+        # triggers on files its checkpoint has not seen
+        self._drain_in_order()
+        schema = (
+            RAW_FRAME_SCHEMA
+            if self.source_format == "wire"
+            else CHANGE_EVENT_SCHEMA
+        )
+        base = self.spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", str(self.max_files_per_trigger)
+        )
+        reader = (
+            base.json(self.input_dir)
+            if self.source_format == "jsonl"
+            else base.parquet(self.input_dir)
+        )
+        writer = reader.writeStream.foreachBatch(self._apply).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_available(self):
+        """Drain everything currently in the directory and block until
+        done; a final drain closes the hidden-``_batches.json`` blind
+        spot (see CdcStreamJob.run_available)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+        self._drain_in_order()
+        return self.stats
+
+
 class Heartbeat:
     """M4 heartbeat/liveness probe (reference:
     ``HandlerMagpieKafka.java:754-816`` — a timer thread pings the

@@ -305,3 +305,60 @@ def test_eventlog_seq_dense_at_boundary_sampling_scale(spark, tmp_path):
     assert (
         len(spark.sparkContext._jsc.getPersistentRDDs()) == cached_before
     )
+
+
+def test_eventlog_streaming_tail_dense_seq_across_restart(spark, tmp_path):
+    """The readStream tail (C6 streaming twin): a stream killed after a
+    partial drain and RESTARTED (fresh checkpoint — worst case) keeps
+    the seq axis dense and duplicate-free, and late-arriving files are
+    appended by the running stream. Final log == the batch job's log."""
+    import shutil
+
+    from mysql_tracker_spark.streaming.stream_runner import EventLogStreamJob
+
+    ev = gen_change_events(CFG)
+    all_in = str(tmp_path / "all")
+    paths = write_batches(ev, all_in, n_batches=4)
+    n_unique = len(ev.drop_duplicates(["file", "pos", "row_idx"]))
+
+    # phase 1: only the first two files exist; stream drains them
+    in_dir = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    for p in paths[:2]:
+        shutil.copy(p, in_dir)
+    s1 = EventLogStreamJob(
+        spark, in_dir, str(tmp_path / "log"), str(tmp_path / "ck1")
+    )
+    st1 = s1.run_available()
+    applied1 = sum(s.rows_appended for s in st1 if not s.skipped)
+    assert applied1 > 0
+    _, _, next_seq = s1.job.watermark()
+    assert next_seq == applied1  # dense from 0
+
+    # phase 2: "kill" (drop the object), two more files arrive, restart
+    # with a FRESH checkpoint — the input_file_end cursor skips the
+    # applied groups, the offset fence guards the rest
+    for p in paths[2:]:
+        shutil.copy(p, in_dir)
+    s2 = EventLogStreamJob(
+        spark, in_dir, str(tmp_path / "log"), str(tmp_path / "ck2")
+    )
+    s2.run_available()
+    # cursor actually skipped phase-1 groups (no skipped-stat re-reads)
+    assert all(not s.skipped for s in s2.stats)
+
+    log = s2.job.read()
+    n = log.count()
+    assert n == n_unique
+    agg = log.agg(
+        F.min("seq").alias("lo"), F.max("seq").alias("hi"),
+        F.count_distinct("seq").alias("d"),
+    ).collect()[0]
+    assert (agg["lo"], agg["hi"], agg["d"]) == (0, n - 1, n)
+
+    # equivalence with the batch job over the same input
+    batch_job = EventLogJob(spark, all_in, str(tmp_path / "log_batch"))
+    batch_job.run()
+    a = log.select("seq", "file", "pos", "row_idx").orderBy("seq")
+    b = batch_job.read().select("seq", "file", "pos", "row_idx").orderBy("seq")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

@@ -436,3 +436,55 @@ def test_duplicate_spans_disjoint_spans_and_stats_agree(spark):
     for r in agg:
         assert stats[r.doc_id].n_spans == r.k
         assert stats[r.doc_id].dup_tokens == r.t
+
+
+def test_lsh_degenerate_band_guard_bounds_blowup(spark):
+    """Planted skew: 10k byte-identical docs collapse into ONE bucket
+    per band — all-pairs there is ~4x10^8 joined rows (the quadratic
+    blowup AQE can split but not shrink). With max_bucket the oversized
+    buckets emit a sorted chain instead: the candidate count stays
+    LINEAR in the class size, the duplicate class remains fully
+    connected, and normal-bucket pairs are untouched."""
+    import time
+
+    dup = "identical template boilerplate text repeated across the whole crawl"
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [(i, dup) for i in range(10_000)]
+    rows += [(20_000, base), (20_001, base + " extra")]
+    rows += [
+        (30_000 + i, f"unique document number {i} with its own totally distinct content {i * 7}")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    t0 = time.monotonic()
+    pairs = SK.lsh_candidate_pairs(df, max_bucket=256)
+    n_pairs = pairs.count()
+    wall = time.monotonic() - t0
+    # linear, not quadratic: chain gives ~9,999 pairs for the planted
+    # class (plus the normal pair); all-pairs would be ~5x10^7 distinct
+    assert n_pairs < 50_000, n_pairs
+    assert wall < 60, f"degenerate-band candidates took {wall:.0f}s"
+    # the duplicate class stays fully connected through the chain
+    dup_pairs = [
+        (r.id_a, r.id_b)
+        for r in pairs.filter(
+            (F.col("id_a") < 10_000) & (F.col("id_b") < 10_000)
+        ).collect()
+    ]
+    parent = list(range(10_000))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in dup_pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(10_000)}) == 1
+    # the honest (small-bucket) pair is still found exactly
+    normal = {
+        (r.id_a, r.id_b)
+        for r in pairs.filter(F.col("id_a") >= 10_000).collect()
+    }
+    assert (20_000, 20_001) in normal

@@ -98,3 +98,47 @@ def test_charset_decode():
     assert MT.charset_decode(b"\x00\xff", 63) == b"\x00\xff"
     assert MT.charset_decode("héllo".encode("utf-8"), 45) == "héllo"
     assert MT.charset_decode(b"\xc4\xe3\xba\xc3", 28) == "你好"  # gbk
+
+
+def test_charset_tier3_full_reference_table():
+    """Every collation id in the reference's CharsetConversion table
+    (CharsetConversion.java:69-273) now decodes without the unknown-id
+    warning: explicit entries, latin-1 byte-preserving stand-ins for
+    charsets with no Python codec (dec8/hp8/keybcs2/armscii8/geostd8/
+    filename — the reference's own Java mappings for these are absent
+    or ISO8859_1 too), and range entries for the per-language Unicode
+    collations."""
+    import warnings
+
+    ref_ids = (
+        list(range(1, 36)) + list(range(36, 100)) + [101] + list(range(102, 121))
+        + list(range(128, 148)) + [159] + list(range(160, 180))
+        + [192] + list(range(193, 212)) + [224] + list(range(225, 244)) + [254]
+    )
+    ref_ids = [i for i in ref_ids if i not in (56, 62, 63, 76, 100)]
+    def payload(cid):
+        if cid in (35, 54, 55, 90, 159) or 101 <= cid <= 147:
+            return "abc".encode("utf-16-be")
+        if cid in (60, 61) or 160 <= cid <= 179:
+            return "abc".encode("utf-32-be")
+        return b"abc123"
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for cid in ref_ids:
+            got = MT.charset_decode(payload(cid), cid)
+            assert isinstance(got, str) and got, cid
+    # per-language unicode ranges hit the right codec
+    assert MT.charset_decode("hé".encode("utf-8"), 203) == "hé"       # utf8_danish_ci
+    assert MT.charset_decode("hé".encode("utf-8"), 235) == "hé"       # utf8mb4_danish_ci
+    assert MT.charset_decode("hé".encode("utf-16-be"), 137) == "hé"   # ucs2_turkish_ci
+    assert MT.charset_decode("hé".encode("utf-32-be"), 170) == "hé"   # utf32_czech_ci
+    assert MT.charset_decode("hé".encode("utf-16-be"), 110) == "hé"   # utf16_turkish_ci
+    # keybcs2/dec8/hp8/armscii8/geostd8: byte-preserving latin-1
+    assert MT.charset_decode(b"\xe9\x41", 37) == "\xe9A"
+    # an id outside every table still warns (e.g. 250 gb18030-era slot)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        MT._WARNED_CHARSET_IDS.discard(250)
+        MT.charset_decode(b"abc", 250)
+        assert any("unknown MySQL collation id 250" in str(x.message) for x in w)

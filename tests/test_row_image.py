@@ -256,3 +256,81 @@ def test_charset_unknown_id_warns_once():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert MT.charset_decode(b"abc", 9999) == "abc"
+
+
+def test_geometry_packlens_and_roundtrip():
+    """GEOMETRY (RowsLogBuffer.java:860-914): BLOB-style bytes with a
+    1-4 byte LE length prefix; WKB passes through undecoded."""
+    wkb = bytes.fromhex("0101000000000000000000f03f0000000000000040")
+    for packlen in (1, 2, 3, 4):
+        spec = RI.ColumnSpec("g", "geometry", packlen=packlen)
+        enc = RI.encode_geometry(wkb, packlen)
+        assert enc[:packlen] == len(wkb).to_bytes(packlen, "little")
+        img = RI.encode_row_image({"g": wkb}, [spec])
+        assert RI._decode_one(img, [spec]) == [wkb]
+    with pytest.raises(ValueError):
+        RI.encode_geometry(wkb, 5)
+
+
+def test_string_declared_len_meta_quirk():
+    """The meta>=256 MYSQL_TYPE_STRING encodings
+    (RowsLogBuffer.java:246-270): long-CHAR #37426 splits length bits
+    into byte0; the ENUM/SET/STRING byte0 form keeps len in byte1."""
+    # plain: meta < 256 is the length itself
+    assert RI.string_declared_len(40) == 40
+    # long CHAR: byte0 & 0x30 != 0x30 -> len = byte1 | ((byte0&0x30)^0x30)<<4
+    # CHAR(300) utf8: 900 bytes = 0x384 -> byte0 = 0xFE & ~0x30 bits...
+    # construct: declared 900 = 0x384; byte1 = 0x84, high bits 0x3 ->
+    # (byte0 & 0x30) ^ 0x30 == 0x30 ^ 0x10? build from the inverse:
+    # byte0 = (MYSQL_TYPE_STRING & ~0x30) | (((900 >> 4) & 0x300) >> 4)
+    # simpler: verify against the reference formula directly
+    for declared in (256, 300, 511, 900, 1020):
+        hi = (declared >> 8) & 0x03
+        byte0 = (RI.MYSQL_TYPE_STRING & ~0x30) | ((0x30 ^ (hi << 4)) & 0x30)
+        meta = (byte0 << 8) | (declared & 0xFF)
+        assert RI.string_declared_len(meta) == declared, declared
+    # ENUM/SET/STRING in byte0: len = byte1
+    for t in (RI.MYSQL_TYPE_ENUM, RI.MYSQL_TYPE_SET, RI.MYSQL_TYPE_STRING):
+        assert RI.string_declared_len((t << 8) | 200) == 200
+    with pytest.raises(ValueError):
+        RI.string_declared_len((0x3F << 8) | 10)  # unknown byte0 form
+
+
+def test_char_string_roundtrip_both_prefix_widths(spark):
+    """CHAR columns: 1-byte prefix under declared<256, 2-byte above
+    (RowsLogBuffer.java:855-875) — distributed round-trip for both,
+    plus a multi-byte SET (nbytes up to 8) in the same image."""
+    long_meta = (
+        ((RI.MYSQL_TYPE_STRING & ~0x30) | 0x20) << 8
+    ) | (300 & 0xFF)  # declared 300 -> 2-byte prefix (long-CHAR form)
+    assert RI.string_declared_len(long_meta) == 300
+    specs = [
+        RI.ColumnSpec("short_c", "string", meta=40, charset_id=45),
+        RI.ColumnSpec("long_c", "string", meta=long_meta, charset_id=45),
+        RI.ColumnSpec("s2", "set", nbytes=2),
+        RI.ColumnSpec("s8", "set", nbytes=8),
+        RI.ColumnSpec("g", "geometry", packlen=2),
+    ]
+    wkb = bytes.fromhex("010100000000000000000022400000000000002240")
+    rows = []
+    for i in range(64):
+        v = {
+            "short_c": f"pad-{i}",
+            "long_c": ("xyzé" * 59) + str(i),  # >255 bytes utf-8
+            "s2": (i * 257) & 0xFFFF,
+            "s8": (i << 40) | 0xABCDEF,
+            "g": wkb if i % 3 else None,
+        }
+        img = RI.encode_row_image(v, specs)
+        # prefix widths are as declared
+        rows.append((i, img, v))
+    df = spark.createDataFrame(
+        [(i, img) for i, img, _ in rows], "row_id long, image binary"
+    ).repartition(4)
+    got = {r["row_id"]: r for r in RI.decode_row_images(df, specs, id_cols=["row_id"]).collect()}
+    for i, img, v in rows:
+        r = got[i]
+        assert r["short_c"] == v["short_c"]
+        assert r["long_c"] == v["long_c"]
+        assert r["s2"] == v["s2"] and r["s8"] == v["s8"]
+        assert (bytes(r["g"]) if r["g"] is not None else None) == v["g"]
