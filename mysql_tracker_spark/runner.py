@@ -201,6 +201,7 @@ class CdcApplyJob:
         auto_split_migrate_per_batch: int = 16,
         branch: str | None = None,
         pipeline_prefetch: bool = True,
+        gtid_list: str | None = None,
     ):
         """``branch="name"`` applies onto a BRANCH of the target table
         (created at the current main head if absent): batches commit to
@@ -227,6 +228,11 @@ class CdcApplyJob:
         self.files_per_batch = files_per_batch
         self.source_format = source_format
         self.n_salts = n_salts
+        # MariaDB GTID_LIST replication-state fence ("0-1-100,1-2-7"):
+        # applied in _stream_filters on sources that carry a gtid
+        # column (typed/jsonl); the wire body has no gtid field, where
+        # the position fence remains the sole authority
+        self.gtid_list = gtid_list
         # auto skew escalation state (wire path; see AUTO_SALT_RATIO)
         self._escalated = False
         # pipelined micro-batches (wire path): the run loop prefetches
@@ -784,6 +790,10 @@ class CdcApplyJob:
             df = regex_name_filter(df, self.filter_regex)
         if self.allowlist is not None:
             df = allowlist_filter(df, self.allowlist)
+        if self.gtid_list is not None and "gtid" in df.columns:
+            from .sources.mariadb_events import after_mariadb_gtid_list
+
+            df = after_mariadb_gtid_list(df, self.gtid_list)
         return df
 
     def _lww(self, keyed: DataFrame, payload_cols: list[str]) -> DataFrame:

@@ -182,12 +182,18 @@ def after_mariadb_gtid_list(df: DataFrame, executed: list[dict] | str) -> DataFr
     fence = gtid_list_fence(executed)
     if not fence:
         return df
+    # only well-formed MariaDB GTIDs participate: a MySQL-form gtid
+    # ("uuid:txn" — the uuid contains dashes) would otherwise parse to
+    # NULL fields, null-poison the predicate, and be silently dropped
+    is_maria = F.col("gtid").rlike(r"^\d+-\d+-\d+$")
     dom = F.split(F.col("gtid"), "-").getItem(0).cast("int")
     seq = F.split(F.col("gtid"), "-").getItem(2).cast("long")
     inside = F.lit(False)
     for d, s in fence.items():
         inside = inside | ((dom == d) & (seq <= s))
-    return df.filter(F.col("gtid").isNull() | ~inside)
+    return df.filter(
+        F.col("gtid").isNull() | ~is_maria | ~inside
+    )
 
 
 # ------------------------------------------------- generator flavoring

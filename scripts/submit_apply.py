@@ -116,6 +116,13 @@ def main() -> None:
         "only it references",
     )
     ap.add_argument(
+        "--gtid-list", default=None, metavar="STATE",
+        help="MariaDB GTID_LIST replication-state fence, e.g. "
+        "'0-1-100,1-2-7': drop events whose MariaDB gtid "
+        "(domain-server-seqno) is already covered per-domain; sources "
+        "without a gtid column are unaffected (position fence rules)",
+    )
+    ap.add_argument(
         "--quarantine-dir", default=None, metavar="DIR",
         help="dead-letter audit (wire format): persist corrupt frames "
         "(reason + verbatim payload) under DIR instead of only "
@@ -384,6 +391,8 @@ def main() -> None:
         )
         if args.expire_keep_last is not None:
             job.job.expire_keep_last = args.expire_keep_last
+        if args.gtid_list is not None:
+            job.job.gtid_list = args.gtid_list
         if args.reset_policy:
             probe = job.job.validate_position(reset_policy=args.reset_policy)
             print(json.dumps({"position_probe": probe}), file=sys.stderr)
@@ -423,6 +432,8 @@ def main() -> None:
                 cfg.auto_split_rows_per_bucket = args.auto_split_rows_per_bucket
             job2 = CdcApplyJob.from_config(spark, cfg)
             job2.expectations = expectations or job2.expectations
+            if args.gtid_list is not None:
+                job2.gtid_list = args.gtid_list
             if args.branch is not None:
                 job2.branch = args.branch
         else:
@@ -436,6 +447,7 @@ def main() -> None:
                 on_destructive_ddl=args.on_destructive_ddl or "raise",
                 n_salts=args.salts if args.salts is not None else 0,
                 quarantine_dir=args.quarantine_dir,
+                gtid_list=args.gtid_list,
                 expectations=expectations,
                 write_mode=args.write_mode or "cow",
                 mor_compact_threshold=args.mor_compact_threshold

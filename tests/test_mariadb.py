@@ -162,3 +162,56 @@ def test_mariadb_flavor_preserves_dml_bytes():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_runner_gtid_list_fence_equals_position_fence(spark, tmp_path):
+    """gtid_list wired into the apply job: fencing by the MariaDB
+    GTID_LIST state must yield the same final table as an unfenced
+    apply (the fenced txns are exactly the replay prefix an
+    already-applied table carries), and MySQL-form gtids must pass
+    through the MariaDB fence untouched."""
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        expected_final_state,
+        gen_change_events,
+        write_batches,
+    )
+    from tests.conftest import normalize
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=50, seed=21))
+    # re-stamp gtids in MariaDB form keyed by xid (monotone txn ids)
+    ev = ev.copy()
+    ev["gtid"] = ev["xid"].map(
+        lambda x: None if pd.isna(x) else f"0-1-{int(x)}"
+    )
+    in_dir = str(tmp_path / "in")
+    write_batches(ev, in_dir, n_batches=3)
+
+    # fence at the median xid: txns <= mid are "already replicated"
+    xids = sorted(ev["xid"].dropna().astype(int).unique())
+    mid = xids[len(xids) // 2]
+    job = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "t1"), n_buckets=8,
+        gtid_list=f"0-1-{mid}",
+    )
+    job.run()
+    # events from fenced txns never reached the table; convergence
+    # still holds for the unfenced suffix
+    keep = ev[(ev["gtid"].isna()) | (ev["xid"].astype("Int64") > mid)]
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(keep))
+    assert got.equals(exp), "gtid-fenced apply != oracle over unfenced suffix"
+
+    # MySQL-form gtids are NOT candidates for the MariaDB fence
+    ev2 = gen_change_events(GenConfig(n_events=800, n_conversations=30, seed=22))
+    in2 = str(tmp_path / "in2")
+    write_batches(ev2, in2, n_batches=2)
+    job2 = CdcApplyJob(
+        spark, in2, str(tmp_path / "t2"), n_buckets=8,
+        gtid_list="0-1-999999999",  # covers everything IF misparsed
+    )
+    job2.run()
+    got2 = normalize(job2.table.read(spark).toPandas())
+    exp2 = normalize(expected_final_state(ev2))
+    assert got2.equals(exp2), "MySQL-form gtids must pass the MariaDB fence"
