@@ -362,7 +362,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             )
         if not len(out):
             return
-        yield _to_record_batch(out, meta["target_fields"])
+        # chunked emission: one monolithic batch for a multi-million-row
+        # bucket diff would spike executor memory at the Arrow boundary;
+        # 64k rows/batch matches the engine's decode batch sizing
+        for lo in range(0, len(out), 65536):
+            yield _to_record_batch(
+                out.iloc[lo : lo + 65536], meta["target_fields"]
+            )
 
 
 def _to_record_batch(pdf, target_fields: list[dict]):

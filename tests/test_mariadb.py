@@ -215,3 +215,64 @@ def test_runner_gtid_list_fence_equals_position_fence(spark, tmp_path):
     got2 = normalize(job2.table.read(spark).toPandas())
     exp2 = normalize(expected_final_state(ev2))
     assert got2.equals(exp2), "MySQL-form gtids must pass the MariaDB fence"
+
+
+def test_mariadb_body_decoders_property():
+    """Property (hypothesis): encode->decode round-trips for random
+    GTID / GTID_LIST / CHECKPOINT values, and random byte garbage
+    either decodes or raises ValueError — never crashes another way."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        seqno=st.integers(0, 2**64 - 1),
+        domain=st.integers(0, 2**32 - 1),
+        server=st.integers(0, 2**32 - 1),
+        flags=st.integers(0, 255),
+    )
+    def gtid_rt(seqno, domain, server, flags):
+        body = struct.pack("<QIB", seqno, domain, flags)
+        g = decode_gtid_body(body, server)
+        assert (g["domain_id"], g["server_id"], g["seqno"]) == (
+            domain, server, seqno,
+        )
+        assert g["standalone"] == bool(flags & 1)
+
+    gtid_rt()
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        entries=st.lists(
+            st.tuples(
+                st.integers(0, 2**32 - 1),
+                st.integers(0, 2**32 - 1),
+                st.integers(0, 2**64 - 1),
+            ),
+            max_size=16,
+        ),
+        flags=st.integers(0, 15),
+    )
+    def gtid_list_rt(entries, flags):
+        body = struct.pack("<I", len(entries) | (flags << 28))
+        for d, s, q in entries:
+            body += struct.pack("<IIQ", d, s, q)
+        got = decode_gtid_list_body(body)
+        assert [(g["domain_id"], g["server_id"], g["seqno"]) for g in got] == entries
+
+    gtid_list_rt()
+
+    @settings(max_examples=200, deadline=None)
+    @given(garbage=st.binary(max_size=64))
+    def never_crashes(garbage):
+        for fn in (
+            lambda b: decode_gtid_body(b, 1),
+            decode_gtid_list_body,
+            decode_binlog_checkpoint_body,
+            decode_annotate_body,
+        ):
+            try:
+                fn(garbage)
+            except ValueError:
+                pass
+
+    never_crashes()
