@@ -100,6 +100,8 @@ def register_table(
     # branch head version appended instead of silently shadowing; the
     # branch chain can advance after registration — re-register to
     # see newer branch commits, same pinning contract as the base view)
+    from pyspark.errors import AnalysisException
+
     bseen: set[str] = set()
     for bname in t.branch_names():
         try:
@@ -109,11 +111,12 @@ def register_table(
                 safe = f"{safe}_v{br.current_version()}"
             bseen.add(safe)
             br.read(spark).createOrReplaceTempView(f"{name}__branch_{safe}")
-        except FileNotFoundError:
+        except (FileNotFoundError, AnalysisException):
             # a concurrent fast_forward/drop_branch removed the branch
-            # dir between the listing and the load (rmtree is not
-            # atomic w.r.t. readers) — skip it rather than abort the
-            # whole registration
+            # dir between the listing and the load/read (rmtree is not
+            # atomic w.r.t. readers; Spark surfaces a vanished data
+            # path as AnalysisException) — skip it rather than abort
+            # the whole registration
             continue
         created.append(f"{name}__branch_{safe}")
 

@@ -203,6 +203,18 @@ def lsh_candidate_pairs(
         else minhash_signature(F.col(text_col), k, n, seed)
     )
     sig = df.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+    sig_cache = None
+    if max_bucket is not None:
+        # the guard's plan reads the banded frame from 4 sub-trees
+        # (sizes agg, size join, both self-join sides); without a
+        # barrier each can re-run the expensive Arrow signature UDF
+        # over the whole corpus when exchange reuse fails to unify
+        # them. Persist the tiny (id, sig) frame — k longs per doc —
+        # so re-derivations of `banded` are a cheap cached explode.
+        # Released via the result's ``_mts_sig_cache`` handle (same
+        # caller contract as global_sequence's ``_mts_seq_cache``).
+        sig = sig.persist()
+        sig_cache = sig
     banded = sig.select(
         "id", F.explode(band_hashes(F.col("sig"), k, bands)).alias("e")
     ).select("id", "e.band", "e.bh")
@@ -231,6 +243,7 @@ def lsh_candidate_pairs(
             .unionByName(chain)
             .distinct()
         )
+        pairs._mts_sig_cache = sig_cache
         return pairs
     left = banded.alias("l")
     right = banded.alias("r")

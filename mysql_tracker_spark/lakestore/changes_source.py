@@ -313,45 +313,61 @@ class LakeChangesStreamReader(DataSourceStreamReader):
             out = new[names].copy()
             out.insert(0, "op", "insert")
         else:
-            merged = old[names].merge(
-                new[names],
-                on=key,
-                how="outer",
-                suffixes=("__old", ""),
-                indicator=True,
-                sort=False,
+            # POSITIONAL merge: join only (key cols + row positions) and
+            # gather the data rows from the ORIGINAL frames afterwards.
+            # Merging the data columns themselves would let the outer
+            # merge promote int64 to float64 (NaN fill on one-sided
+            # rows), which silently corrupts values above 2^53 and makes
+            # float-colliding updates compare equal — the positional
+            # gather keeps every column's exact dtype end to end.
+            old = old.reset_index(drop=True)
+            new = new.reset_index(drop=True)
+            lk = old[key].copy()
+            lk["__ia"] = np.arange(len(old), dtype=np.int64)
+            rk = new[key].copy()
+            rk["__ib"] = np.arange(len(new), dtype=np.int64)
+            merged = lk.merge(
+                rk, on=key, how="outer", indicator=True, sort=False
             )
             side = merged["_merge"].to_numpy()
-            ins = side == "right_only"
-            dele = side == "left_only"
-            if non_key:
-                changed = np.zeros(len(merged), dtype=bool)
+            ins_ib = (
+                merged.loc[side == "right_only", "__ib"]
+                .to_numpy()
+                .astype(np.int64)
+            )
+            del_ia = (
+                merged.loc[side == "left_only", "__ia"]
+                .to_numpy()
+                .astype(np.int64)
+            )
+            both = merged[side == "both"]
+            ia = both["__ia"].to_numpy().astype(np.int64)
+            ib = both["__ib"].to_numpy().astype(np.int64)
+            if non_key and len(both):
+                changed = np.zeros(len(both), dtype=bool)
                 for c in non_key:
-                    a, b = merged[c + "__old"], merged[c]
-                    # NaN-aware: both-missing counts as equal (floats
-                    # promoted by the outer merge compare numerically)
+                    a = old[c].iloc[ia].reset_index(drop=True)
+                    b = new[c].iloc[ib].reset_index(drop=True)
+                    # NaN-aware: both-missing counts as equal
                     eq = (a == b) | (a.isna() & b.isna())
                     changed |= ~eq.to_numpy()
-                upd = (side == "both") & changed
+                upd_ib = ib[changed]
             else:
-                upd = np.zeros(len(merged), dtype=bool)
+                upd_ib = np.empty(0, dtype=np.int64)
 
-            def take(mask, op, suffix):
-                cols = [c if c in key else c + suffix for c in names]
-                df = merged.loc[mask, cols]
-                df.columns = names
-                df = df.copy()
+            def take(frame, idx, op):
+                df = frame[names].iloc[idx].reset_index(drop=True)
                 df.insert(0, "op", op)
                 return df
 
             sides = [
-                take(mask, op, sfx)
-                for mask, op, sfx in (
-                    (ins, "insert", ""),
-                    (dele, "delete", "__old"),
-                    (upd, "update", ""),
+                take(frame, idx, op)
+                for frame, idx, op in (
+                    (new, ins_ib, "insert"),
+                    (old, del_ia, "delete"),
+                    (new, upd_ib, "update"),
                 )
-                if mask.any()  # empty/all-NA frames poison concat dtypes
+                if len(idx)  # empty/all-NA frames poison concat dtypes
             ]
             if not sides:
                 return
@@ -373,8 +389,9 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
 def _to_record_batch(pdf, target_fields: list[dict]):
     """pandas → one Arrow RecordBatch matching the declared stream
-    schema (op + table columns); NaN/NaT/None become Arrow nulls and
-    outer-merge float-promoted int columns are cast back losslessly."""
+    schema (op + table columns); NaN/NaT/None become Arrow nulls.
+    Column dtypes arrive UNPROMOTED (the diff gathers rows positionally
+    from the source frames), so int64 columns convert exactly."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 

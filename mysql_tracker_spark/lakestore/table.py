@@ -2607,7 +2607,10 @@ class LakeTable:
             # the main chain since the fork for this exact publish and
             # finish the cleanup as a no-op instead.
             for v in range(fork + 1, cur + 1):
-                s = self.manifest(v).get("summary") or {}
+                try:
+                    s = self.manifest(v).get("summary") or {}
+                except FileNotFoundError:
+                    continue  # snapshot expired: cannot be the publish
                 if (
                     s.get("operation") == "fast-forward"
                     and s.get("branch") == name

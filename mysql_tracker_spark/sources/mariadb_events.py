@@ -186,11 +186,17 @@ def after_mariadb_gtid_list(df: DataFrame, executed: list[dict] | str) -> DataFr
     # ("uuid:txn" — the uuid contains dashes) would otherwise parse to
     # NULL fields, null-poison the predicate, and be silently dropped
     is_maria = F.col("gtid").rlike(r"^\d+-\d+-\d+$")
-    dom = F.split(F.col("gtid"), "-").getItem(0).cast("int")
-    seq = F.split(F.col("gtid"), "-").getItem(2).cast("long")
+    # decimal(20,0) holds the full u32 domain and u64 seqno range — a
+    # 32-bit int cast would turn domain ids above 2^31-1 into NULL,
+    # null-poison the predicate, and silently DROP never-replicated
+    # events from high-numbered domains
+    dom = F.split(F.col("gtid"), "-").getItem(0).cast("decimal(20,0)")
+    seq = F.split(F.col("gtid"), "-").getItem(2).cast("decimal(20,0)")
     inside = F.lit(False)
     for d, s in fence.items():
-        inside = inside | ((dom == d) & (seq <= s))
+        d_lit = F.lit(str(int(d))).cast("decimal(20,0)")
+        s_lit = F.lit(str(int(s))).cast("decimal(20,0)")
+        inside = inside | ((dom == d_lit) & (seq <= s_lit))
     return df.filter(
         F.col("gtid").isNull() | ~is_maria | ~inside
     )

@@ -265,6 +265,26 @@ _CHARSET_RANGES: list[tuple[int, int, str]] = [
 
 _WARNED_CHARSET_IDS: set[int] = set()
 
+#: sentinel distinguishing "id not in any table" from the explicit
+#: ``None`` entry (63 = binary, bytes pass through undecoded)
+_UNKNOWN_ID = object()
+
+
+def codec_for_id(charset_id: int, default: str = "utf-8"):
+    """THE codec lookup (explicit table, then the per-language Unicode
+    collation ranges, then ``default``): encoder and decoder must
+    resolve through the same path or a range-mapped id round-trips
+    through two different codecs.  Returns None for ``binary`` (63).
+    Does NOT warn — :func:`charset_decode` owns the unknown-id
+    warning."""
+    try:
+        return _CHARSET_CODECS[charset_id]
+    except KeyError:
+        return next(
+            (c for lo, hi, c in _CHARSET_RANGES if lo <= charset_id <= hi),
+            default,
+        )
+
 
 def charset_decode(buf: bytes, charset_id: int, default: str = "utf-8"):
     """Decode a text column's bytes per its column/collation charset
@@ -274,29 +294,19 @@ def charset_decode(buf: bytes, charset_id: int, default: str = "utf-8"):
     Python-native equivalent of that byte-preserving intent. An
     unknown id warns ONCE (per process) and falls back to ``default``
     — never a silent wrong decode."""
-    try:
-        codec = _CHARSET_CODECS[charset_id]
-    except KeyError:
-        codec = next(
-            (
-                c
-                for lo, hi, c in _CHARSET_RANGES
-                if lo <= charset_id <= hi
-            ),
-            None,
-        )
-        if codec is None:
-            if charset_id not in _WARNED_CHARSET_IDS:
-                _WARNED_CHARSET_IDS.add(charset_id)
-                import warnings
+    codec = codec_for_id(charset_id, default=_UNKNOWN_ID)
+    if codec is _UNKNOWN_ID:
+        if charset_id not in _WARNED_CHARSET_IDS:
+            _WARNED_CHARSET_IDS.add(charset_id)
+            import warnings
 
-                warnings.warn(
-                    f"unknown MySQL collation id {charset_id}; falling back "
-                    f"to {default!r} (reference CharsetConversion logs the "
-                    "same warning for unmapped ids)",
-                    stacklevel=2,
-                )
-            codec = default
+            warnings.warn(
+                f"unknown MySQL collation id {charset_id}; falling back "
+                f"to {default!r} (reference CharsetConversion logs the "
+                "same warning for unmapped ids)",
+                stacklevel=2,
+            )
+        codec = default
     if codec is None:
         return bytes(buf)
     return bytes(buf).decode(codec)

@@ -181,7 +181,7 @@ def encode_blob(raw: bytes) -> bytes:
 
 
 def encode_varstring(text: str, charset_id: int) -> bytes:
-    codec = MT._CHARSET_CODECS.get(charset_id, "utf-8")
+    codec = MT.codec_for_id(charset_id)
     raw = text.encode(codec) if codec else text.encode("latin-1")
     if len(raw) > 0xFFFF:
         raise ValueError("varstring longer than 2-byte length prefix")
@@ -223,7 +223,7 @@ def encode_string(text: str, meta: int, charset_id: int) -> bytes:
     """CHAR/MYSQL_TYPE_STRING: 1-byte length prefix when the declared
     length < 256, else 2-byte (RowsLogBuffer.java:855-875)."""
     declared = string_declared_len(meta)
-    codec = MT._CHARSET_CODECS.get(charset_id, "utf-8")
+    codec = MT.codec_for_id(charset_id)
     raw = text.encode(codec) if codec else text.encode("latin-1")
     if len(raw) > declared:
         raise ValueError(f"CHAR value {len(raw)}B exceeds declared {declared}B")

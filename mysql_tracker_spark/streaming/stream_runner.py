@@ -50,54 +50,60 @@ from ..runner import ApplyStats, CdcApplyJob
 from ..schema import CHANGE_EVENT_SCHEMA, RAW_FRAME_SCHEMA
 
 
-class CdcStreamJob:
-    """Tail an input directory as a stream and apply each micro-batch
-    exactly once into the lakestore table."""
+class _DirDrainStreamJob:
+    """Shared streaming shell for directory-tail jobs: the file source
+    is a NEW-DATA SIGNAL only (its mtime ordering must not decide apply
+    order); every trigger drains pending input in MANIFEST ORDER
+    through the wrapped batch job, skipping groups at or before the
+    durable cursor (``_cursor()``) or already applied this run. The
+    wrapped job's own atomic watermark commit is the exactly-once
+    authority — the streaming checkpoint only avoids re-listing files.
+    Subclasses supply ``_cursor()``, ``_apply_group()``, and optional
+    ``_prepare()`` / ``_after_drain(applied_any)`` hooks."""
 
     def __init__(
         self,
         spark: SparkSession,
         input_dir: str,
-        table_path: str,
         checkpoint_dir: str,
-        source_format: str = "typed",
-        max_files_per_trigger: int = 1,
-        views: list | None = None,
-        **job_kwargs,
+        source_format: str,
+        max_files_per_trigger: int,
     ):
-        """``views``: optional :class:`~mysql_tracker_spark.views.
-        MaterializedView` list synced after every applied micro-batch —
-        derived datasets (stats, near-dup signature index, …) then trail
-        the table by at most one batch. A fenced-out (replayed) batch
-        leaves the table version unchanged, so its sync is a no-op; view
-        maintenance inherits the stream's exactly-once economics."""
-        self.job = CdcApplyJob(
-            spark, input_dir, table_path, source_format=source_format, **job_kwargs
-        )
         self.spark = spark
         self.input_dir = input_dir
         self.checkpoint_dir = checkpoint_dir
         self.source_format = source_format
         self.max_files_per_trigger = max_files_per_trigger
-        self.views = list(views or [])
-        self.stats: list[ApplyStats] = []
         # in-run memory of applied input groups (the durable cursor is
-        # the table's input_file_end property, committed per snapshot)
+        # subclass state committed with each snapshot)
         self._applied_files: set[str] = set()
         self._apply_seq = 0
 
+    # ---- subclass hooks ------------------------------------------------
+    def _cursor(self) -> str:
+        raise NotImplementedError
+
+    def _apply_group(self, batch_id: int, group: list[str]) -> None:
+        raise NotImplementedError
+
+    def _prepare(self) -> None:
+        pass
+
+    def _after_drain(self, applied_any: bool) -> None:
+        pass
+
+    # ---- shared drain --------------------------------------------------
     def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
         # the delivered micro-batch is ONLY a new-data signal (see
-        # module docstring: the file source's mtime ordering must not
-        # decide apply order); batch_df is deliberately never executed
+        # class docstring); batch_df is deliberately never executed
         del batch_df, epoch_id
         self._drain_in_order()
 
     def _drain_in_order(self) -> None:
         """Apply every pending manifest-ordered input group through the
         batch path. Cheap skips: groups at or before the committed
-        ``input_file_end`` cursor (one property read) or already
-        applied in this run never touch their files.
+        cursor (one property read) or already applied in this run never
+        touch their files.
 
         The cursor is compared by MANIFEST POSITION, not name order:
         the manifest (or listing) order is the authoritative log order,
@@ -107,9 +113,7 @@ class CdcStreamJob:
         naming a file no longer in the manifest (rotated out) simply
         stops skipping; the per-batch watermark fence keeps replays
         cheap and correct."""
-        cursor = ""
-        if self.job.table is not None:
-            cursor = self.job.table.properties().get("input_file_end", "")
+        cursor = self._cursor()
         groups = self.job.batch_files()
         pos = {
             os.path.basename(p): i
@@ -129,131 +133,21 @@ class CdcStreamJob:
         for i, group in enumerate(groups):
             if i <= cur_i or all(p in self._applied_files for p in group):
                 continue
-            self.stats.append(self.job.apply_batch(self._apply_seq, group))
+            self._apply_group(self._apply_seq, group)
             self._apply_seq += 1
             self._applied_files.update(group)
             applied_any = True
-        if applied_any:
-            for v in self.views:
-                v.sync(self.spark)
+        self._after_drain(applied_any)
 
     def start(self, available_now: bool = True):
         """Start the streaming query. ``available_now=True`` drains the
         current directory contents then stops (replay mode); False
         keeps tailing with the default processing-time trigger."""
-        self.job.prepare()
+        self._prepare()
         # drain the pre-existing backlog up front: the file source only
         # triggers on files its checkpoint has NOT seen, so input left
         # unapplied by a previous run (crash between delivery and
         # apply) would otherwise starve forever
-        self._drain_in_order()
-        schema = RAW_FRAME_SCHEMA if self.source_format == "wire" else CHANGE_EVENT_SCHEMA
-        base = self.spark.readStream.schema(schema).option(
-            "maxFilesPerTrigger", str(self.max_files_per_trigger)
-        )
-        reader = (
-            base.json(self.input_dir)
-            if self.source_format == "jsonl"
-            else base.parquet(self.input_dir)
-        )
-        writer = (
-            reader.writeStream.foreachBatch(self._apply)
-            .option("checkpointLocation", self.checkpoint_dir)
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
-
-    def run_available(self):
-        """Convenience: drain everything currently in the directory and
-        block until done. A FINAL drain runs after the query stops:
-        the file source cannot see ``_batches.json`` (underscore files
-        are hidden), so a manifest commit that landed after its data
-        files were delivered would otherwise leave those committed
-        batches unapplied until the next run. (Live-tail mode has the
-        same blind spot between triggers — the Heartbeat's reload, or
-        any later file arrival, closes it; callers needing tighter
-        bounds can invoke ``_drain_in_order`` on a timer.)"""
-        q = self.start(available_now=True)
-        q.awaitTermination()
-        self._drain_in_order()
-        return self.stats
-
-
-class EventLogStreamJob:
-    """Streaming tail for the APPEND-ONLY event-log pipeline (C6,
-    ``eventlog.EventLogJob``) — the reference's HBase event-log handler
-    ran forever off the binlog tail; the batch EventLogJob only drains
-    a directory once. Same shape as :class:`CdcStreamJob`: the file
-    source is a NEW-DATA SIGNAL only (its mtime ordering must not
-    decide append order), each trigger drains pending input in manifest
-    order through ``apply_batch``, and exactly-once rides the log's own
-    atomic ``(offset, next_seq)`` manifest commit — so a kill/restart
-    keeps the seq axis DENSE and duplicate-free regardless of what the
-    streaming checkpoint saw. The committed ``input_file_end`` property
-    lets a restart skip fully-applied groups without re-reading them."""
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        input_dir: str,
-        log_path: str,
-        checkpoint_dir: str,
-        source_format: str = "typed",
-        max_files_per_trigger: int = 1,
-        **job_kwargs,
-    ):
-        from ..eventlog import EventLogJob, EventLogStats
-
-        self.job = EventLogJob(
-            spark, input_dir, log_path, source_format=source_format, **job_kwargs
-        )
-        self.spark = spark
-        self.input_dir = input_dir
-        self.checkpoint_dir = checkpoint_dir
-        self.source_format = source_format
-        self.max_files_per_trigger = max_files_per_trigger
-        self.stats: list["EventLogStats"] = []
-        self._applied_files: set[str] = set()
-        self._apply_seq = 0
-
-    def _apply(self, batch_df: DataFrame, epoch_id: int) -> None:
-        # delivered micro-batch = new-data signal only (see class doc)
-        del batch_df, epoch_id
-        self._drain_in_order()
-
-    def _drain_in_order(self) -> None:
-        cursor = self.job.manifest()["properties"].get("input_file_end", "")
-        groups = self.job.batch_files()
-        pos = {
-            os.path.basename(p): i
-            for i, g in enumerate(groups)
-            for p in g
-        }
-        cur_i = -1
-        if cursor in pos:
-            j = pos[cursor]
-            # regrouping can land the cursor mid-group: re-apply that
-            # group — its committed prefix is fenced by the watermark
-            cur_i = j if os.path.basename(groups[j][-1]) == cursor else j - 1
-        for i, group in enumerate(groups):
-            if i <= cur_i or all(p in self._applied_files for p in group):
-                continue
-            st = self.job.apply_batch(self._apply_seq, group)
-            if (
-                self.job.compact_threshold is not None
-                and not st.skipped
-                and self.job.compact(max_segments=self.job.compact_threshold)
-                is not None
-            ):
-                st.extra["compacted"] = True
-            self._apply_seq += 1
-            self._applied_files.update(group)
-            self.stats.append(st)
-
-    def start(self, available_now: bool = True):
-        # drain the pre-existing backlog first: the file source only
-        # triggers on files its checkpoint has not seen
         self._drain_in_order()
         schema = (
             RAW_FRAME_SCHEMA
@@ -276,13 +170,117 @@ class EventLogStreamJob:
         return writer.start()
 
     def run_available(self):
-        """Drain everything currently in the directory and block until
-        done; a final drain closes the hidden-``_batches.json`` blind
-        spot (see CdcStreamJob.run_available)."""
+        """Convenience: drain everything currently in the directory and
+        block until done. A FINAL drain runs after the query stops:
+        the file source cannot see ``_batches.json`` (underscore files
+        are hidden), so a manifest commit that landed after its data
+        files were delivered would otherwise leave those committed
+        batches unapplied until the next run. (Live-tail mode has the
+        same blind spot between triggers — the Heartbeat's reload, or
+        any later file arrival, closes it; callers needing tighter
+        bounds can invoke ``_drain_in_order`` on a timer.)"""
         q = self.start(available_now=True)
         q.awaitTermination()
         self._drain_in_order()
         return self.stats
+
+
+class CdcStreamJob(_DirDrainStreamJob):
+    """Tail an input directory as a stream and apply each micro-batch
+    exactly once into the lakestore table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        table_path: str,
+        checkpoint_dir: str,
+        source_format: str = "typed",
+        max_files_per_trigger: int = 1,
+        views: list | None = None,
+        **job_kwargs,
+    ):
+        """``views``: optional :class:`~mysql_tracker_spark.views.
+        MaterializedView` list synced after every applied micro-batch —
+        derived datasets (stats, near-dup signature index, …) then trail
+        the table by at most one batch. A fenced-out (replayed) batch
+        leaves the table version unchanged, so its sync is a no-op; view
+        maintenance inherits the stream's exactly-once economics."""
+        super().__init__(
+            spark, input_dir, checkpoint_dir, source_format,
+            max_files_per_trigger,
+        )
+        self.job = CdcApplyJob(
+            spark, input_dir, table_path, source_format=source_format, **job_kwargs
+        )
+        self.views = list(views or [])
+        self.stats: list[ApplyStats] = []
+
+    def _prepare(self) -> None:
+        self.job.prepare()
+
+    def _cursor(self) -> str:
+        # durable cursor: the table's input_file_end property,
+        # committed atomically with each snapshot
+        if self.job.table is None:
+            return ""
+        return self.job.table.properties().get("input_file_end", "")
+
+    def _apply_group(self, batch_id: int, group: list[str]) -> None:
+        self.stats.append(self.job.apply_batch(batch_id, group))
+
+    def _after_drain(self, applied_any: bool) -> None:
+        if applied_any:
+            for v in self.views:
+                v.sync(self.spark)
+
+
+class EventLogStreamJob(_DirDrainStreamJob):
+    """Streaming tail for the APPEND-ONLY event-log pipeline (C6,
+    ``eventlog.EventLogJob``) — the reference's HBase event-log handler
+    ran forever off the binlog tail; the batch EventLogJob only drains
+    a directory once. Same drain shell as :class:`CdcStreamJob` (one
+    implementation, see :class:`_DirDrainStreamJob`); exactly-once
+    rides the log's own atomic ``(offset, next_seq)`` manifest commit,
+    so a kill/restart keeps the seq axis DENSE and duplicate-free
+    regardless of what the streaming checkpoint saw. The committed
+    ``input_file_end`` property lets a restart skip fully-applied
+    groups without re-reading them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        log_path: str,
+        checkpoint_dir: str,
+        source_format: str = "typed",
+        max_files_per_trigger: int = 1,
+        **job_kwargs,
+    ):
+        from ..eventlog import EventLogJob, EventLogStats
+
+        super().__init__(
+            spark, input_dir, checkpoint_dir, source_format,
+            max_files_per_trigger,
+        )
+        self.job = EventLogJob(
+            spark, input_dir, log_path, source_format=source_format, **job_kwargs
+        )
+        self.stats: list["EventLogStats"] = []
+
+    def _cursor(self) -> str:
+        return self.job.manifest()["properties"].get("input_file_end", "")
+
+    def _apply_group(self, batch_id: int, group: list[str]) -> None:
+        st = self.job.apply_batch(batch_id, group)
+        if (
+            self.job.compact_threshold is not None
+            and not st.skipped
+            and self.job.compact(max_segments=self.job.compact_threshold)
+            is not None
+        ):
+            st.extra["compacted"] = True
+        self.stats.append(st)
 
 
 class Heartbeat:

@@ -315,3 +315,19 @@ def test_register_table_skips_branch_dropped_mid_registration(
     assert any(v.endswith("__branch_alive") for v in created)
     assert not any("ghost" in v for v in created)
     assert spark.sql("SELECT count(*) FROM racereg__branch_alive").collect()[0][0] == 2
+
+
+def test_fast_forward_conflict_scan_survives_expired_snapshots(
+    spark, tmp_path
+):
+    """The already-published recovery scan walks main versions since
+    the fork; expired snapshot manifests in that range must be skipped,
+    not crash the (clean) CommitConflictError path."""
+    t = _mk_table(spark, str(tmp_path / "t"), [("c1", 0, "a")])
+    br = t.branch("stale")
+    br.merge(spark, _ch(spark, [("c2", 0, "b")]))
+    for i in range(8):  # main moves on past the fork
+        t.merge(spark, _ch(spark, [("c1", 0, f"v{i}")]))
+    t.expire_snapshots(keep_last=2)  # manifests near the fork are gone
+    with pytest.raises(CommitConflictError, match="drop_branch"):
+        t.fast_forward("stale")

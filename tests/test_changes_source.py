@@ -336,3 +336,60 @@ def test_million_row_bucket_diff_is_vectorized_fast(tmp_path):
     n_upd = int(upd[: n - 1000].sum())
     assert total == n_upd + 1000 + 500
     assert wall < 15.0, f"1M-row bucket diff took {wall:.1f}s — not vectorized?"
+
+
+def test_diff_preserves_int64_beyond_float_precision(tmp_path):
+    """Regression (round-4 review): the diff must not route int64
+    values through float64 — 2^53+1 and 2^53+2 are float-equal but
+    must still diff as an update, and emitted values must be exact."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_tracker_spark.lakestore.changes_source import (
+        _BucketDiffPart,
+        LakeChangesStreamReader,
+    )
+
+    big = (1 << 53) + 1
+    old = pd.DataFrame(
+        {"k": ["a", "b", "c"], "i": [0, 0, 0], "v": [big, 7, 5]}
+    ).astype({"i": "int32", "v": "int64"})
+    # a: update to a float-colliding neighbour; b: deleted; d: inserted
+    new = pd.DataFrame(
+        {"k": ["a", "c", "d"], "i": [0, 0, 0], "v": [big + 1, 5, big]}
+    ).astype({"i": "int32", "v": "int64"})
+    pq.write_table(pa.Table.from_pandas(old), tmp_path / "old.parquet")
+    pq.write_table(pa.Table.from_pandas(new), tmp_path / "new.parquet")
+    sch = {
+        "type": "struct",
+        "fields": [
+            {"name": c, "type": ty, "nullable": True, "metadata": {}}
+            for c, ty in [("k", "string"), ("i", "integer"), ("v", "long")]
+        ],
+    }
+    meta = {
+        "target_fields": sch["fields"],
+        "schemas": {"0": sch},
+        "renames": None,
+        "cur_sid": 0,
+        "key_cols": ["k", "i"],
+        "bucket_by": "k",
+        "bucket_by_type": "string",
+        "n_to": 1,
+    }
+    part = _BucketDiffPart(
+        str(tmp_path),
+        0,
+        [{"path": "old.parquet", "schema_id": 0}],
+        [{"path": "new.parquet", "schema_id": 0}],
+        meta,
+    )
+    r = LakeChangesStreamReader.__new__(LakeChangesStreamReader)
+    rows = [d for b in r.read(part) for d in b.to_pylist()]
+    got = {(d["op"], d["k"]): d["v"] for d in rows}
+    assert got == {
+        ("update", "a"): big + 1,  # float64 would miss or corrupt this
+        ("delete", "b"): 7,
+        ("insert", "d"): big,
+    }

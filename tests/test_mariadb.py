@@ -98,6 +98,26 @@ def test_gtid_list_fence_and_filter(spark):
         r.v for r in after_mariadb_gtid_list(df, "0-1-100,5-2-7").collect()
     }
     assert got == {"c", "e", "f"}
+    # u32 domains / u64 seqnos beyond the signed 32/63-bit range must
+    # not null-poison the predicate (round-4 review fix): high-domain
+    # events pass when unknown, fence correctly when listed
+    hi = spark.createDataFrame(
+        [
+            ("3000000000-1-5", "p"),    # listed domain, fenced seqno
+            ("3000000000-1-6", "q"),    # listed domain, past the fence
+            ("4294967295-1-1", "r"),    # unknown u32-max domain: passes
+            (f"7-1-{2**64 - 2}", "s"),  # u64 seqno at the fence: fenced
+            (f"7-1-{2**64 - 1}", "t"),  # u64 seqno past it: passes
+        ],
+        "gtid string, v string",
+    )
+    got_hi = {
+        r.v
+        for r in after_mariadb_gtid_list(
+            hi, f"3000000000-1-5,7-1-{2**64 - 2}"
+        ).collect()
+    }
+    assert got_hi == {"q", "r", "t"}
 
 
 def test_mariadb_flavored_wire_stream_converges(spark, tmp_path):
