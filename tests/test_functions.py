@@ -488,3 +488,5 @@ def test_lsh_degenerate_band_guard_bounds_blowup(spark):
         for r in pairs.filter(F.col("id_a") >= 10_000).collect()
     }
     assert (20_000, 20_001) in normal
+    # release the guard's signature cache (shared test session)
+    pairs._mts_sig_cache.unpersist()
