@@ -160,6 +160,36 @@ def _stat_bounds(fe: dict, col: str, probe):
     return lo, hi
 
 
+def _prune_probe_utc(spark, v):
+    """Convert a NAIVE datetime bound to the naive-UTC domain the
+    manifest stats live in — for the FILE-SKIPPING comparison only.
+    The residual filter's literal goes through PySpark's
+    ``TimestampType.toInternal``, which interprets naive datetimes in
+    the PYTHON PROCESS's local timezone (``time.mktime``); the stats
+    were stamped as naive-UTC instants. On a host not running UTC the
+    two domains differ and the old direct compare silently skipped
+    files holding matching rows. ``astimezone()`` on a naive value
+    applies exactly the system-local interpretation toInternal uses,
+    so pruning and residual agree by construction. tz-aware and
+    non-datetime probes pass through (_stat_bounds handles aware
+    probes). ``spark`` is unused but kept for call-site symmetry."""
+    import datetime as _dt
+
+    del spark
+    if not isinstance(v, _dt.datetime) or v.tzinfo is not None:
+        return v
+    return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+
+
+def _prune_preds_utc(spark, preds: dict) -> dict:
+    """System-tz-normalized copy of a {col: (lo, hi)} predicate map
+    for stats pruning (see :func:`_prune_probe_utc`)."""
+    return {
+        c: (_prune_probe_utc(spark, lo), _prune_probe_utc(spark, hi))
+        for c, (lo, hi) in preds.items()
+    }
+
+
 def _stats_keep_range(fe: dict, col: str, lo, hi) -> bool:
     """True unless the file's stats PROVE no row can satisfy
     ``lo <= col <= hi`` (either bound may be None = unbounded).
@@ -1057,8 +1087,9 @@ class LakeTable:
             c == m["bucket_by"] or c in m["key_cols"] for c in preds
         )
         entries = [fe for fs in m["buckets"].values() for fe in fs]
+        pp = _prune_preds_utc(spark, preds)
         ff = lambda fe: all(  # noqa: E731
-            _stats_keep_range(fe, c, lo, hi) for c, (lo, hi) in preds.items()
+            _stats_keep_range(fe, c, lo, hi) for c, (lo, hi) in pp.items()
         )
         if key_like or not any(fe.get("delta") for fe in entries):
             df = self._read_state(spark, m, file_filter=ff)
@@ -1204,6 +1235,44 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
 
+    def _collect_staged_entries(
+        self, abs_dir: str, rel_dir: str, sid: int, stat_cols: list[str]
+    ) -> dict[int, list[dict]]:
+        """Walk a bucket-partitioned staging dir (``__bucket=N/*.parquet``)
+        and build the manifest file entries — path, schema_id, footer
+        row count, footer min/max stats. THE one implementation shared
+        by :meth:`_write_buckets` and :meth:`adopt_delta`; the entry
+        shape must never diverge between the write and adopt paths."""
+        out: dict[int, list[dict]] = {}
+        for entry in sorted(os.listdir(abs_dir)):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bdir = os.path.join(abs_dir, entry)
+            for fn in sorted(os.listdir(bdir)):
+                if fn.endswith(".parquet"):
+                    full = os.path.join(bdir, fn)
+                    out.setdefault(b, []).append(
+                        {
+                            "path": os.path.join(rel_dir, entry, fn),
+                            "schema_id": sid,
+                            # per-file record count + column min/max
+                            # bounds from the parquet FOOTER (Iceberg
+                            # manifest file-stats model; one driver-side
+                            # metadata read per written file, no Spark
+                            # job) — powers per-partition lineage, the
+                            # files() metadata table, manifest-only
+                            # row_count, and read-path file skipping
+                            "rows": _footer_rows(full),
+                            **(
+                                {"stats": s}
+                                if (s := _footer_stats(full, stat_cols))
+                                else {}
+                            ),
+                        }
+                    )
+        return out
+
     def _write_buckets(
         self,
         df: DataFrame,
@@ -1289,36 +1358,9 @@ class LakeTable:
             .mode("overwrite")
             .parquet(stage_dir)
         )
-        sid = m0["schema_id"]
-        out: dict[int, list[dict]] = {}
-        for entry in os.listdir(stage_dir):
-            if not entry.startswith(f"{_BUCKET_COL}="):
-                continue
-            b = int(entry.split("=", 1)[1])
-            bdir = os.path.join(stage_dir, entry)
-            for fn in os.listdir(bdir):
-                if fn.endswith(".parquet"):
-                    rel = os.path.join("data", stage, entry, fn)
-                    full = os.path.join(bdir, fn)
-                    out.setdefault(b, []).append(
-                        {
-                            "path": rel,
-                            "schema_id": sid,
-                            # per-file record count + column min/max
-                            # bounds from the parquet FOOTER (Iceberg
-                            # manifest file-stats model; one driver-side
-                            # metadata read per written file, no Spark
-                            # job) — powers per-partition lineage, the
-                            # files() metadata table, manifest-only
-                            # row_count, and read-path file skipping
-                            "rows": _footer_rows(full),
-                            **(
-                                {"stats": s}
-                                if (s := _footer_stats(full, stat_cols))
-                                else {}
-                            ),
-                        }
-                    )
+        out = self._collect_staged_entries(
+            stage_dir, os.path.join("data", stage), m0["schema_id"], stat_cols
+        )
         bloom_cols = [c for c in m0.get("bloom_cols", []) if c in cols]
         if bloom_cols and out:
             self._stamp_blooms(df.sparkSession, stage_dir, bloom_cols, out)
@@ -1577,11 +1619,30 @@ class LakeTable:
         nb = m["n_buckets"]
 
         ch = changes.withColumn(_BUCKET_COL, _bucket_expr(m["bucket_by"], nb))
+        cached = None
         if affected_buckets is None:
             ch = ch.cache()
+            cached = ch
             affected = sorted(r[0] for r in ch.select(_BUCKET_COL).distinct().collect())
         else:
             affected = sorted(affected_buckets)
+        try:
+            return self._merge_body(
+                spark, m, schema, key_cols, nb, ch, affected, delete_col,
+                count_upserts, properties, stage_as,
+            )
+        finally:
+            # release on EVERY path: a Spark failure mid-merge must not
+            # pin the batch in the memory store for the session's
+            # lifetime (a retry loop would accumulate one cached batch
+            # per failure)
+            if cached is not None:
+                cached.unpersist()
+
+    def _merge_body(
+        self, spark, m, schema, key_cols, nb, ch, affected, delete_col,
+        count_upserts, properties, stage_as,
+    ):
         upserts = ch.filter(~F.col(delete_col)).drop(delete_col)
         n_upserts = upserts.count() if count_upserts else -1
 
@@ -1611,8 +1672,6 @@ class LakeTable:
             ).unionByName(merged)
 
         new_files = self._write_buckets(merged, schema, base_manifest=m)
-        if affected_buckets is None:
-            ch.unpersist()
         # fence a stale caller-supplied bucket set: if the write filed
         # rows into buckets OUTSIDE `affected` (the caller computed the
         # set under an older layout and a rescale/split committed in
@@ -1752,31 +1811,17 @@ class LakeTable:
         nb = base_n_buckets if base_n_buckets is not None else m["n_buckets"]
         dest = f"mor-{uuid.uuid4().hex[:12]}"
         os.replace(staged_dir, os.path.join(self.data_dir, dest))
-        sid = m["schema_id"]
         stat_cols = self._stat_cols(m, self._schema_of(m))
-        new_files: dict[int, list[dict]] = {}
         dest_dir = os.path.join(self.data_dir, dest)
-        for entry in sorted(os.listdir(dest_dir)):
-            if not entry.startswith(f"{_BUCKET_COL}="):
-                continue
-            b = int(entry.split("=", 1)[1])
-            bdir = os.path.join(dest_dir, entry)
-            for fn in sorted(os.listdir(bdir)):
-                if fn.endswith(".parquet"):
-                    rel = os.path.join("data", dest, entry, fn)
-                    full = os.path.join(bdir, fn)
-                    new_files.setdefault(b, []).append(
-                        {
-                            "path": rel,
-                            "schema_id": sid,
-                            "rows": _footer_rows(full),
-                            **(
-                                {"stats": s}
-                                if (s := _footer_stats(full, stat_cols))
-                                else {}
-                            ),
-                        }
-                    )
+        # NOTE (design trade-off): entries adopted here carry footer
+        # stats but NO bloom bitmaps — stamping blooms needs a Spark
+        # job, and adopt_delta's whole point is the zero-job commit.
+        # read_where_in keeps bitmap-less files (never wrong, just
+        # unpruned); compaction re-writes them through _write_buckets,
+        # which stamps blooms, restoring full pruning.
+        new_files = self._collect_staged_entries(
+            dest_dir, os.path.join("data", dest), m["schema_id"], stat_cols
+        )
         if stage_as is not None:
             staged = {
                 "parent": m["version"],
@@ -2065,8 +2110,9 @@ class LakeTable:
                 "use truncate() if that is what you mean"
             )
         m = self.manifest()
+        pp = _prune_preds_utc(spark, preds)
         ff = lambda fe: all(  # noqa: E731
-            _stats_keep_range(fe, c, lo, hi) for c, (lo, hi) in preds.items()
+            _stats_keep_range(fe, c, lo, hi) for c, (lo, hi) in pp.items()
         )
         # plan the rewrite at FILE granularity: delta-free buckets
         # rewrite hit files only (misses carried by reference);

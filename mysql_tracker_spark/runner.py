@@ -51,7 +51,15 @@ def write_input_manifest(input_dir: str, files: list[str] | None = None) -> str:
     manifest while a replay job runs: files beyond the manifest stay
     invisible until the next commit — the input-side commit point."""
     if files is None:
-        files = sorted(f for f in os.listdir(input_dir) if f.endswith(".parquet"))
+        # snapshot BOTH batch-file extensions: a jsonl pipeline whose
+        # producer calls this with files=None must not commit an empty
+        # manifest (batch_files treats the manifest as authoritative,
+        # so an empty one silently applies nothing forever)
+        files = sorted(
+            f
+            for f in os.listdir(input_dir)
+            if f.endswith((".parquet", ".jsonl"))
+        )
     names = [os.path.basename(f) for f in files]
     target = os.path.join(input_dir, CdcApplyJob.INPUT_MANIFEST)
     tmp = target + ".tmp"
@@ -155,6 +163,9 @@ class CdcApplyJob:
     # QUERY frames beyond this raise loudly instead of OOMing the
     # driver (DDL is rare by nature; 1024/batch is already pathological).
     MAX_DDL_FRAMES_PER_BATCH = 1024
+    # staging dirs older than this are crash debris prepare() may
+    # reclaim; younger ones may belong to a live concurrent job
+    STAGING_DEBRIS_AGE_S = 3600.0
 
     # Auto skew escalation (n_salts=0 only): when a batch's collapse
     # ratio (applied rows / LWW winners) crosses AUTO_SALT_RATIO, the
@@ -228,6 +239,13 @@ class CdcApplyJob:
         self.files_per_batch = files_per_batch
         self.source_format = source_format
         self.n_salts = n_salts
+        # unique per-job staging namespace: fixed _delta_<batch_id> /
+        # _winners_<batch_id> names would let two jobs on one table
+        # path (main apply + a concurrent branch apply) overwrite or
+        # adopt each other's in-flight staged data
+        import uuid as _uuid
+
+        self._run_id = _uuid.uuid4().hex[:8]
         # MariaDB GTID_LIST replication-state fence ("0-1-100,1-2-7"):
         # applied in _stream_filters on sources that carry a gtid
         # column (typed/jsonl); the wire body has no gtid field, where
@@ -404,12 +422,22 @@ class CdcApplyJob:
             self.table = LakeTable.load(self.table_path)
             # crash debris: delta staging dirs from a killed run are
             # harmless (never referenced by a committed snapshot) but
-            # reclaim the space before replaying
+            # reclaim the space before replaying. AGE-GATED: staging
+            # names are per-job unique, and a CONCURRENT job's live
+            # staging dir (fresh mtime) must not be swept — only dirs
+            # old enough that no writer can still be mid-batch.
             import shutil
 
+            now = time.time()
             for d in os.listdir(self.table_path):
                 if d.startswith(("_delta_", "_winners_")):
-                    shutil.rmtree(os.path.join(self.table_path, d), ignore_errors=True)
+                    p = os.path.join(self.table_path, d)
+                    try:
+                        if now - os.path.getmtime(p) < self.STAGING_DEBRIS_AGE_S:
+                            continue
+                    except OSError:
+                        continue
+                    shutil.rmtree(p, ignore_errors=True)
         else:
             if self.branch is not None:
                 raise FileNotFoundError(
@@ -981,7 +1009,9 @@ class CdcApplyJob:
         return self._apply_wire_df(batch_id, raw, prefetched=pre)
 
     def _winners_dir(self, batch_id: int) -> str:
-        return os.path.join(self.table_path, f"_winners_{batch_id}")
+        return os.path.join(
+            self.table_path, f"_winners_{self._run_id}_{batch_id}"
+        )
 
     def _wire_lww(
         self,
@@ -1172,8 +1202,16 @@ class CdcApplyJob:
         from .sources.wire import kv_to_map
         from .lakestore.table import _bucket_expr
 
-        schema = self.table.schema()
-        nb = self.table.manifest()["n_buckets"]
+        # ONE manifest read for schema AND layout: two reads could
+        # straddle a concurrent commit (split_buckets from another
+        # process) and plan the projection under one snapshot with the
+        # bucket count of the next (the hazard table._schema_of
+        # documents)
+        m_snap = self.table.manifest()
+        from .lakestore.table import LakeTable as _LT
+
+        schema = _LT._schema_of(m_snap)
+        nb = m_snap["n_buckets"]
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
             *self.key_cols,
@@ -1188,7 +1226,9 @@ class CdcApplyJob:
             "__bucket", _bucket_expr(self.key_cols[0], nb)
         )
         self._gate_expectations(changes, stats)
-        delta_dir = os.path.join(self.table_path, f"_delta_{batch_id}")
+        delta_dir = os.path.join(
+            self.table_path, f"_delta_{self._run_id}_{batch_id}"
+        )
         shutil.rmtree(delta_dir, ignore_errors=True)
         t1 = time.time()
         # repartition by the bucketing KEY with numPartitions=n_buckets:
@@ -1565,14 +1605,28 @@ class CdcApplyJob:
 
         manifest = self.table.manifest()
         nb = manifest["n_buckets"]
+        k0, k1 = self.key_cols
         is_target_dml = (
             F.col("op").isin("INSERT", "UPDATE", "DELETE")
             & (F.col("schema_name") == self.schema_name)
             & (F.col("table_name") == self.table_name)
         )
+        # fence for the apply-semantics aggregates (n_dml, buckets,
+        # n_moves): replay-overlap rows at or before the committed
+        # watermark are never applied, so counting them would report
+        # phantom rows_applied and force needless bucket rewrites —
+        # the wire path's manifest pass fences the same way
+        if wm_file is not None:
+            wm_lit = F.struct(
+                F.lit(wm_file).alias("file"), F.lit(wm_pos).alias("pos")
+            )
+            past_fence = F.struct(F.col("file"), F.col("pos")) > wm_lit
+        else:
+            past_fence = F.lit(True)
+        applied_dml = is_target_dml & past_fence
         bucket_of_row = F.when(
-            is_target_dml,
-            _bucket_expr(F.element_at("after", "conv_id"), nb),
+            applied_dml,
+            _bucket_expr(F.element_at("after", k0), nb),
         )
         # a PK-moving UPDATE also emits a tombstone under the BEFORE
         # key (explode plan below) — its bucket must be in the COW
@@ -1580,22 +1634,22 @@ class CdcApplyJob:
         # reference and the ghost row survives the anti-join
         bucket_of_before = F.when(
             (F.col("op") == "UPDATE")
-            & is_target_dml
+            & applied_dml
             & F.col("before").isNotNull(),
-            _bucket_expr(F.element_at("before", "conv_id"), nb),
+            _bucket_expr(F.element_at("before", k0), nb),
         )
         # PK-moving UPDATE detector (before-image key != after key) —
         # rides the same single observe pass; op test first so the
         # before-map lookups run for target UPDATE rows only
         is_move_row = (
             (F.col("op") == "UPDATE")
-            & is_target_dml
+            & applied_dml
             & F.col("before").isNotNull()
             & (
-                (F.element_at("before", "conv_id")
-                 != F.element_at("after", "conv_id"))
-                | (F.element_at("before", "turn_idx").cast("int")
-                   != F.element_at("after", "turn_idx").cast("int"))
+                (F.element_at("before", k0)
+                 != F.element_at("after", k0))
+                | (F.element_at("before", k1).cast("int")
+                   != F.element_at("after", k1).cast("int"))
             )
         )
         obs = Observation()
@@ -1614,7 +1668,7 @@ class CdcApplyJob:
                 F.max("ts").alias("max_ts"),
                 F.collect_set(bucket_of_row).alias("buckets"),
                 F.collect_set(bucket_of_before).alias("before_buckets"),
-                F.count(F.when(is_target_dml, 1)).alias("n_dml"),
+                F.count(F.when(applied_dml, 1)).alias("n_dml"),
                 F.count(F.when(is_move_row, 1)).alias("n_moves"),
             )
             .filter(
@@ -1668,8 +1722,8 @@ class CdcApplyJob:
             # no PK-moving UPDATE in this batch (observe pass above) —
             # zero-overhead keyed plan off the after image
             keyed = dml.select(
-                F.element_at("after", "conv_id").alias("conv_id"),
-                F.element_at("after", "turn_idx").cast("int").alias("turn_idx"),
+                F.element_at("after", k0).alias(k0),
+                F.element_at("after", k1).cast("int").alias(k1),
                 *[F.col(c) for c in LOG_ORDER],
                 "op",
                 "after",
@@ -1687,21 +1741,21 @@ class CdcApplyJob:
                 (F.col("op") == "UPDATE")
                 & F.col("before").isNotNull()
                 & (
-                    (F.element_at("before", "conv_id")
-                     != F.element_at("after", "conv_id"))
-                    | (F.element_at("before", "turn_idx").cast("int")
-                       != F.element_at("after", "turn_idx").cast("int"))
+                    (F.element_at("before", k0)
+                     != F.element_at("after", k0))
+                    | (F.element_at("before", k1).cast("int")
+                       != F.element_at("after", k1).cast("int"))
                 )
             )
             upsert = F.struct(
-                F.element_at("after", "conv_id").alias("conv_id"),
-                F.element_at("after", "turn_idx").cast("int").alias("turn_idx"),
+                F.element_at("after", k0).alias(k0),
+                F.element_at("after", k1).cast("int").alias(k1),
                 F.col("op").alias("op"),
                 F.col("after").alias("after"),
             )
             tomb = F.struct(
-                F.element_at("before", "conv_id").alias("conv_id"),
-                F.element_at("before", "turn_idx").cast("int").alias("turn_idx"),
+                F.element_at("before", k0).alias(k0),
+                F.element_at("before", k1).cast("int").alias(k1),
                 F.lit("DELETE").alias("op"),
                 F.col("before").alias("after"),
             )
@@ -1713,14 +1767,14 @@ class CdcApplyJob:
                     )
                 ).alias("__e"),
             ).select(
-                "__e.conv_id", "__e.turn_idx", *[F.col(c) for c in LOG_ORDER],
+                f"__e.{k0}", f"__e.{k1}", *[F.col(c) for c in LOG_ORDER],
                 "__e.op", "__e.after",
             )
         latest = self._lww(keyed, ["op", "after"])
         non_key = [f for f in schema.fields if f.name not in self.key_cols]
         changes = latest.select(
-            "conv_id",
-            "turn_idx",
+            k0,
+            k1,
             *typed_from_map(
                 "after",
                 T.StructType(non_key),
@@ -2009,6 +2063,15 @@ class CdcApplyJob:
             "split_to": stats.split_to,
             "migrated_buckets": stats.migrated_buckets,
             "bucket_rows": stats.bucket_rows,
+            # audit completeness: quarantined-frame counts (the whole
+            # point of the dead-letter feature is an audit trail that
+            # outlives the process), LWW observability, and the
+            # replay-overlap skip flag must survive into the JSONL or
+            # they exist only for the ApplyStats objects' lifetime
+            "skipped": stats.skipped,
+            "rows_winners": stats.rows_winners,
+            "lww_variant": stats.lww_variant,
+            "frames_quarantined": stats.frames_quarantined,
             "ts_ms": int(time.time() * 1000),
         }
         with open(path, "a") as f:

@@ -575,3 +575,85 @@ def test_pipeline_prefetch_equivalent_and_replay_safe(spark, tmp_path):
     st2 = job2.run()
     assert [s.skipped for s in st2] == [True, True, False, False]
     assert normalize(job2.table.read(spark).toPandas()).equals(tables["off"])
+
+
+def test_typed_apply_honors_custom_key_cols(spark, tmp_path):
+    """Round-4 review fix: the typed ingest path must key on the
+    CONFIGURED key_cols, not the hardcoded (conv_id, turn_idx) —
+    a renamed-key stream applied with key_cols=('user_id','msg_idx')
+    converges to the same oracle state."""
+    from pyspark.sql import types as T
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.schema import TRANSCRIPTS_BASE_SCHEMA
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        expected_final_state,
+        gen_change_events,
+        write_batches,
+    )
+    from tests.conftest import normalize
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=40, seed=17))
+    ren = {"conv_id": "user_id", "turn_idx": "msg_idx"}
+
+    def rename_map(m):
+        if not isinstance(m, dict):
+            return m
+        return {ren.get(k, k): v for k, v in m.items()}
+
+    ev2 = ev.copy()
+    ev2["before"] = ev2["before"].map(rename_map)
+    ev2["after"] = ev2["after"].map(rename_map)
+    in_dir = str(tmp_path / "in")
+    write_batches(ev2, in_dir, n_batches=3)
+    base = T.StructType(
+        [
+            T.StructField(ren.get(f.name, f.name), f.dataType, f.nullable)
+            for f in TRANSCRIPTS_BASE_SCHEMA.fields
+        ]
+    )
+    job = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "tbl"), n_buckets=8,
+        key_cols=("user_id", "msg_idx"), base_schema=base,
+    )
+    job.run()
+    got = (
+        job.table.read(spark)
+        .toPandas()
+        .rename(columns={"user_id": "conv_id", "msg_idx": "turn_idx"})
+    )
+    exp = normalize(expected_final_state(ev))
+    assert normalize(got).equals(exp), "custom-key typed apply != oracle"
+
+
+def test_typed_apply_replay_overlap_counts_only_past_fence_rows(
+    spark, tmp_path
+):
+    """Round-4 review fix: a replay-overlap batch must report
+    rows_applied for PAST-FENCE rows only (the wire path's semantics),
+    not the whole delivered batch."""
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.binlog_gen import (
+        GenConfig,
+        gen_change_events,
+        write_batches,
+    )
+
+    ev = gen_change_events(GenConfig(n_events=1000, n_conversations=30, seed=9))
+    in2 = str(tmp_path / "in2")
+    write_batches(ev, in2, n_batches=2)
+    tbl = str(tmp_path / "t")
+    # apply batch 0, then re-apply BOTH files as one regrouped batch:
+    # the overlap prefix is fenced, so rows_applied must count only
+    # batch 1's past-fence target DML
+    CdcApplyJob(spark, in2, tbl, n_buckets=8).run(max_batches=1)
+    solo = CdcApplyJob(spark, in2, tbl + "_full", n_buckets=8)
+    full_stats = solo.run()
+    exp_applied_b1 = full_stats[1].rows_applied
+    re_job = CdcApplyJob(spark, in2, tbl, n_buckets=8, files_per_batch=2)
+    st = re_job.run()
+    assert len(st) == 1 and not st[0].skipped
+    assert st[0].rows_applied == exp_applied_b1, (
+        st[0].rows_applied, exp_applied_b1,
+    )

@@ -1102,3 +1102,56 @@ def test_merge_stale_affected_buckets_raises_not_drops(spark, tmp_table_dir):
         t.merge(spark, ch, affected_buckets=stale_affected)
     # and nothing was committed behind the error
     assert t.read(spark).filter("conv_id = 'c9'").count() == 0
+
+
+def test_read_where_ts_pruning_respects_session_timezone(spark, tmp_table_dir):
+    """Round-4 review fix: ts stats are stamped naive-UTC, but a NAIVE
+    probe literal goes through TimestampType.toInternal, which uses
+    the PYTHON PROCESS's local timezone. On a non-UTC host the pruning
+    compare must convert the probe to UTC the same way, or files
+    holding matching rows are silently skipped."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    sch = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = LakeTable.create(
+        tmp_table_dir, sch, ["conv_id", "turn_idx"], "conv_id", n_buckets=2
+    )
+    # instant 10:00 UTC
+    t.overwrite(
+        spark.createDataFrame(
+            [("a", 0, dt.datetime(2026, 1, 1, 10, 0))], sch
+        )
+    )
+    old_tz = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "Asia/Shanghai"  # UTC+8, no DST
+        _time.tzset()
+        # naive 17:00 — toInternal reads it as Shanghai wall = 09:00
+        # UTC instant, so the 10:00 UTC row MATCHES; the pre-fix
+        # pruning compared 17:00 against the file's UTC max 10:00 and
+        # skipped the file
+        got = t.read_where(
+            spark, "ts", lo=dt.datetime(2026, 1, 1, 17, 0)
+        ).collect()
+        assert len(got) == 1 and got[0].conv_id == "a"
+        # exclusion side: 19:00 Shanghai = 11:00 UTC is past the row
+        assert (
+            t.read_where(
+                spark, "ts", lo=dt.datetime(2026, 1, 1, 19, 0)
+            ).count()
+            == 0
+        )
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
