@@ -111,12 +111,19 @@ def register_table(
                 safe = f"{safe}_v{br.current_version()}"
             bseen.add(safe)
             br.read(spark).createOrReplaceTempView(f"{name}__branch_{safe}")
-        except (FileNotFoundError, AnalysisException):
+        except FileNotFoundError:
             # a concurrent fast_forward/drop_branch removed the branch
-            # dir between the listing and the load/read (rmtree is not
-            # atomic w.r.t. readers; Spark surfaces a vanished data
-            # path as AnalysisException) — skip it rather than abort
-            # the whole registration
+            # dir between the listing and the load — skip it rather
+            # than abort the whole registration
+            continue
+        except AnalysisException:
+            # Spark surfaces a vanished data path as AnalysisException
+            # too (rmtree is not atomic w.r.t. readers) — but the same
+            # exception also covers GENUINE failures (corrupt branch
+            # manifest, incompatible schema). Skip only if the branch
+            # provably vanished; otherwise surface the error.
+            if bname in t.branch_names():
+                raise
             continue
         created.append(f"{name}__branch_{safe}")
 

@@ -519,7 +519,11 @@ def minhash_near_dups(
     pairs above threshold. The verify join fetches only candidate rows.
     ``max_bucket`` passes through to :func:`lsh_candidate_pairs`'s
     degenerate-band guard (dirty-corpus protection; None = exact
-    all-pairs)."""
+    all-pairs). Under ``max_bucket`` the guard persists the (id, sig)
+    frame; the handle is forwarded on the result as ``_mts_sig_cache``
+    — callers owning the session should ``.unpersist()`` it once the
+    result is consumed (same release contract as
+    :func:`lsh_candidate_pairs`)."""
     cands = lsh_candidate_pairs(
         df, id_col, text_col, k, bands, max_bucket=max_bucket
     )
@@ -533,7 +537,10 @@ def minhash_near_dups(
             F.round(jaccard_ngram(F.col("txt_a"), F.col("txt_b")), 6).alias("jaccard"),
         )
     )
-    return joined.filter(F.col("jaccard") >= threshold)
+    result = joined.filter(F.col("jaccard") >= threshold)
+    if hasattr(cands, "_mts_sig_cache"):
+        result._mts_sig_cache = cands._mts_sig_cache
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -862,7 +862,16 @@ class CdcApplyJob:
         if os.path.exists(man):
             with open(man) as f:
                 names = json.load(f)["files"]
-            files = [os.path.join(self.input_dir, p) for p in names]
+            # the manifest may span formats (write_input_manifest(
+            # files=None) snapshots both batch extensions so a mixed
+            # producer dir round-trips); this job consumes only its own
+            # — a foreign entry would crash the parquet reader on jsonl
+            # or silently null out parquet under the json reader
+            files = [
+                os.path.join(self.input_dir, p)
+                for p in names
+                if p.endswith(ext)
+            ]
         else:
             files = sorted(
                 os.path.join(self.input_dir, f)

@@ -205,3 +205,35 @@ def test_register_table_exposes_branch_views(spark, tmp_path):
     for v in dup_views:
         with pytest.raises(AnalysisException):
             spark.sql(f"SELECT * FROM {v}")
+
+
+def test_register_table_surfaces_corrupt_branch(spark, tmp_path):
+    """A branch that VANISHED mid-registration is skipped, but a live
+    branch whose data is unreadable (corrupt/missing file) must raise —
+    silently omitting its view would hide real corruption."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, str(tmp_path / "t"))
+    br = t.branch("wip")
+    br.merge(
+        spark,
+        spark.createDataFrame([("c9", 0, "branch-only")], SCHEMA).withColumn(
+            "__delete", F.lit(False)
+        ),
+    )
+    main_files = {
+        fe["path"] for fs in t.manifest()["buckets"].values() for fe in fs
+    }
+    br_files = {
+        fe["path"]
+        for fs in t.load_branch("wip").manifest()["buckets"].values()
+        for fe in fs
+    }
+    only = br_files - main_files
+    assert only  # the branch merge produced branch-exclusive data
+    for rel in only:
+        os.remove(os.path.join(t.path, rel))
+    with pytest.raises(AnalysisException):
+        register_table(spark, t, "ct")

@@ -657,3 +657,27 @@ def test_typed_apply_replay_overlap_counts_only_past_fence_rows(
     assert st[0].rows_applied == exp_applied_b1, (
         st[0].rows_applied, exp_applied_b1,
     )
+
+
+def test_manifest_mixed_formats_filtered_by_job_format(spark, tmp_path):
+    """write_input_manifest(files=None) snapshots BOTH batch extensions;
+    batch_files keeps only entries of the job's own format, so a stray
+    foreign-format file in a mixed producer dir can't crash the parquet
+    reader (jsonl entry) or silently null out (parquet under the json
+    reader) — the replay still converges to the oracle."""
+    import os
+
+    from mysql_tracker_spark.runner import write_input_manifest
+
+    ev = gen_change_events(GenConfig(n_events=800, n_conversations=40, seed=31))
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=3)
+    with open(os.path.join(d, "stray.jsonl"), "w") as f:
+        f.write('{"not": "a change event"}\n')
+    write_input_manifest(d)  # snapshots both extensions
+    job = CdcApplyJob(spark, d, str(tmp_path / "t"), n_buckets=4)
+    assert all(f.endswith(".parquet") for g in job.batch_files() for f in g)
+    job.run()
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])

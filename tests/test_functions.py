@@ -490,3 +490,17 @@ def test_lsh_degenerate_band_guard_bounds_blowup(spark):
     assert (20_000, 20_001) in normal
     # release the guard's signature cache (shared test session)
     pairs._mts_sig_cache.unpersist()
+
+
+def test_minhash_near_dups_forwards_sig_cache_handle(spark):
+    """minhash_near_dups(max_bucket=...) forwards lsh_candidate_pairs'
+    persisted (id, sig) cache handle so callers can release it; without
+    the guard no cache exists and no handle is attached."""
+    rows = [(i, "identical dup text repeated for the guard " * 2) for i in range(30)]
+    rows += [(100 + i, f"unique doc {i} content {i * 13}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SK.minhash_near_dups(df, max_bucket=8)
+    assert out.count() > 0
+    assert hasattr(out, "_mts_sig_cache")
+    out._mts_sig_cache.unpersist()
+    assert not hasattr(SK.minhash_near_dups(df), "_mts_sig_cache")
