@@ -274,24 +274,41 @@ def after_gtid_set(df: DataFrame, executed: str) -> DataFrame:
     north-star's "GTID+log-position offsets" vocabulary. Events without
     a gtid (DDL — auto-committing, no Xid) pass through.
     """
-    parts = executed.split(":")
-    if len(parts) < 2 or not parts[0]:
+    inside = gtid_inside_predicate(executed)
+    return df.filter(F.col("gtid").isNull() | ~inside)
+
+
+def gtid_inside_predicate(executed: str):
+    """The constant Column predicate ``gtid ∈ executed`` over a
+    ``gtid`` column in MySQL ``"uuid:txn"`` text form — the core of
+    :func:`after_gtid_set`, exposed separately so the wire path can
+    apply it to the tiny GTID-frame projection (one row per
+    transaction-opening GTID_LOG_EVENT) instead of per data row.
+    Multi-uuid sets (comma-separated) are supported; malformed sets
+    raise rather than silently fencing nothing."""
+    entries = [e.strip() for e in executed.split(",") if e.strip()]
+    if not entries:
         raise ValueError(f"malformed GTID set: {executed!r}")
-    uuid, ranges = parts[0], parts[1:]
-    intervals: list[tuple[int, int]] = []
-    for rng in ranges:
-        if "-" in rng:
-            lo_s, hi_s = rng.split("-", 1)
-            intervals.append((int(lo_s), int(hi_s)))
-        else:
-            intervals.append((int(rng), int(rng)))
     g_uuid = F.substring_index(F.col("gtid"), ":", 1)
     g_txn = F.split(F.col("gtid"), ":").getItem(1).cast("long")
-    in_any = F.lit(False)
-    for lo, hi in intervals:
-        in_any = in_any | ((g_txn >= lo) & (g_txn <= hi))
-    inside = (g_uuid == uuid) & in_any
-    return df.filter(F.col("gtid").isNull() | ~inside)
+    inside = F.lit(False)
+    for entry in entries:
+        parts = entry.split(":")
+        if len(parts) < 2 or not parts[0]:
+            raise ValueError(f"malformed GTID set: {entry!r}")
+        uuid, ranges = parts[0], parts[1:]
+        intervals: list[tuple[int, int]] = []
+        for rng in ranges:
+            if "-" in rng:
+                lo_s, hi_s = rng.split("-", 1)
+                intervals.append((int(lo_s), int(hi_s)))
+            else:
+                intervals.append((int(rng), int(rng)))
+        in_any = F.lit(False)
+        for lo, hi in intervals:
+            in_any = in_any | ((g_txn >= lo) & (g_txn <= hi))
+        inside = inside | ((g_uuid == uuid) & in_any)
+    return inside
 
 
 def after_watermark(df: DataFrame, file: str | None, pos: int | None) -> DataFrame:

@@ -108,6 +108,15 @@ class ApplyStats:
     # dead-letter audit (wire path, opt-in): corrupt frames persisted
     # this batch; None = quarantine disabled
     frames_quarantined: int | None = None
+    # M4 liveness (wire path): header timestamp of the newest HEARTBEAT
+    # frame in this batch (epoch s); None = no heartbeat seen. A
+    # heartbeat-only batch still advances the watermark — the master
+    # proving liveness at idle is exactly what the event is for.
+    heartbeat_ts: float | None = None
+    # C5 incident surface (wire path, incident_policy="record"): the
+    # past-fence INCIDENT frames this batch carried, as
+    # (file, pos, message) triples; None = none seen
+    incidents: list | None = None
     # data-quality gate (opt-in): per-expectation violation counts for
     # this batch's upserts; None = no expectations declared
     expectation_violations: dict | None = None
@@ -155,6 +164,24 @@ def _resolve_transform(spec):
     return fn
 
 
+class IncidentError(RuntimeError):
+    """An INCIDENT_EVENT ("possibly lost events on the master",
+    ``mysql/dbsync/event/IncidentLogEvent.java:41-50``) was found past
+    the fence and ``incident_policy="fail"`` (default) — continuing
+    would silently accept a gap in the change stream. Carries the
+    ``incidents`` list of (file, pos, message) triples."""
+
+    def __init__(self, incidents: list):
+        self.incidents = incidents
+        first = incidents[0] if incidents else ("?", 0, None)
+        super().__init__(
+            f"{len(incidents)} INCIDENT frame(s) in batch, first at "
+            f"{first[0]}:{first[1]} ({first[2]!r}) — the master reports "
+            "possibly lost events. Resolve the gap (re-snapshot, or "
+            "accept it with incident_policy='record') before resuming."
+        )
+
+
 class CdcApplyJob:
     """Replay a directory of offset-ordered change-event parquet batches
     into a lakestore transcripts table, exactly once."""
@@ -163,6 +190,10 @@ class CdcApplyJob:
     # QUERY frames beyond this raise loudly instead of OOMing the
     # driver (DDL is rare by nature; 1024/batch is already pathological).
     MAX_DDL_FRAMES_PER_BATCH = 1024
+    # Same bound for INCIDENT frames (C5): a master emits one per
+    # fault; dozens in one batch is itself an incident and fails
+    # loudly whatever the incident_policy.
+    MAX_INCIDENT_FRAMES_PER_BATCH = 64
     # staging dirs older than this are crash debris prepare() may
     # reclaim; younger ones may belong to a live concurrent job
     STAGING_DEBRIS_AGE_S = 3600.0
@@ -213,6 +244,8 @@ class CdcApplyJob:
         branch: str | None = None,
         pipeline_prefetch: bool = True,
         gtid_list: str | None = None,
+        gtid_set: str | None = None,
+        incident_policy: str = "fail",  # fail | record
     ):
         """``branch="name"`` applies onto a BRANCH of the target table
         (created at the current main head if absent): batches commit to
@@ -246,11 +279,25 @@ class CdcApplyJob:
         import uuid as _uuid
 
         self._run_id = _uuid.uuid4().hex[:8]
-        # MariaDB GTID_LIST replication-state fence ("0-1-100,1-2-7"):
-        # applied in _stream_filters on sources that carry a gtid
-        # column (typed/jsonl); the wire body has no gtid field, where
-        # the position fence remains the sole authority
+        # GTID replication-state fences — MariaDB GTID_LIST form
+        # ("0-1-100,1-2-7") and MySQL executed-set form
+        # ("uuid:1-100[,uuid2:...]"). Applied in _stream_filters on
+        # sources that carry a gtid column (typed/jsonl); on the wire
+        # path, GTID control frames (GTID_LOG_EVENT 33 / MariaDB GTID
+        # 162) open each transaction, so _wire_gtid_fence runs the same
+        # executed-set predicate on that tiny per-txn projection and
+        # anti-joins the fenced xids out of the decoded DML
         self.gtid_list = gtid_list
+        self.gtid_set = gtid_set
+        # C5 incident policy: an INCIDENT_EVENT (LogEvent.java:161-163,
+        # "possibly lost events") past the fence either fails the batch
+        # (default — an operator must decide, like reset_policy) or is
+        # recorded in stats/lineage while the apply continues
+        if incident_policy not in ("fail", "record"):
+            raise ValueError(
+                f"incident_policy must be 'fail' or 'record', got {incident_policy!r}"
+            )
+        self.incident_policy = incident_policy
         # auto skew escalation state (wire path; see AUTO_SALT_RATIO)
         self._escalated = False
         # pipelined micro-batches (wire path): the run loop prefetches
@@ -410,6 +457,9 @@ class CdcApplyJob:
             compact_files_per_bucket=getattr(cfg, "compact_files_per_bucket", 1),
             transform=_resolve_transform(getattr(cfg, "transform", None)),
             bloom_cols=getattr(cfg, "bloom_cols", None) or None,
+            gtid_list=getattr(cfg, "gtid_list", None),
+            gtid_set=getattr(cfg, "gtid_set", None),
+            incident_policy=getattr(cfg, "incident_policy", "fail"),
         )
 
     # ------------------------------------------------------------- lifecycle
@@ -822,7 +872,160 @@ class CdcApplyJob:
             from .sources.mariadb_events import after_mariadb_gtid_list
 
             df = after_mariadb_gtid_list(df, self.gtid_list)
+        if self.gtid_set is not None and "gtid" in df.columns:
+            from .operators.parse import after_gtid_set
+
+            df = after_gtid_set(df, self.gtid_set)
         return df
+
+    def _wire_gtid_fence(self, raw_f: DataFrame, dml: DataFrame) -> DataFrame:
+        """Wire-path GTID fencing — the wire twin of
+        ``operators.parse.after_gtid_set`` / ``after_mariadb_gtid_list``
+        (round-4 VERDICT item 5). The wire body carries no per-row gtid
+        field, but GTID control frames (MySQL GTID_LOG_EVENT 33 /
+        MariaDB GTID 162) OPEN each transaction and carry the gtid text
+        (body ``ddl_sql`` field) plus the group's xid: the executed-set
+        predicate runs on that tiny per-transaction projection, and the
+        fenced xids are anti-joined out of the decoded DML. Scale shape:
+        the predicate is constant, the GTID projection is ~n_txns rows
+        of (long, short string), and AQE broadcasts the anti-join's
+        small side; zero cost when no fence is configured (the common
+        case — this method is then an identity)."""
+        if self.gtid_set is None and self.gtid_list is None:
+            return dml
+        from .sources.wire import FIELD_SEP
+
+        body = F.decode(
+            F.expr("substring(payload, 20, length(payload)-23)"), "UTF-8"
+        )
+        # body fields: op|xid|row_idx|schema|table|is_ddl|ddl_sql|...
+        xid = F.substring_index(
+            F.substring_index(body, FIELD_SEP, 2), FIELD_SEP, -1
+        ).cast("long")
+        gtid = F.substring_index(
+            F.substring_index(body, FIELD_SEP, 7), FIELD_SEP, -1
+        )
+        is_gtid_frame = F.expr("substring(payload, 5, 1) IN (X'21', X'A2')")
+        gt = raw_f.filter(is_gtid_frame).select(
+            xid.alias("xid"), gtid.alias("gtid")
+        )
+        inside = F.lit(False)
+        if self.gtid_set is not None:
+            from .operators.parse import gtid_inside_predicate
+
+            inside = inside | gtid_inside_predicate(self.gtid_set)
+        if self.gtid_list is not None:
+            from .sources.mariadb_events import (
+                gtid_list_fence,
+                mariadb_gtid_inside_predicate,
+            )
+
+            fence = gtid_list_fence(self.gtid_list)
+            if fence:
+                is_maria, m_inside = mariadb_gtid_inside_predicate(fence)
+                inside = inside | (is_maria & m_inside)
+        fenced = (
+            gt.filter(F.col("gtid").isNotNull() & inside)
+            .select("xid")
+            .distinct()
+        )
+        # --- cross-batch open-group carry --------------------------------
+        # A transaction can SPAN a micro-batch boundary: its GTID frame
+        # lands in batch k, its tail DML rows in batch k+1 — invisible
+        # to k+1's per-batch GTID projection. Binlog event groups are
+        # SEQUENTIAL (the binary log serializes transactions at commit
+        # time; groups never interleave), so at most ONE group is open
+        # at any boundary: carry exactly that group's xid forward when
+        # it is fenced. The carry is persisted in the commit properties
+        # (``gtid_fence_carry``) atomically with the watermark, so a
+        # restarted replay resumes with the same fence state
+        # (exactly-once contract). Cost: one tiny driver-side agg over
+        # the already-read raw frames per batch, only when a fence is
+        # configured.
+        carry_in = self._gtid_fence_carry()
+        if carry_in is not None:
+            fenced = fenced.unionByName(
+                self.spark.createDataFrame([(carry_in,)], "xid long")
+            ).distinct()
+        fp = F.struct("file", "pos")
+        is_commit = F.expr("substring(payload, 5, 1) = X'10'")
+        b = raw_f.select(
+            F.when(is_gtid_frame, fp).alias("gfp"),
+            F.when(is_gtid_frame, xid).alias("gxid"),
+            F.when(is_gtid_frame, gtid).alias("ggtid"),
+            F.when(is_commit, fp).alias("cfp"),
+        ).agg(
+            F.max_by(
+                F.struct("gxid", "ggtid"), F.when(F.col("gfp").isNotNull(), F.col("gfp"))
+            ).alias("last_g"),
+            F.max("gfp").alias("last_gfp"),
+            F.max("cfp").alias("last_cfp"),
+        ).collect()[0]
+        if b["last_gfp"] is None:
+            # no GTID frame in this batch: the carried group stays open
+            # unless a COMMIT closed it
+            carry_out = None if b["last_cfp"] is not None else carry_in
+        elif b["last_cfp"] is not None and tuple(b["last_cfp"]) >= tuple(b["last_gfp"]):
+            carry_out = None  # last group committed inside the batch
+        else:
+            g = b["last_g"]
+            carry_out = (
+                int(g["gxid"])
+                if g is not None
+                and g["gxid"] is not None
+                and self._gtid_text_inside(g["ggtid"])
+                else None
+            )
+        self._gtid_carry = carry_out
+        return dml.join(fenced, "xid", "left_anti")
+
+    _GTID_CARRY_UNSET = object()
+
+    def _gtid_fence_carry(self) -> int | None:
+        """The open fenced group carried into the CURRENT batch: driver
+        state within a run, re-read from the committed properties after
+        a restart (enable fences from a txn-aligned checkpoint — a
+        fence turned on mid-replay has no carry history)."""
+        carry = getattr(self, "_gtid_carry", self._GTID_CARRY_UNSET)
+        if carry is not self._GTID_CARRY_UNSET:
+            return carry
+        p = self.table.properties() if self.table is not None else {}
+        v = p.get("gtid_fence_carry") or ""
+        return int(v) if v else None
+
+    def _gtid_text_inside(self, gtid: str | None) -> bool:
+        """Driver-side twin of the fence predicates for ONE gtid text —
+        used only for the single open-group carry decision."""
+        if not gtid:
+            return False
+        if self.gtid_list is not None:
+            from .sources.mariadb_events import gtid_list_fence
+
+            bits = gtid.split("-")
+            if len(bits) == 3 and all(b.isdigit() for b in bits):
+                fence = gtid_list_fence(self.gtid_list)
+                d, _s, q = (int(x) for x in bits)
+                if d in fence and q <= fence[d]:
+                    return True
+        if self.gtid_set is not None and ":" in gtid:
+            uuid_part, txn_part = gtid.split(":", 1)
+            try:
+                txn = int(txn_part)
+            except ValueError:
+                return False
+            for entry in self.gtid_set.split(","):
+                entry = entry.strip()
+                parts = entry.split(":")
+                if len(parts) < 2 or parts[0] != uuid_part:
+                    continue
+                for rng in parts[1:]:
+                    if "-" in rng:
+                        lo_s, hi_s = rng.split("-", 1)
+                        if int(lo_s) <= txn <= int(hi_s):
+                            return True
+                    elif int(rng) == txn:
+                        return True
+        return False
 
     def _lww(self, keyed: DataFrame, payload_cols: list[str]) -> DataFrame:
         if self.n_salts > 0:
@@ -894,6 +1097,13 @@ class CdcApplyJob:
             self.pipeline_prefetch
             and self.source_format == "wire"
             and len(groups) > 1
+            # GTID fencing threads open-group carry state batch-to-batch
+            # (_wire_gtid_fence): batch k+1's fence needs batch k's
+            # carry-out, so speculative winners would race it — run
+            # synchronously under a fence (opt-in replay feature; the
+            # steady state has no fence and keeps the pipeline)
+            and self.gtid_set is None
+            and self.gtid_list is None
         ):
             from concurrent.futures import ThreadPoolExecutor
 
@@ -1068,6 +1278,9 @@ class CdcApplyJob:
         )
         dec = decode_frames_kv(raw_dml)
         dml = dml_for_table(self._stream_filters(dec), self.schema_name, self.table_name)
+        # GTID-set fencing (wire twin of after_gtid_set; identity when
+        # no fence is configured)
+        dml = self._wire_gtid_fence(raw_f, dml)
         # keys from the tiny key_kv map (isKey columns), NOT the full
         # row image — the full after map is built only for LWW winners.
         # key_kv is the ROW IDENTITY (before-image key, MySQL RBR
@@ -1283,6 +1496,37 @@ class CdcApplyJob:
             ]
         return dd.sort_values(["file", "pos", "row_idx"]).to_dict("records")
 
+    def _incident_rows(self, m, wm_file, wm_pos) -> list:
+        """Decode the manifest's capped INCIDENT frames driver-side and
+        keep the past-fence ones as (file, pos, message) triples —
+        already-applied incidents (at or before the watermark) were
+        handled when first seen and must not re-fail a replay."""
+        if not m["incident_frames"]:
+            return []
+        import pandas as pd
+
+        from .sources.wire import _decode_batch
+
+        pdf = pd.DataFrame(
+            [
+                (r["file"], r["pos"], bytes(r["payload"]))
+                for r in m["incident_frames"]
+            ],
+            columns=["file", "pos", "payload"],
+        )
+        dd = _decode_batch(pdf)
+        dd = dd[dd["crc_ok"] & (dd["op"] == "INCIDENT")]
+        out = []
+        for _, r in dd.sort_values(["file", "pos"]).iterrows():
+            if wm_file is not None and (r["file"], r["pos"]) <= (wm_file, wm_pos):
+                continue
+            # wire payload "number:message" (mysql_events fixture form);
+            # a bare message is carried verbatim
+            raw_msg = r["ddl_sql"] or ""
+            msg = raw_msg.split(":", 1)[1] if ":" in raw_msg else raw_msg
+            out.append((r["file"], int(r["pos"]), msg))
+        return out
+
     def _wire_manifest(self, raw: DataFrame, wm_file, wm_pos):
         """The single JVM aggregation over a batch's raw frames that
         yields the offset manifest: offset range, txn boundary (B4),
@@ -1347,6 +1591,14 @@ class CdcApplyJob:
         # full payloads would be an unbounded driver collect. QUERY
         # frames are BEGIN or DDL; BEGIN is excluded by op text.
         cand_ddl = F.expr("substring(payload, 5, 1) = X'02'") & (op0 != "BEGIN")
+        # control-event classification on the header type byte
+        # (LogDecoder.java:94-491 dispatch): HEARTBEAT(27) feeds M4
+        # liveness, INCIDENT(26) feeds the C5 incident policy. Both are
+        # rare by nature (heartbeats only at idle, incidents on master
+        # faults), so the bounded collect below is safe; an incident
+        # FLOOD past the cap fails loudly in the consumer.
+        is_hb = F.expr("substring(payload, 5, 1) = X'1B'")
+        is_incident = F.expr("substring(payload, 5, 1) = X'1A'")
         # n_dml counts target-DML rows PAST THE FENCE only (lineage
         # rows_applied semantics; replay-overlap rows are not applied).
         # CRC caveat: this JVM pass does not checksum-verify frames — a
@@ -1363,6 +1615,7 @@ class CdcApplyJob:
             "file", "pos", "payload",
             rows_arr.alias("rows_arr"), op0.alias("op0"),
             is_commit.alias("is_commit"), cand_ddl.alias("cand_ddl"),
+            is_hb.alias("is_hb"), is_incident.alias("is_incident"),
             past_fence.alias("past_fence"),
             ts_le.alias("ts_s"),
         ).agg(
@@ -1386,6 +1639,17 @@ class CdcApplyJob:
                 1,
                 self.MAX_DDL_FRAMES_PER_BATCH + 1,
             ).alias("ddl_frames"),
+            F.max(F.when(F.col("is_hb"), F.col("ts_s"))).alias("hb_ts_s"),
+            F.sum(F.col("is_incident").cast("long")).alias("n_incident"),
+            F.slice(
+                F.collect_list(
+                    F.when(
+                        F.col("is_incident"), F.struct("file", "pos", "payload")
+                    )
+                ),
+                1,
+                self.MAX_INCIDENT_FRAMES_PER_BATCH + 1,
+            ).alias("incident_frames"),
         ).collect()[0]
         # (returned Row consumed by _apply_wire_df)
         return m
@@ -1474,6 +1738,21 @@ class CdcApplyJob:
             stats.wall_ms = int((time.time() - t0) * 1000)
             return stats
 
+        # --- C5 incident gate: BEFORE any apply work ------------------
+        if int(m["n_incident"] or 0) > self.MAX_INCIDENT_FRAMES_PER_BATCH:
+            raise IncidentError(
+                [("<flood>", int(m["n_incident"]), "incident-frame flood")]
+            )
+        if int(m["n_incident"] or 0) > 0:
+            incidents = self._incident_rows(m, wm_file, wm_pos)
+            if incidents:
+                if self.incident_policy == "fail":
+                    raise IncidentError(incidents)
+                stats.incidents = incidents
+        # M4 liveness: newest heartbeat header ts in the batch
+        if m["hb_ts_s"] is not None:
+            stats.heartbeat_ts = float(m["hb_ts_s"])
+
         # --- DDL: decode the handful of collected frames driver-side --
         ddl_rows = self._target_ddl_rows(m, wm_file, wm_pos)
         trunc_fp = self._handle_ddl(ddl_rows) if ddl_rows else None
@@ -1528,6 +1807,11 @@ class CdcApplyJob:
             "offset_pos": str(stats.pos_end),
             "batch_seq": str(batch_id),
         }
+        if self.gtid_set is not None or self.gtid_list is not None:
+            # open-group fence carry, atomic with the watermark (see
+            # _wire_gtid_fence; set eagerly when _wire_lww built the plan)
+            carry = getattr(self, "_gtid_carry", None)
+            props["gtid_fence_carry"] = "" if carry is None else str(carry)
         if stats.txn_file_end is not None:
             props["txn_end_file"] = stats.txn_file_end
             props["txn_end_pos"] = str(stats.txn_pos_end)
@@ -2081,6 +2365,8 @@ class CdcApplyJob:
             "rows_winners": stats.rows_winners,
             "lww_variant": stats.lww_variant,
             "frames_quarantined": stats.frames_quarantined,
+            "heartbeat_ts": stats.heartbeat_ts,
+            "incidents": stats.incidents,
             "ts_ms": int(time.time() * 1000),
         }
         with open(path, "a") as f:

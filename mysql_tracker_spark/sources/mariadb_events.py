@@ -182,6 +182,18 @@ def after_mariadb_gtid_list(df: DataFrame, executed: list[dict] | str) -> DataFr
     fence = gtid_list_fence(executed)
     if not fence:
         return df
+    is_maria, inside = mariadb_gtid_inside_predicate(fence)
+    return df.filter(
+        F.col("gtid").isNull() | ~is_maria | ~inside
+    )
+
+
+def mariadb_gtid_inside_predicate(fence: dict[int, int]):
+    """``(is_maria, inside)`` Column predicates over a ``gtid`` column
+    for a compiled :func:`gtid_list_fence` — the core of
+    :func:`after_mariadb_gtid_list`, exposed separately so the wire
+    path can apply it to the tiny GTID-frame projection (one row per
+    transaction-opening GTID event) instead of per data row."""
     # only well-formed MariaDB GTIDs participate: a MySQL-form gtid
     # ("uuid:txn" — the uuid contains dashes) would otherwise parse to
     # NULL fields, null-poison the predicate, and be silently dropped
@@ -197,9 +209,7 @@ def after_mariadb_gtid_list(df: DataFrame, executed: list[dict] | str) -> DataFr
         d_lit = F.lit(str(int(d))).cast("decimal(20,0)")
         s_lit = F.lit(str(int(s))).cast("decimal(20,0)")
         inside = inside | ((dom == d_lit) & (seq <= s_lit))
-    return df.filter(
-        F.col("gtid").isNull() | ~is_maria | ~inside
-    )
+    return is_maria, inside
 
 
 # ------------------------------------------------- generator flavoring

@@ -1,0 +1,378 @@
+"""MySQL control-event surface (VERDICT round-4 items 2+5).
+
+The reference enumerates ~36 MySQL event types
+(``mysql/dbsync/LogEvent.java:115-188``) and decodes the control
+vocabulary in ``mysql/dbsync/LogDecoder.java:94-491``.  Much of that
+set is replaced by design in this engine (ROTATE ≡ the ``file``
+column of every event, TABLE_MAP ≡ the manifest schema registry,
+FORMAT_DESCRIPTION ≡ the frame version), and unknown frames already
+drop safely through the F4 pre-decode gate — but several control
+events have real semantics a capture replay wants CLASSIFIED rather
+than dropped:
+
+==================  ===  =============================================
+STOP                  3  master shut down cleanly (end of stream)
+ROTATE                4  next-binlog pointer: u64 position + filename
+                         (``event/RotateLogEvent.java:53-110``)
+FORMAT_DESCRIPTION   15  binlog format preamble: version, server
+                         version, per-type post-header lengths
+                         (``event/FormatDescriptionLogEvent.java``)
+INCIDENT             26  "something out of the ordinary happened on
+                         the master" — possibly LOST EVENTS; a replica
+                         must not silently continue
+                         (``event/IncidentLogEvent.java:41-100``)
+HEARTBEAT            27  master-is-alive probe sent at idle; carries
+                         the current binlog file name
+                         (``event/HeartbeatLogEvent.java:23``)
+ROWS_QUERY           29  the original SQL text of the following row
+                         events (``binlog_rows_query_log_events=ON``)
+                         — the MySQL twin of MariaDB ANNOTATE_ROWS
+                         (``event/RowsQueryLogEvent.java:10``)
+GTID                 33  starts an event group: 16-byte server UUID +
+                         u64 transaction number
+                         (``event/GtidLogEvent.java:11-45``)
+PREVIOUS_GTIDS       35  logged at the start of every binlog ≥5.6:
+                         the executed-GTID-set snapshot
+                         (``event/PreviousGtidsLogEvent.java:12``)
+==================  ===  =============================================
+
+The engine's stance mirrors :mod:`.mariadb_events` (that module is
+the template — same dual surface):
+
+* **wire/frame level** — the types are enumerated and classified; none
+  is a row event, so the JVM pre-decode gate skips them like
+  BEGIN/COMMIT.  HEARTBEAT feeds the M4 liveness surface
+  (``ApplyStats.heartbeat_ts``), INCIDENT feeds the C5 incident
+  policy (``CdcApplyJob(incident_policy=...)``), and GTID frames feed
+  the wire-path GTID-set fence (``CdcApplyJob(gtid_set=...)`` —
+  the wire twin of ``operators.parse.after_gtid_set``).
+* **byte level** — the real body layouts (public binlog format,
+  documented at dev.mysql.com "Binary Log Event Structure"; field-
+  compatible with the reference's decoders) are decoded here so
+  captured payloads can be classified, and PREVIOUS_GTIDS decodes to
+  the canonical executed-set text form that ``after_gtid_set``
+  accepts — a capture can self-seed its fence from the binlog
+  preamble.
+
+Nothing in this module runs per row on the data path: body decoders
+handle single control frames (a handful per binlog file), and the
+fence compiles to a constant predicate + one bounded anti-join.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid as _uuid
+
+# LogEvent.java:115-188
+UNKNOWN_EVENT = 0
+QUERY_EVENT = 2
+STOP_EVENT = 3
+ROTATE_EVENT = 4
+INTVAR_EVENT = 5
+RAND_EVENT = 13
+USER_VAR_EVENT = 14
+FORMAT_DESCRIPTION_EVENT = 15
+XID_EVENT = 16
+TABLE_MAP_EVENT = 19
+INCIDENT_EVENT = 26
+HEARTBEAT_LOG_EVENT = 27
+IGNORABLE_LOG_EVENT = 28
+ROWS_QUERY_LOG_EVENT = 29
+WRITE_ROWS_EVENT = 30
+UPDATE_ROWS_EVENT = 31
+DELETE_ROWS_EVENT = 32
+GTID_LOG_EVENT = 33
+ANONYMOUS_GTID_LOG_EVENT = 34
+PREVIOUS_GTIDS_LOG_EVENT = 35
+MYSQL_EVENTS_END = 36
+
+MYSQL_CONTROL_EVENT_NAMES = {
+    STOP_EVENT: "STOP",
+    ROTATE_EVENT: "ROTATE",
+    FORMAT_DESCRIPTION_EVENT: "FORMAT_DESC",
+    INCIDENT_EVENT: "INCIDENT",
+    HEARTBEAT_LOG_EVENT: "HEARTBEAT",
+    ROWS_QUERY_LOG_EVENT: "ROWS_QUERY",
+    GTID_LOG_EVENT: "GTID_MYSQL",
+    PREVIOUS_GTIDS_LOG_EVENT: "PREV_GTIDS",
+}
+
+# IncidentLogEvent.java:43-50
+INCIDENT_NONE = 0
+INCIDENT_LOST_EVENTS = 1
+
+
+# ---------------------------------------------------------------- bodies
+# Post-header body layouts (checksum already stripped by the framing
+# layer, LogDecoder.java:158-169).  All integers little-endian.
+
+
+def decode_rotate_body(body: bytes) -> dict:
+    """ROTATE_EVENT (4): u64 next-event position (always 4), then the
+    next binlog file name, NOT null-terminated — it runs to the end of
+    the event (``RotateLogEvent.java:56-74``)."""
+    if len(body) < 8:
+        raise ValueError(f"ROTATE_EVENT body too short: {len(body)} bytes")
+    (position,) = struct.unpack_from("<Q", body, 0)
+    return {
+        "position": position,
+        "next_file": body[8:].decode("utf-8", "replace"),
+    }
+
+
+def decode_format_description_body(body: bytes) -> dict:
+    """FORMAT_DESCRIPTION_EVENT (15): u16 binlog version, 50-byte
+    null-padded server-version string, u32 create timestamp, u8 common
+    header length, then one post-header-length byte per event type
+    (``FormatDescriptionLogEvent.java``; StartLogEventV3 layout)."""
+    if len(body) < 57:
+        raise ValueError(
+            f"FORMAT_DESCRIPTION_EVENT body too short: {len(body)} bytes"
+        )
+    (binlog_version,) = struct.unpack_from("<H", body, 0)
+    server_version = body[2:52].split(b"\x00", 1)[0].decode("utf-8", "replace")
+    (create_ts,) = struct.unpack_from("<I", body, 52)
+    common_header_len = body[56]
+    return {
+        "binlog_version": binlog_version,
+        "server_version": server_version,
+        "create_ts": create_ts,
+        "common_header_len": common_header_len,
+        "post_header_lens": list(body[57:]),
+    }
+
+
+def decode_heartbeat_body(body: bytes) -> str:
+    """HEARTBEAT_LOG_EVENT (27): the current binlog file name, no
+    terminator (``HeartbeatLogEvent.java:23-40``)."""
+    return body.decode("utf-8", "replace")
+
+
+def decode_rows_query_body(body: bytes) -> str:
+    """ROWS_QUERY_LOG_EVENT (29): u8 length byte (the statement may be
+    truncated to 255 in it), then the query text running to the end of
+    the event — readers use the full remainder, not the length byte
+    (``RowsQueryLogEvent.java:10-30``)."""
+    if not body:
+        return ""
+    return body[1:].decode("utf-8", "replace")
+
+
+def decode_incident_body(body: bytes) -> dict:
+    """INCIDENT_EVENT (26): u16 incident number, u8 message length,
+    then the message (``IncidentLogEvent.java:55-80``).  Unrecognized
+    incident numbers decode to INCIDENT_NONE with a null message,
+    matching the reference's is_valid() contract."""
+    if len(body) < 2:
+        raise ValueError("INCIDENT_EVENT body too short")
+    (number,) = struct.unpack_from("<H", body, 0)
+    if number <= INCIDENT_NONE or number >= 2:
+        return {"incident": INCIDENT_NONE, "message": None}
+    mlen = body[2] if len(body) > 2 else 0
+    message = body[3 : 3 + mlen].decode("utf-8", "replace")
+    return {"incident": number, "message": message}
+
+
+def decode_stop_body(body: bytes) -> dict:
+    """STOP_EVENT (3): empty body (``StopLogEvent.java:15``)."""
+    if body:
+        raise ValueError(f"STOP_EVENT carries {len(body)} unexpected bytes")
+    return {}
+
+
+def decode_gtid_body(body: bytes) -> dict:
+    """GTID_LOG_EVENT (33): u8 commit flag, 16-byte server UUID (SID),
+    u64 transaction number (GNO) (``GtidLogEvent.java:13-38``; the
+    reference decodes only the flag and skips the SID/GNO — this
+    engine needs them for the fence).  Returns the canonical
+    ``"uuid:gno"`` text form."""
+    if len(body) < 25:
+        raise ValueError(f"GTID_LOG_EVENT body too short: {len(body)} bytes")
+    commit_flag = body[0] != 0
+    sid = str(_uuid.UUID(bytes=body[1:17]))
+    (gno,) = struct.unpack_from("<Q", body, 17)
+    return {
+        "commit_flag": commit_flag,
+        "sid": sid,
+        "gno": gno,
+        "gtid": f"{sid}:{gno}",
+    }
+
+
+def decode_previous_gtids_body(body: bytes) -> str:
+    """PREVIOUS_GTIDS_LOG_EVENT (35): u64 SID count, then per SID a
+    16-byte UUID, u64 interval count, and (u64 start, u64 end) interval
+    pairs — ends are EXCLUSIVE in the wire form, inclusive in the text
+    form (MySQL Gtid_set encoding).  Returns the canonical executed-set
+    text ``"uuid:lo-hi[:lo-hi...][,uuid:...]"`` that
+    ``operators.parse.after_gtid_set`` accepts directly."""
+    if len(body) < 8:
+        raise ValueError("PREVIOUS_GTIDS_LOG_EVENT body too short")
+    (n_sids,) = struct.unpack_from("<Q", body, 0)
+    off = 8
+    sets = []
+    for _ in range(n_sids):
+        if len(body) < off + 24:
+            raise ValueError("PREVIOUS_GTIDS_LOG_EVENT: truncated SID block")
+        sid = str(_uuid.UUID(bytes=body[off : off + 16]))
+        (n_iv,) = struct.unpack_from("<Q", body, off + 16)
+        off += 24
+        ivs = []
+        for _ in range(n_iv):
+            if len(body) < off + 16:
+                raise ValueError(
+                    "PREVIOUS_GTIDS_LOG_EVENT: truncated interval"
+                )
+            lo, end = struct.unpack_from("<QQ", body, off)
+            off += 16
+            hi = end - 1
+            ivs.append(str(lo) if lo == hi else f"{lo}-{hi}")
+        sets.append(f"{sid}:{':'.join(ivs)}" if ivs else sid)
+    return ",".join(sets)
+
+
+def encode_previous_gtids_body(executed: str) -> bytes:
+    """Inverse of :func:`decode_previous_gtids_body` — builds the wire
+    bytes for an executed-set text form.  Test-fixture helper (the
+    engine never writes real binlogs); round-trips with the decoder."""
+    out = []
+    sids = [p for p in executed.split(",") if p.strip()]
+    out.append(struct.pack("<Q", len(sids)))
+    for part in sids:
+        bits = part.strip().split(":")
+        sid = _uuid.UUID(bits[0])
+        ivs = []
+        for rng in bits[1:]:
+            if "-" in rng:
+                lo_s, hi_s = rng.split("-", 1)
+                ivs.append((int(lo_s), int(hi_s) + 1))
+            else:
+                ivs.append((int(rng), int(rng) + 1))
+        out.append(sid.bytes)
+        out.append(struct.pack("<Q", len(ivs)))
+        for lo, end in ivs:
+            out.append(struct.pack("<QQ", lo, end))
+    return b"".join(out)
+
+
+# ------------------------------------------------- generator flavoring
+
+
+def mysql_control_flavor(
+    events,
+    server_uuid: str = "3e11fa47-71ca-11e1-9e33-c80aa9429562",
+    heartbeat_every: int = 500,
+    incident_at: int | None = None,
+):
+    """Re-flavor a generated change stream
+    (:func:`binlog_gen.gen_change_events` output) as a control-event-
+    laden MySQL ≥5.6 binlog — the MySQL twin of
+    :func:`mariadb_events.mariadb_flavor`:
+
+    * every BEGIN query event becomes a GTID event (op ``GTID_MYSQL``,
+      payload ``"uuid:gno"`` in ``ddl_sql``, gno = the txn's xid) —
+      GTID-mode binlogs start event groups with GTID_LOG_EVENT;
+    * a ROWS_QUERY frame is injected immediately before each
+      transaction's first row frame (``binlog_rows_query_log_events``);
+    * the stream opens with FORMAT_DESCRIPTION, PREVIOUS_GTIDS (empty
+      executed set) and ROTATE frames — every real binlog's preamble;
+    * a HEARTBEAT frame lands every ``heartbeat_every`` events
+      (carrying the current file name) and a STOP frame closes the
+      stream;
+    * ``incident_at`` (an event index) optionally injects an INCIDENT
+      frame there — payload ``"1:<message>"`` (LOST_EVENTS).
+
+    DML frames, positions, timestamps, xids, and the duplicated replay
+    tail are byte-untouched, so the LWW oracle of the original stream
+    is the oracle of the flavored one."""
+    import numpy as np
+    import pandas as pd
+
+    ev = events.copy()
+    is_begin = ev["op"] == "BEGIN"
+    ev.loc[is_begin, "op"] = "GTID_MYSQL"
+    ev.loc[is_begin, "ddl_sql"] = (
+        f"{server_uuid}:" + ev.loc[is_begin, "xid"].astype("Int64").astype(str)
+    )
+
+    def _ctl(file, pos, ts, op, payload, xid=None):
+        return {
+            "file": file,
+            "pos": int(pos),
+            "row_idx": 0,
+            "server_id": 1,
+            "ts": ts,
+            "xid": xid,
+            "gtid": None,
+            "op": op,
+            "schema_name": None,
+            "table_name": None,
+            "is_ddl": False,
+            "ddl_sql": payload,
+            "before": None,
+            "after": None,
+        }
+
+    # STREAM ORDER (not (file,pos) order) — same invariant as
+    # mariadb_flavor: the replay tail repeats earlier offsets at the
+    # END, so injected frames get fractional order keys.
+    ev["__ord"] = np.arange(len(ev), dtype="float64")
+
+    extra = []
+    dml = ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])]
+    first = dml.drop_duplicates(subset=["xid"], keep="first")
+    for idx, r in first.iterrows():  # one row per txn — tiny loop
+        c = _ctl(
+            r["file"],
+            int(r["pos"]) - 1,
+            r["ts"],
+            "ROWS_QUERY",
+            f"/* rows_query */ REPLACE INTO "
+            f"{r['schema_name']}.{r['table_name']}",
+            xid=r["xid"],
+        )
+        c["__ord"] = float(idx) - 0.5
+        extra.append(c)
+    head, tail = ev.iloc[0], ev.iloc[len(events) - 1]
+    fd = _ctl(head["file"], 1, head["ts"], "FORMAT_DESC", "4|5.7.30-log")
+    fd["__ord"] = -0.9
+    pg = _ctl(head["file"], 2, head["ts"], "PREV_GTIDS", "")
+    pg["__ord"] = -0.8
+    ro = _ctl(head["file"], 3, head["ts"], "ROTATE", str(head["file"]))
+    ro["__ord"] = -0.7
+    extra += [fd, pg, ro]
+    for i in range(heartbeat_every, len(ev), heartbeat_every):
+        r = ev.iloc[i]
+        hb = _ctl(
+            r["file"], int(r["pos"]) - 1, r["ts"], "HEARTBEAT", str(r["file"])
+        )
+        hb["__ord"] = float(i) - 0.4
+        extra.append(hb)
+    if incident_at is not None:
+        r = ev.iloc[incident_at]
+        inc = _ctl(
+            r["file"],
+            int(r["pos"]) - 1,
+            r["ts"],
+            "INCIDENT",
+            "1:possibly lost events on master",
+        )
+        inc["__ord"] = float(incident_at) - 0.3
+        extra.append(inc)
+    st = _ctl(tail["file"], int(tail["pos"]) + 1, tail["ts"], "STOP", "")
+    st["__ord"] = float(len(ev))
+    extra.append(st)
+
+    flavored = pd.concat([ev, pd.DataFrame(extra)], ignore_index=True)
+    flavored["xid"] = flavored["xid"].astype("Int64")
+    for c in ("row_idx", "pos", "server_id"):
+        # concat with the control-frame dict rows promotes dtypes;
+        # DML bytes must stay identical to the unflavored stream
+        flavored[c] = flavored[c].astype(ev[c].dtype)
+    flavored = (
+        flavored.sort_values("__ord", kind="stable")
+        .drop(columns="__ord")
+        .reset_index(drop=True)
+    )
+    return flavored

@@ -64,6 +64,20 @@ TYPE_XID = 16  # COMMIT (reference: XID_EVENT)
 TYPE_WRITE = 30
 TYPE_UPDATE = 31
 TYPE_DELETE = 32
+# MySQL control events (LogEvent.java:115-188; bodies decoded by
+# sources.mysql_events) — none is a row event, so the runner's
+# pre-decode type gate skips them like BEGIN/COMMIT frames.
+# HEARTBEAT/INCIDENT/GTID additionally get JVM-side classification in
+# the runner's manifest pass (M4 liveness, C5 incident policy, the
+# wire GTID-set fence).
+TYPE_STOP = 3
+TYPE_ROTATE = 4
+TYPE_FORMAT_DESC = 15
+TYPE_INCIDENT = 26
+TYPE_HEARTBEAT = 27
+TYPE_ROWS_QUERY = 29
+TYPE_GTID_MYSQL = 33
+TYPE_PREV_GTIDS = 35
 # MariaDB control events (LogEvent.java:189-214; bodies decoded by
 # sources.mariadb_events) — none is a row event, so the runner's
 # pre-decode type gate skips them like BEGIN/COMMIT frames
@@ -79,6 +93,14 @@ _OP_TO_TYPE = {
     "BEGIN": TYPE_QUERY,
     "COMMIT": TYPE_XID,
     "ALTER": TYPE_QUERY,
+    "STOP": TYPE_STOP,
+    "ROTATE": TYPE_ROTATE,
+    "FORMAT_DESC": TYPE_FORMAT_DESC,
+    "INCIDENT": TYPE_INCIDENT,
+    "HEARTBEAT": TYPE_HEARTBEAT,
+    "ROWS_QUERY": TYPE_ROWS_QUERY,
+    "GTID_MYSQL": TYPE_GTID_MYSQL,
+    "PREV_GTIDS": TYPE_PREV_GTIDS,
     "ANNOTATE": TYPE_MARIA_ANNOTATE,
     "CHECKPOINT": TYPE_MARIA_CHECKPOINT,
     "GTID": TYPE_MARIA_GTID,

@@ -360,8 +360,23 @@ class Heartbeat:
                 checks["progress_ok"] = (
                     last_ts is None or (time.time() - last_ts) < self.stall_after_s
                 )
+        # M4 master-liveness surface: newest HEARTBEAT frame the apply
+        # saw (ApplyStats.heartbeat_ts, header ts of the
+        # HEARTBEAT_LOG_EVENT the master sends at idle). Informational
+        # — it measures the MASTER's pulse, not this engine's progress
+        # — so it is excluded from the reload decision below.
+        hb = [
+            s.heartbeat_ts
+            for s in self.stream_job.stats
+            if getattr(s, "heartbeat_ts", None) is not None
+        ]
+        checks["master_heartbeat_age_s"] = (
+            time.time() - max(hb) if hb else None
+        )
         checks["reload_needed"] = not all(
-            v for k, v in checks.items() if k != "reload_needed"
+            v
+            for k, v in checks.items()
+            if k != "reload_needed" and isinstance(v, bool)
         )
         return checks
 

@@ -123,6 +123,19 @@ def main() -> None:
         "without a gtid column are unaffected (position fence rules)",
     )
     ap.add_argument(
+        "--gtid-set", default=None, metavar="SET",
+        help="MySQL executed-GTID-set fence, e.g. 'uuid:1-100': drop "
+        "events of transactions already inside the set. Typed/jsonl "
+        "sources fence on the gtid column; the wire source fences via "
+        "its GTID_LOG_EVENT control frames (per-transaction anti-join)",
+    )
+    ap.add_argument(
+        "--incident-policy", choices=["fail", "record"], default=None,
+        help="what to do when an INCIDENT frame (possibly lost events "
+        "on the master) is found past the fence: fail the batch "
+        "(default) or record it in stats/lineage and continue",
+    )
+    ap.add_argument(
         "--quarantine-dir", default=None, metavar="DIR",
         help="dead-letter audit (wire format): persist corrupt frames "
         "(reason + verbatim payload) under DIR instead of only "
@@ -393,6 +406,10 @@ def main() -> None:
             job.job.expire_keep_last = args.expire_keep_last
         if args.gtid_list is not None:
             job.job.gtid_list = args.gtid_list
+        if args.gtid_set is not None:
+            job.job.gtid_set = args.gtid_set
+        if args.incident_policy is not None:
+            job.job.incident_policy = args.incident_policy
         if args.reset_policy:
             probe = job.job.validate_position(reset_policy=args.reset_policy)
             print(json.dumps({"position_probe": probe}), file=sys.stderr)
@@ -434,6 +451,10 @@ def main() -> None:
             job2.expectations = expectations or job2.expectations
             if args.gtid_list is not None:
                 job2.gtid_list = args.gtid_list
+            if args.gtid_set is not None:
+                job2.gtid_set = args.gtid_set
+            if args.incident_policy is not None:
+                job2.incident_policy = args.incident_policy
             if args.branch is not None:
                 job2.branch = args.branch
         else:
@@ -448,6 +469,8 @@ def main() -> None:
                 n_salts=args.salts if args.salts is not None else 0,
                 quarantine_dir=args.quarantine_dir,
                 gtid_list=args.gtid_list,
+                gtid_set=args.gtid_set,
+                incident_policy=args.incident_policy or "fail",
                 expectations=expectations,
                 write_mode=args.write_mode or "cow",
                 mor_compact_threshold=args.mor_compact_threshold

@@ -1,0 +1,299 @@
+"""MySQL control-event surface (round-4 VERDICT items 2+5): type
+enumeration, body byte-decoders (fixture vectors), HEARTBEAT -> M4,
+INCIDENT -> C5 policy, the wire GTID-set fence, and e2e convergence of
+a control-event-laden MySQL wire stream through the full apply
+(reference enumeration mysql/dbsync/LogEvent.java:115-188, decoder
+dispatch LogDecoder.java:94-491)."""
+
+import struct
+import uuid as _uuid
+
+import pandas as pd
+import pytest
+
+from mysql_tracker_spark.sources.binlog_gen import (
+    SERVER_UUID,
+    GenConfig,
+    expected_final_state,
+    gen_change_events,
+)
+from mysql_tracker_spark.sources.mysql_events import (
+    FORMAT_DESCRIPTION_EVENT,
+    GTID_LOG_EVENT,
+    HEARTBEAT_LOG_EVENT,
+    INCIDENT_EVENT,
+    PREVIOUS_GTIDS_LOG_EVENT,
+    ROTATE_EVENT,
+    ROWS_QUERY_LOG_EVENT,
+    STOP_EVENT,
+    decode_format_description_body,
+    decode_gtid_body,
+    decode_heartbeat_body,
+    decode_incident_body,
+    decode_previous_gtids_body,
+    decode_rotate_body,
+    decode_rows_query_body,
+    decode_stop_body,
+    encode_previous_gtids_body,
+    mysql_control_flavor,
+)
+from mysql_tracker_spark.sources.wire import write_wire_batches
+
+from .conftest import normalize
+
+
+def test_control_type_constants_match_reference():
+    # LogEvent.java:115-188
+    assert STOP_EVENT == 3
+    assert ROTATE_EVENT == 4
+    assert FORMAT_DESCRIPTION_EVENT == 15
+    assert INCIDENT_EVENT == 26
+    assert HEARTBEAT_LOG_EVENT == 27
+    assert ROWS_QUERY_LOG_EVENT == 29
+    assert GTID_LOG_EVENT == 33
+    assert PREVIOUS_GTIDS_LOG_EVENT == 35
+    # the MariaDB classifier covers the full MySQL range too
+    from mysql_tracker_spark.sources.mariadb_events import classify_event_type
+
+    for t in (3, 4, 15, 26, 27, 29, 33, 35):
+        assert classify_event_type(t) == "mysql"
+
+
+def test_rotate_and_format_description_vectors():
+    r = decode_rotate_body(struct.pack("<Q", 4) + b"mysql-bin.000043")
+    assert r == {"position": 4, "next_file": "mysql-bin.000043"}
+    with pytest.raises(ValueError):
+        decode_rotate_body(b"\x00" * 5)
+
+    body = struct.pack("<H", 4)
+    body += b"5.7.30-log".ljust(50, b"\x00")
+    body += struct.pack("<I", 1700000000)
+    body += bytes([19])  # common header len
+    body += bytes([56, 13, 0, 8])  # a few post-header lens
+    fd = decode_format_description_body(body)
+    assert fd["binlog_version"] == 4
+    assert fd["server_version"] == "5.7.30-log"
+    assert fd["create_ts"] == 1700000000
+    assert fd["common_header_len"] == 19
+    assert fd["post_header_lens"] == [56, 13, 0, 8]
+    with pytest.raises(ValueError):
+        decode_format_description_body(body[:40])
+
+
+def test_heartbeat_rows_query_incident_stop_vectors():
+    assert decode_heartbeat_body(b"mysql-bin.000042") == "mysql-bin.000042"
+    # length byte is advisory; the text runs to the end of the event
+    assert (
+        decode_rows_query_body(bytes([11]) + b"UPDATE t SET x=1")
+        == "UPDATE t SET x=1"
+    )
+    assert decode_rows_query_body(b"") == ""
+    inc = decode_incident_body(
+        struct.pack("<H", 1) + bytes([4]) + b"lost"
+    )
+    assert inc == {"incident": 1, "message": "lost"}
+    # unrecognized incident numbers -> INCIDENT_NONE (reference
+    # is_valid() contract)
+    assert decode_incident_body(struct.pack("<H", 9)) == {
+        "incident": 0,
+        "message": None,
+    }
+    with pytest.raises(ValueError):
+        decode_incident_body(b"\x00")
+    assert decode_stop_body(b"") == {}
+    with pytest.raises(ValueError):
+        decode_stop_body(b"x")
+
+
+def test_gtid_and_previous_gtids_vectors():
+    sid = _uuid.UUID(SERVER_UUID)
+    body = bytes([1]) + sid.bytes + struct.pack("<Q", 777)
+    g = decode_gtid_body(body)
+    assert g["commit_flag"] is True
+    assert g["gtid"] == f"{SERVER_UUID}:777"
+    with pytest.raises(ValueError):
+        decode_gtid_body(body[:20])
+
+    # executed-set round trip, multi-sid + multi-interval + singleton
+    other = "11111111-2222-3333-4444-555555555555"
+    text = f"{SERVER_UUID}:1-100:105,{other}:7-9"
+    assert decode_previous_gtids_body(encode_previous_gtids_body(text)) == text
+    assert decode_previous_gtids_body(encode_previous_gtids_body("")) == ""
+    with pytest.raises(ValueError):
+        decode_previous_gtids_body(b"\x01")
+
+
+def test_decoders_never_crash_on_garbage():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(garbage=st.binary(max_size=80))
+    def never_crashes(garbage):
+        for fn in (
+            decode_rotate_body,
+            decode_format_description_body,
+            decode_heartbeat_body,
+            decode_rows_query_body,
+            decode_incident_body,
+            decode_stop_body,
+            decode_gtid_body,
+            decode_previous_gtids_body,
+        ):
+            try:
+                fn(garbage)
+            except ValueError:
+                pass
+
+    never_crashes()
+
+
+def test_mysql_flavor_preserves_dml_bytes():
+    ev = gen_change_events(GenConfig(n_events=500, n_conversations=20, seed=3))
+    fl = mysql_control_flavor(ev)
+    dml_cols = ["file", "pos", "row_idx", "xid", "op", "before", "after"]
+    a = (
+        ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])][dml_cols]
+        .reset_index(drop=True)
+    )
+    b = (
+        fl[fl["op"].isin(["INSERT", "UPDATE", "DELETE"])][dml_cols]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mysql_control_flavored_wire_stream_converges(spark, tmp_path):
+    """e2e (VERDICT item 2 'done' shape): a control-event-laden MySQL
+    stream — GTID instead of BEGIN, ROWS_QUERY before each txn,
+    FORMAT_DESCRIPTION/PREVIOUS_GTIDS/ROTATE preamble, periodic
+    HEARTBEATs, STOP tail, all with real header type bytes — applied
+    through the wire path converges to the plain stream's sequential
+    oracle, and the heartbeat surfaces in ApplyStats (M4)."""
+    import pyarrow.parquet as pq
+
+    from mysql_tracker_spark.runner import CdcApplyJob
+
+    ev = gen_change_events(GenConfig(n_events=2000, n_conversations=60, seed=13))
+    fl = mysql_control_flavor(ev, heartbeat_every=300)
+    assert (fl["op"] == "BEGIN").sum() == 0
+    assert (fl["op"] == "GTID_MYSQL").sum() > 0
+    assert (fl["op"] == "ROWS_QUERY").sum() > 0
+    assert (fl["op"] == "HEARTBEAT").sum() >= 6
+    assert (fl["op"] == "STOP").sum() == 1
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(fl, in_dir, n_batches=3)
+    types = set()
+    for p in sorted((tmp_path / "in").iterdir()):
+        for pay in pq.read_table(p)["payload"].to_pylist():
+            types.add(pay[4])
+    assert {3, 4, 15, 27, 29, 33, 35} <= types
+
+    tbl = str(tmp_path / "tbl")
+    job = CdcApplyJob(spark, in_dir, tbl, n_buckets=8, source_format="wire")
+    stats = job.run()
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    assert got.equals(exp), "control-laden replay != sequential oracle"
+    # M4: the heartbeat header ts surfaced
+    hbs = [s.heartbeat_ts for s in stats if s.heartbeat_ts is not None]
+    assert hbs, "no batch surfaced a heartbeat_ts"
+
+
+def test_incident_policy_fail_and_record(spark, tmp_path):
+    """C5: an INCIDENT frame past the fence fails the batch under the
+    default policy, is recorded (stats + lineage) under 'record', and a
+    replay whose incident sits behind the watermark does not re-fail."""
+    from mysql_tracker_spark.runner import CdcApplyJob, IncidentError
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=40, seed=17))
+    fl = mysql_control_flavor(ev, heartbeat_every=10_000, incident_at=600)
+    assert (fl["op"] == "INCIDENT").sum() == 1
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(fl, in_dir, n_batches=2)
+
+    with pytest.raises(IncidentError, match="possibly lost events"):
+        CdcApplyJob(
+            spark, in_dir, str(tmp_path / "t_fail"), n_buckets=8,
+            source_format="wire",
+        ).run()
+
+    job = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "t_rec"), n_buckets=8,
+        source_format="wire", incident_policy="record",
+    )
+    stats = job.run()
+    recorded = [i for s in stats if s.incidents for i in s.incidents]
+    assert len(recorded) == 1
+    assert recorded[0][2] == "possibly lost events on master"
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(ev))
+    assert got.equals(exp), "record-policy apply != oracle"
+
+    # replay with the DEFAULT fail policy: the incident is at or
+    # before the committed watermark, so it must NOT re-fail
+    replay = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "t_rec"), n_buckets=8,
+        source_format="wire",
+    )
+    stats2 = replay.run()
+    assert all(s.skipped for s in stats2)
+
+
+def test_wire_gtid_set_fence_e2e(spark, tmp_path):
+    """Item 5 'done' shape: a wire replay fenced on a MySQL executed
+    GTID set converges to the oracle over the unfenced transaction
+    suffix — parity with the typed path's after_gtid_set."""
+    from mysql_tracker_spark.runner import CdcApplyJob
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=50, seed=23))
+    fl = mysql_control_flavor(ev)
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(fl, in_dir, n_batches=3)
+
+    xids = sorted(ev["xid"].dropna().astype(int).unique())
+    mid = xids[len(xids) // 2]
+    job = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "t1"), n_buckets=8,
+        source_format="wire", gtid_set=f"{SERVER_UUID}:1-{mid}",
+    )
+    job.run()
+    keep = ev[(ev["xid"].isna()) | (ev["xid"].astype("Int64") > mid)]
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(keep))
+    assert got.equals(exp), "wire gtid_set fence != oracle over suffix"
+
+    # a set for a FOREIGN server uuid fences nothing
+    job2 = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "t2"), n_buckets=8,
+        source_format="wire",
+        gtid_set="11111111-2222-3333-4444-555555555555:1-999999",
+    )
+    job2.run()
+    got2 = normalize(job2.table.read(spark).toPandas())
+    exp2 = normalize(expected_final_state(ev))
+    assert got2.equals(exp2), "foreign-uuid set must fence nothing"
+
+
+def test_wire_mariadb_gtid_list_fence_e2e(spark, tmp_path):
+    """The wire GTID fence honors the MariaDB GTID_LIST form too: a
+    MariaDB-flavored wire stream (GTID frames carry domain-server-seqno)
+    fenced on gtid_list converges to the unfenced-suffix oracle."""
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.mariadb_events import mariadb_flavor
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=40, seed=29))
+    fl = mariadb_flavor(ev)
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(fl, in_dir, n_batches=2)
+
+    xids = sorted(ev["xid"].dropna().astype(int).unique())
+    mid = xids[len(xids) // 2]
+    job = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "t1"), n_buckets=8,
+        source_format="wire", gtid_list=f"0-1-{mid}",
+    )
+    job.run()
+    keep = ev[(ev["xid"].isna()) | (ev["xid"].astype("Int64") > mid)]
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(keep))
+    assert got.equals(exp), "wire gtid_list fence != oracle over suffix"
