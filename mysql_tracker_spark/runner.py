@@ -194,9 +194,18 @@ class CdcApplyJob:
     # fault; dozens in one batch is itself an incident and fails
     # loudly whatever the incident_policy.
     MAX_INCIDENT_FRAMES_PER_BATCH = 64
-    # staging dirs older than this are crash debris prepare() may
-    # reclaim; younger ones may belong to a live concurrent job
+    # Staging-dir reclamation (prepare sweep): OWNERSHIP LIVENESS
+    # first — every job heartbeats an `_owner_<run_id>.alive` marker
+    # (daemon thread, OWNER_HEARTBEAT_S cadence), so a staging dir
+    # whose owner marker is fresh is NEVER swept however old the dir
+    # is (a legitimately >1h in-flight batch on a shared table path
+    # keeps its staging), and one whose marker went stale
+    # (>OWNER_STALE_S — the process died, daemon thread with it) is
+    # provably debris and reaped immediately. Dirs with no marker at
+    # all (legacy/unparseable) fall back to the age gate.
     STAGING_DEBRIS_AGE_S = 3600.0
+    OWNER_HEARTBEAT_S = 60.0
+    OWNER_STALE_S = 900.0
 
     # Auto skew escalation (n_salts=0 only): when a batch's collapse
     # ratio (applied rows / LWW winners) crosses AUTO_SALT_RATIO, the
@@ -472,22 +481,53 @@ class CdcApplyJob:
             self.table = LakeTable.load(self.table_path)
             # crash debris: delta staging dirs from a killed run are
             # harmless (never referenced by a committed snapshot) but
-            # reclaim the space before replaying. AGE-GATED: staging
-            # names are per-job unique, and a CONCURRENT job's live
-            # staging dir (fresh mtime) must not be swept — only dirs
-            # old enough that no writer can still be mid-batch.
+            # reclaim the space before replaying. Ownership-liveness
+            # gated (see the constants above): live owner -> keep,
+            # provably dead owner -> reap now, no owner marker -> age
+            # gate. Dirs first, THEN stale markers, so a stale marker
+            # still proves its dirs dead within this sweep.
             import shutil
 
             now = time.time()
-            for d in os.listdir(self.table_path):
-                if d.startswith(("_delta_", "_winners_")):
-                    p = os.path.join(self.table_path, d)
+            entries = os.listdir(self.table_path)
+
+            def _marker_age(run_id: str) -> float | None:
+                try:
+                    return now - os.path.getmtime(
+                        os.path.join(
+                            self.table_path, f"_owner_{run_id}.alive"
+                        )
+                    )
+                except OSError:
+                    return None
+
+            for d in entries:
+                if not d.startswith(("_delta_", "_winners_")):
+                    continue
+                p = os.path.join(self.table_path, d)
+                # names are _delta_<run_id>_<batch_id> / _winners_...
+                parts = d.split("_")
+                run_id = parts[2] if len(parts) >= 4 else ""
+                age = _marker_age(run_id) if run_id else None
+                if age is not None and age < self.OWNER_STALE_S:
+                    continue  # owner provably live
+                if age is None:
+                    # no marker: crash predating the marker write, or a
+                    # foreign name — keep the conservative age gate
                     try:
                         if now - os.path.getmtime(p) < self.STAGING_DEBRIS_AGE_S:
                             continue
                     except OSError:
                         continue
-                    shutil.rmtree(p, ignore_errors=True)
+                shutil.rmtree(p, ignore_errors=True)
+            for d in entries:
+                if d.startswith("_owner_") and d.endswith(".alive"):
+                    p = os.path.join(self.table_path, d)
+                    try:
+                        if now - os.path.getmtime(p) >= self.OWNER_STALE_S:
+                            os.remove(p)
+                    except OSError:
+                        pass
         else:
             if self.branch is not None:
                 raise FileNotFoundError(
@@ -517,7 +557,60 @@ class CdcApplyJob:
                 self.table = root.load_branch(self.branch)
             except FileNotFoundError:
                 self.table = root.branch(self.branch)
+        self._start_owner_heartbeat()
         return self.table
+
+    def _owner_marker(self, run_id: str | None = None) -> str:
+        return os.path.join(
+            self.table_path, f"_owner_{run_id or self._run_id}.alive"
+        )
+
+    def _start_owner_heartbeat(self) -> None:
+        """Ownership liveness for the staging sweep: touch
+        ``_owner_<run_id>.alive`` now and every OWNER_HEARTBEAT_S from
+        a daemon thread. The thread dies with the process, so a killed
+        job's marker goes stale and its staging becomes reapable —
+        genuine liveness, not an age heuristic. Idempotent."""
+        if getattr(self, "_owner_stop", None) is not None:
+            return
+        import threading
+
+        marker = self._owner_marker()
+
+        def _touch():
+            try:
+                with open(marker, "a"):
+                    pass
+                os.utime(marker, None)
+            except OSError:
+                pass  # sweep falls back to the age gate
+
+        _touch()
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(self.OWNER_HEARTBEAT_S):
+                _touch()
+
+        t = threading.Thread(
+            target=_beat, daemon=True, name=f"mts-owner-{self._run_id}"
+        )
+        t.start()
+        self._owner_stop = stop
+
+    def close(self) -> None:
+        """Release the job's ownership marker: stop the liveness
+        heartbeat and remove ``_owner_<run_id>.alive``. Idempotent and
+        optional — an unclosed (or crashed) job's marker simply goes
+        stale and the next prepare() sweep removes it."""
+        stop = getattr(self, "_owner_stop", None)
+        if stop is not None:
+            stop.set()
+            self._owner_stop = None
+        try:
+            os.remove(self._owner_marker())
+        except OSError:
+            pass
 
     def watermark(self) -> tuple[str | None, int | None, int]:
         p = self.table.properties()

@@ -681,3 +681,65 @@ def test_manifest_mixed_formats_filtered_by_job_format(spark, tmp_path):
     got = normalize(job.table.read(spark).toPandas())
     exp = normalize(expected_final_state(ev))
     pd.testing.assert_frame_equal(got[CMP], exp[CMP])
+
+
+def test_staging_sweep_ownership_liveness(spark, tmp_path):
+    """prepare()'s staging sweep is ownership-liveness gated: a
+    backdated-but-LIVE staging dir (fresh owner marker — e.g. a >1h
+    in-flight batch of a concurrent job) survives, a young dir whose
+    owner marker went stale is reaped immediately, markerless dirs
+    keep the conservative age gate, and stale markers themselves are
+    swept."""
+    import os
+    import shutil
+    import time
+
+    ev = gen_change_events(GenConfig(n_events=400, n_conversations=20, seed=41))
+    d = str(tmp_path / "in")
+    write_batches(ev, d, n_batches=1)
+    tbl = str(tmp_path / "t")
+    job = CdcApplyJob(spark, d, tbl, n_buckets=4)
+    job.run()
+    # the job heartbeats its own ownership marker
+    assert os.path.exists(os.path.join(tbl, f"_owner_{job._run_id}.alive"))
+    job.close()
+    assert not os.path.exists(os.path.join(tbl, f"_owner_{job._run_id}.alive"))
+
+    now = time.time()
+    old = now - 2 * CdcApplyJob.STAGING_DEBRIS_AGE_S
+    stale = now - 2 * CdcApplyJob.OWNER_STALE_S
+
+    def mk(name, mtime=None):
+        p = os.path.join(tbl, name)
+        os.makedirs(p)
+        with open(os.path.join(p, "part-0.parquet"), "w") as f:
+            f.write("x")
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+        return p
+
+    def marker(run_id, mtime=None):
+        p = os.path.join(tbl, f"_owner_{run_id}.alive")
+        with open(p, "w"):
+            pass
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+        return p
+
+    live_dir = mk("_delta_aaaaaaaa_5", mtime=old)  # ancient dir...
+    marker("aaaaaaaa")                             # ...live owner
+    dead_dir = mk("_winners_bbbbbbbb_3")           # fresh dir...
+    stale_marker = marker("bbbbbbbb", mtime=stale)  # ...dead owner
+    legacy_young = mk("_delta_cccccccc_1")         # no marker, young
+    legacy_old = mk("_delta_dddddddd_1", mtime=old)  # no marker, old
+
+    sweeper = CdcApplyJob(spark, d, tbl, n_buckets=4)
+    sweeper.prepare()
+    assert os.path.isdir(live_dir), "live owner's staging must survive"
+    assert not os.path.isdir(dead_dir), "dead owner's staging must be reaped"
+    assert os.path.isdir(legacy_young), "markerless young dir keeps age gate"
+    assert not os.path.isdir(legacy_old), "markerless old dir is debris"
+    assert not os.path.exists(stale_marker), "stale marker is swept"
+    sweeper.close()
+    shutil.rmtree(live_dir)
+    shutil.rmtree(legacy_young)
