@@ -139,9 +139,12 @@ def main() -> None:
     events_per_sec = round(applied_events / apply_sec, 1)
 
     # merge-on-read twin of the headline (write_mode="mor" + final full
-    # compaction in the wall): same input, same fresh-table protocol.
+    # compaction in the wall): same input, same fresh-table protocol,
+    # and the SAME rep discipline as COW (min-of-4 — round-4 review:
+    # the min-of-2 MoR headline "regressed" in a round where the
+    # calm-window number improved, a pure rep-count artifact).
     # cdc_apply stays the COW number for cross-round comparability.
-    mor_reps = int(os.environ.get("BENCH_MOR_REPS", "2"))
+    mor_reps = int(os.environ.get("BENCH_MOR_REPS", str(reps)))
     mor_walls = []
     for r in range(mor_reps):
         base = os.environ.get("BENCH_TABLE_DIR")

@@ -9,12 +9,18 @@ schema, partitioning, UDF signature and batch shape are real and
 tested; only the *codec* innermost step is stubbed, because no
 image/audio library ships in this container.
 
-Stub policy: ``decode_image`` / ``decode_audio`` raise
-``NotImplementedError`` when ``codec="real"`` (the seam where PIL /
-soundfile / av would plug in), and default to ``codec="fake"`` — a
-deterministic pure-numpy decode of the synthetic asset format below,
-so every stage downstream of the codec (feature extraction, resize
-geometry, frame sampling, batching) is exercised for real.
+Codec policy: ``codec="fake"`` (the default and the contract/test
+path) is a deterministic pure-numpy decode of the synthetic asset
+format below, so every stage downstream of the codec (feature
+extraction, resize geometry, frame sampling, batching) is exercised
+for real. ``codec="real"`` is the opt-in real-format seam: it uses
+PIL (images) / soundfile (audio) WHEN IMPORTABLE, and otherwise falls
+back to dependency-free real-format decoders — pure-numpy PGM (P5/P2)
+for images and stdlib-``wave`` PCM WAV for audio — so the real seam
+is usable even in minimal containers; other formats raise
+``NotImplementedError`` naming the missing library. Real video decode
+(av/ffmpeg) has no stdlib fallback and always raises without the
+library.
 
 Synthetic asset format (``synth_assets``): header ``MTSA`` ++ u8 kind
 ++ u16 width ++ u16 height ++ u16 n_frames ++ payload bytes derived
@@ -176,24 +182,97 @@ def _decode_payload(payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
     return kind, w, h, frames, px.reshape(frames, h, w)
 
 
+def _decode_pgm(payload: bytes) -> np.ndarray:
+    """Dependency-free decode of a binary (P5) or ASCII (P2) PGM image
+    — a real public format (netpbm), usable without PIL."""
+    toks: list[bytes] = []
+    i = 0
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval),
+    # '#' comments run to end-of-line
+    while len(toks) < 4 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.find(b"\n", i)
+            i = len(payload) if i < 0 else i + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(payload[i:j])
+            i = j
+    if len(toks) < 4 or toks[0] not in (b"P5", b"P2"):
+        raise ValueError("not a PGM image")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if toks[0] == b"P5":
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i + 1)
+    else:
+        data = np.array(payload[i:].split()[: w * h], dtype=np.int64)
+    px = data.reshape(h, w).astype(np.float64) * (255.0 / max(maxval, 1))
+    return px.round().astype(np.uint8)
+
+
 def decode_image(payload: bytes, codec: str = "fake") -> np.ndarray:
-    """THE CODEC SEAM. ``codec="real"`` is where PIL/libjpeg would be
-    invoked; not available in this container."""
+    """THE CODEC SEAM. ``codec="real"`` decodes real image bytes:
+    PIL when importable (any format it knows, converted to grayscale),
+    else the dependency-free PGM decoder; anything else raises
+    ``NotImplementedError`` naming the missing library."""
     if codec == "real":
-        raise NotImplementedError(
-            "real image codecs (PIL/libjpeg) are not installed in this "
-            "environment; use codec='fake' (deterministic synthetic decode)"
-        )
+        try:
+            from PIL import Image  # noqa: PLC0415 - optional extra
+        except ImportError:
+            if payload[:2] in (b"P5", b"P2"):
+                return _decode_pgm(payload)
+            raise NotImplementedError(
+                "real image decode needs pillow for non-PGM formats "
+                "(pip install pillow); PGM (P5/P2) decodes without it"
+            ) from None
+        import io
+
+        with Image.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
     _, _, _, _, px = _decode_payload(payload)
     return px[0]
 
 
 def decode_audio(payload: bytes, codec: str = "fake") -> np.ndarray:
+    """``codec="real"`` decodes real audio bytes to float32 in [-1, 1]:
+    soundfile when importable, else stdlib ``wave`` for PCM WAV
+    (8/16-bit); anything else raises ``NotImplementedError``."""
     if codec == "real":
-        raise NotImplementedError(
-            "real audio codecs (soundfile/ffmpeg) are not installed; "
-            "use codec='fake'"
-        )
+        try:
+            import soundfile  # noqa: PLC0415 - optional extra
+        except ImportError:
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                import io
+                import wave
+
+                with wave.open(io.BytesIO(payload), "rb") as wf:
+                    width = wf.getsampwidth()
+                    raw = wf.readframes(wf.getnframes())
+                if width == 2:
+                    return (
+                        np.frombuffer(raw, dtype="<i2").astype(np.float32)
+                        / 32768.0
+                    )
+                if width == 1:  # 8-bit WAV is unsigned
+                    return (
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                        - 128.0
+                    ) / 128.0
+                raise NotImplementedError(
+                    f"{8 * width}-bit WAV needs soundfile (pip install "
+                    "soundfile); 8/16-bit PCM decodes without it"
+                )
+            raise NotImplementedError(
+                "real audio decode needs soundfile for non-WAV formats "
+                "(pip install soundfile); PCM WAV decodes without it"
+            ) from None
+        import io
+
+        data, _sr = soundfile.read(io.BytesIO(payload), dtype="float32")
+        return np.asarray(data, dtype=np.float32).reshape(-1)
     _, _, _, _, px = _decode_payload(payload)
     return px.reshape(-1).astype(np.float32) / 127.5 - 1.0
 
@@ -203,16 +282,32 @@ def decode_audio(payload: bytes, codec: str = "fake") -> np.ndarray:
 def extract_features(assets: DataFrame, n_bins: int = 8, codec: str = "fake") -> DataFrame:
     """Per-asset features via mapInPandas: decode -> intensity stats +
     coarse histogram. Runs on whatever partitioning the input has —
-    embarrassingly parallel, no shuffle."""
+    embarrassingly parallel, no shuffle. ``codec="real"`` decodes real
+    image/audio bytes through :func:`decode_image`/:func:`decode_audio`
+    (audio samples are mapped back to the uint8 intensity domain so the
+    stats/histogram semantics match); real video needs av/ffmpeg and
+    raises."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for aid, mt, payload in zip(pdf["asset_id"], pdf["media_type"], pdf["payload"]):
-                _, w, h, _, px = _decode_payload(bytes(payload))
-                if codec == "real":  # pragma: no cover - the stub seam
-                    raise NotImplementedError("real codecs unavailable")
-                flat = px.reshape(-1).astype(np.float64)
+                if codec == "real":
+                    if mt == "image":
+                        px2 = decode_image(bytes(payload), codec="real")
+                        h, w = px2.shape
+                        flat = px2.reshape(-1).astype(np.float64)
+                    elif mt == "audio":
+                        a = decode_audio(bytes(payload), codec="real")
+                        w, h = len(a), 1
+                        flat = (a.astype(np.float64) + 1.0) * 127.5
+                    else:
+                        raise NotImplementedError(
+                            "real video decode needs av/ffmpeg"
+                        )
+                else:
+                    _, w, h, _, px = _decode_payload(bytes(payload))
+                    flat = px.reshape(-1).astype(np.float64)
                 hist, _ = np.histogram(flat, bins=n_bins, range=(0, 256))
                 out.append(
                     (

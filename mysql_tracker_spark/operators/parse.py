@@ -117,11 +117,28 @@ def avro_flat_records(
     )
 
 
+class _DurableBarrierHandle:
+    """Release handle for ``global_sequence(barrier="durable")`` —
+    quacks like the persisted-DataFrame handle (``unpersist()``) but
+    removes the scratch directory instead."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def unpersist(self, blocking: bool = False):
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        return self
+
+
 def global_sequence(
     df: DataFrame,
     order_cols: tuple[str, ...] | list[str],
     out_col: str = "in_id",
     n_parts: int | None = None,
+    barrier: str = "auto",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Global 0-based sequence numbers over a total order WITHOUT a
     single-task global sort.
@@ -156,9 +173,25 @@ def global_sequence(
     equal order keys get an arbitrary but stable relative order (the
     reference's single-reader arrival order is equally arbitrary for
     concurrent events).
+
+    ``barrier`` selects how the materialization is pinned:
+
+    * ``"auto"`` (default): single-JVM masters use a MEMORY_AND_DISK
+      persist (spills, can never lose a block); multi-executor masters
+      use ``localCheckpoint`` — block loss on executor decommission
+      then FAILS loudly instead of silently renumbering, and the
+      runner's retry-with-reload renumbers the whole batch
+      consistently (restart-costly for a giant batch).
+    * ``"durable"``: write the tagged frame to a parquet scratch dir
+      (``scratch_dir`` or a temp dir) and re-read it — survives
+      executor loss with NO restart, the cluster-deployment choice for
+      batches too expensive to renumber. The release handle
+      (``result._mts_seq_cache.unpersist()``) removes the scratch dir.
     """
     from pyspark import StorageLevel
 
+    if barrier not in ("auto", "durable"):
+        raise ValueError(f"barrier must be 'auto' or 'durable', got {barrier!r}")
     order = [F.col(c) for c in order_cols]
     if n_parts is None:
         n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -169,7 +202,21 @@ def global_sequence(
         .withColumn("__pid", F.shiftright(F.col("__mid"), 33))
         .withColumn("__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
     )
-    if df.sparkSession.sparkContext.master.startswith("local"):
+    seq_cache = None
+    if barrier == "durable":
+        import os as _os
+        import tempfile as _tempfile
+        import uuid as _uuid
+
+        base = scratch_dir or _tempfile.mkdtemp(prefix="mts_seq_")
+        path = _os.path.join(base, f"tagged_{_uuid.uuid4().hex[:8]}")
+        # the write IS the barrier: ids are frozen in the files, every
+        # later read (counts + join + caller's write) sees one
+        # materialization whatever blocks or executors are lost
+        tagged.write.parquet(path)
+        tagged = df.sparkSession.read.parquet(path)
+        seq_cache = _DurableBarrierHandle(path)
+    elif df.sparkSession.sparkContext.master.startswith("local"):
         # single JVM: MEMORY_AND_DISK spills but can never lose a block,
         # so the cache IS the barrier
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
@@ -199,7 +246,7 @@ def global_sequence(
         .withColumn(out_col, F.col("__local") + F.col("__off"))
         .drop("__mid", "__pid", "__local", "__off")
     )
-    out._mts_seq_cache = tagged
+    out._mts_seq_cache = seq_cache if seq_cache is not None else tagged
     return out
 
 

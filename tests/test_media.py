@@ -148,3 +148,76 @@ def test_synth_features_pandas_twin_is_bitwise_equal(spark):
     assert all(
         list(a) == list(b) for a, b in zip(got["histogram"], exp["histogram"])
     )
+
+
+def test_real_codec_seam_decodes_pgm_and_wav(spark):
+    """Opt-in real-codec path (round-4 VERDICT item 7): real-format
+    bytes — binary/ASCII PGM images and stdlib-wave PCM WAV audio —
+    decode through the same mapInPandas feature stage with
+    codec='real'; formats that genuinely need PIL/soundfile/av raise
+    NotImplementedError naming the library. The contract rows stay
+    pinned to the synthetic codec and are untouched."""
+    import io
+    import struct as _struct
+    import wave as _wave
+
+    import numpy as np
+    import pytest
+
+    from mysql_tracker_spark.functions.media import (
+        ASSET_SCHEMA,
+        decode_audio,
+        decode_image,
+        extract_features,
+    )
+
+    # binary PGM (P5), 4x3 gradient
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    pgm5 = b"P5\n# comment\n4 3\n255\n" + img.tobytes()
+    assert (decode_image(pgm5, codec="real") == img).all()
+    # ASCII PGM (P2) with a non-255 maxval rescales to 0..255
+    # (maxval 51 -> exact x5 scale, no float rounding ambiguity)
+    pgm2 = b"P2\n2 2\n51\n0 10\n51 25\n"
+    got2 = decode_image(pgm2, codec="real")
+    assert got2.tolist() == [[0, 50], [255, 125]]
+
+    # 16-bit PCM WAV via the stdlib writer
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        samples = [0, 16384, -16384, 32767, -32768]
+        wf.writeframes(b"".join(_struct.pack("<h", s) for s in samples))
+    wav = buf.getvalue()
+    a = decode_audio(wav, codec="real")
+    assert a.dtype == np.float32 and len(a) == 5
+    assert abs(a[1] - 0.5) < 1e-3 and abs(a[4] + 1.0) < 1e-6
+
+    # unknown formats name the missing optional library
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"\x89PNG\r\n\x1a\nrest", codec="real")
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"OggS...", codec="real")
+
+    # the full Spark stage over real payloads
+    rows = [
+        (1, "image", bytearray(pgm5), (4, 3, 1, len(pgm5))),
+        (2, "audio", bytearray(wav), (len(samples), 1, 1, len(wav))),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    feats = {
+        r.asset_id: r
+        for r in extract_features(assets, codec="real").collect()
+    }
+    assert (feats[1].width, feats[1].height) == (4, 3)
+    assert feats[1].mean_intensity == pytest.approx(img.mean())
+    assert (feats[2].width, feats[2].height) == (5, 1)
+    assert abs(sum(feats[2].histogram) - 1.0) < 1e-9
+
+    # real video decode stays behind the av/ffmpeg seam
+    vid = [(3, "video", bytearray(b"xxxx"), (1, 1, 1, 4))]
+    with pytest.raises(Exception, match="av/ffmpeg"):
+        extract_features(
+            spark.createDataFrame(vid, ASSET_SCHEMA), codec="real"
+        ).collect()

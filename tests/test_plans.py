@@ -247,3 +247,41 @@ def test_repetition_stats_is_shuffle_free(spark):
     # the trailing orderBy of the contract query adds one range
     # exchange; no hash exchange may appear
     assert "hashpartitioning(" not in body, body
+
+
+def test_seq_numbering_durable_barrier_equals_cached(spark, tmp_path):
+    """barrier='durable' (cluster-deployment option): the parquet
+    scratch write pins one materialization — output identical to the
+    cached path, still no single-task global sort, and the release
+    handle removes the scratch dir."""
+    import os
+
+    from mysql_tracker_spark.operators.parse import global_sequence
+    from mysql_tracker_spark.plans.checks import explain_str
+
+    ev = entrymod._t(spark, SF, "events")
+    scratch = str(tmp_path / "seq_scratch")
+    gs_c = global_sequence(ev, ["ts", "event_id"], out_col="in_id")
+    gs_d = global_sequence(
+        ev, ["ts", "event_id"], out_col="in_id",
+        barrier="durable", scratch_dir=scratch,
+    )
+    got_c = {r.event_id: r.in_id for r in gs_c.select("event_id", "in_id").collect()}
+    got_d = {r.event_id: r.in_id for r in gs_d.select("event_id", "in_id").collect()}
+    assert got_c == got_d, "durable barrier changed the sequence"
+    # dense 0..n-1 (the correctness invariant behind the barrier)
+    assert sorted(got_d.values()) == list(range(len(got_d)))
+    txt = explain_str(gs_d.select("event_id", "in_id"), mode="simple")
+    assert "row_number" not in txt
+    for seg in txt.split("Exchange SinglePartition")[1:]:
+        assert "HashAggregate" in seg[:300], txt
+    gs_c._mts_seq_cache.unpersist()
+    assert os.listdir(scratch)  # scratch holds the tagged parquet
+    gs_d._mts_seq_cache.unpersist()
+    assert not os.listdir(scratch) or not os.path.exists(
+        gs_d._mts_seq_cache.path
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="barrier"):
+        global_sequence(ev, ["ts"], barrier="bogus")
