@@ -352,3 +352,68 @@ def test_spark_submit_branch_apply_and_fast_forward(tmp_path):
     )
     exp = expected_final_state(ev).sort_values(["conv_id", "turn_idx"])
     assert got["text"].tolist() == exp["text"].tolist()
+
+
+def test_spark_submit_gtid_set_fence_and_incident_record(tmp_path):
+    """Round-5 CLI surface: a wire apply through REAL spark-submit with
+    --gtid-set (executed-set fence) and --incident-policy record over a
+    control-event-laden MySQL stream (GTID groups, heartbeats, one
+    INCIDENT): fenced transactions never land, the incident is
+    recorded not fatal, and the final table equals the suffix oracle."""
+    from mysql_tracker_spark.sources.binlog_gen import (
+        SERVER_UUID,
+        GenConfig,
+        expected_final_state,
+        gen_change_events,
+    )
+    from mysql_tracker_spark.sources.mysql_events import mysql_control_flavor
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=50, seed=47))
+    fl = mysql_control_flavor(ev, heartbeat_every=400, incident_at=300)
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(fl, in_dir, n_batches=2)
+    xids = sorted(ev["xid"].dropna().astype(int).unique())
+    mid = xids[len(xids) // 2]
+    tbl = str(tmp_path / "tbl")
+
+    z = _zip_pkg(tmp_path)
+    res = _spark_submit(
+        ["--py-files", z, os.path.join(REPO, "scripts", "submit_apply.py"),
+         "--input", in_dir, "--table", tbl, "--format", "wire",
+         "--buckets", "4",
+         "--gtid-set", f"{SERVER_UUID}:1-{mid}",
+         "--incident-policy", "record"],
+        cwd=str(tmp_path),
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+
+    import duckdb
+    import pandas as pd
+
+    sys.path.insert(0, REPO)
+    from mysql_tracker_spark.lakestore import LakeTable
+
+    t = LakeTable.load(tbl)
+    files = [os.path.join(tbl, p) for p in t.live_files()]
+    flist = ", ".join(f"'{f}'" for f in files)
+    got = (
+        duckdb.connect()
+        .execute(
+            f"SELECT conv_id, turn_idx, text FROM read_parquet([{flist}], "
+            "union_by_name=true) ORDER BY conv_id, turn_idx"
+        )
+        .df()
+    )
+    keep = ev[(ev["xid"].isna()) | (ev["xid"].astype("Int64") > mid)]
+    exp = (
+        expected_final_state(keep)
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == exp["text"].tolist()
+    # the recorded incident survives into the lineage JSONL
+    lineage = os.path.join(tbl, "lineage.jsonl")
+    assert os.path.exists(lineage), "lineage JSONL missing"
+    recs = [json.loads(l) for l in open(lineage)]
+    assert any(r.get("incidents") for r in recs), "incident not recorded in lineage"
