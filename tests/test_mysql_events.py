@@ -297,3 +297,55 @@ def test_wire_mariadb_gtid_list_fence_e2e(spark, tmp_path):
     got = normalize(job.table.read(spark).toPandas())
     exp = normalize(expected_final_state(keep))
     assert got.equals(exp), "wire gtid_list fence != oracle over suffix"
+
+
+def test_wire_gtid_fence_survives_restart_and_any_batch_split(spark, tmp_path):
+    """The open-group carry is committed atomically with the watermark:
+    a job killed after batch 1 and RESUMED BY A FRESH JOB OBJECT (no
+    driver state) must re-read the carry from the table properties and
+    keep fencing the spanning transaction's tail rows. Also: the fence
+    result is invariant to how the stream is split into micro-batches."""
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.mariadb_events import mariadb_flavor
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=40, seed=29))
+    fl = mariadb_flavor(ev)
+    xids = sorted(ev["xid"].dropna().astype(int).unique())
+    mid = xids[len(xids) // 2]
+    keep = ev[(ev["xid"].isna()) | (ev["xid"].astype("Int64") > mid)]
+    exp = normalize(expected_final_state(keep))
+
+    # (a) kill-after-batch-1 + fresh-job resume (seed 29 / 2 batches is
+    # the known boundary-spanning case: a fenced txn's GTID frame is in
+    # batch 1, its tail DML in batch 2)
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(fl, in_dir, n_batches=2)
+    tbl = str(tmp_path / "t_restart")
+    job1 = CdcApplyJob(
+        spark, in_dir, tbl, n_buckets=8,
+        source_format="wire", gtid_list=f"0-1-{mid}",
+    )
+    job1.run(max_batches=1)
+    assert job1.table.properties().get("gtid_fence_carry"), (
+        "expected an open fenced group carried at the batch-1 boundary"
+    )
+    resumed = CdcApplyJob(
+        spark, in_dir, tbl, n_buckets=8,
+        source_format="wire", gtid_list=f"0-1-{mid}",
+    )
+    resumed.run()
+    got = normalize(resumed.table.read(spark).toPandas())
+    assert got.equals(exp), "carry lost across restart"
+
+    # (b) split invariance: 1 batch (no boundary) and 4 batches (three
+    # boundaries) converge to the same state
+    for nb in (1, 4):
+        d = str(tmp_path / f"in{nb}")
+        write_wire_batches(fl, d, n_batches=nb)
+        job = CdcApplyJob(
+            spark, d, str(tmp_path / f"t{nb}"), n_buckets=8,
+            source_format="wire", gtid_list=f"0-1-{mid}",
+        )
+        job.run()
+        got = normalize(job.table.read(spark).toPandas())
+        assert got.equals(exp), f"fence result differs at n_batches={nb}"
