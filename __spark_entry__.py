@@ -3754,8 +3754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   tail: doc_token_count, old block C (r1+r2 twice-proven), old blocks
     #         A+B (r4-green, freshest proof in the repo).
     # Union across rounds 3-5 then covers all 108 rows on post-be50b70 code.
-    # (All 108 rows re-verified green locally at sf0.01 via
-    # tools/check_contract.py before this rotation, 2026-08-21.)
+    # (All 108 rows verified green locally at sf0.01 via
+    # tools/check_contract.py on FINAL round-5 code — after the control-
+    # event/GTID-fence/ownership-liveness/durable-barrier/real-codec
+    # changes — 2026-08-21 ~14:45 UTC: "all queries match".)
     return {
         # --- window: r2/r3-proven rows, re-proving on current code -------
         "doc_ngram_jaccard_guarded": q_doc_ngram_jaccard_guarded,
