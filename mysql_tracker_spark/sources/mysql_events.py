@@ -256,6 +256,112 @@ def encode_previous_gtids_body(executed: str) -> bytes:
     return b"".join(out)
 
 
+# ---------------------------------------- statement-context events
+# Statement-based-replication context events (the reference decodes
+# them in LogDecoder.java:240-290; an RBR engine never consumes them,
+# but a capture replay wants them classified + readable, same stance
+# as ROWS_QUERY). Post-headers are empty for all three.
+
+# IntvarLogEvent.java:44-46
+INTVAR_LAST_INSERT_ID = 1
+INTVAR_INSERT_ID = 2
+
+# UserVarLogEvent.java:52-60 (Item_result enum)
+UV_STRING_RESULT = 0
+UV_REAL_RESULT = 1
+UV_INT_RESULT = 2
+UV_DECIMAL_RESULT = 4
+
+
+def decode_intvar_body(body: bytes) -> dict:
+    """INTVAR_EVENT (5): u8 type (1 = LAST_INSERT_ID, 2 = INSERT_ID),
+    u64 value (``IntvarLogEvent.java:30-70``)."""
+    if len(body) < 9:
+        raise ValueError(f"INTVAR_EVENT body too short: {len(body)} bytes")
+    kind = body[0]
+    (value,) = struct.unpack_from("<Q", body, 1)
+    name = {
+        INTVAR_LAST_INSERT_ID: "LAST_INSERT_ID",
+        INTVAR_INSERT_ID: "INSERT_ID",
+    }.get(kind, "INVALID")
+    return {"type": kind, "type_name": name, "value": value}
+
+
+def decode_rand_body(body: bytes) -> dict:
+    """RAND_EVENT (13): u64 seed1, u64 seed2
+    (``RandLogEvent.java:60-80``)."""
+    if len(body) < 16:
+        raise ValueError(f"RAND_EVENT body too short: {len(body)} bytes")
+    seed1, seed2 = struct.unpack_from("<QQ", body, 0)
+    return {"seed1": seed1, "seed2": seed2}
+
+
+def decode_user_var_body(body: bytes) -> dict:
+    """USER_VAR_EVENT (14): u32 name length, name, u8 is_null; when
+    not null: u8 result type, u32 charset id, u32 value length, then
+    the typed value — f64 (REAL), i64/u32 (INT), precision/scale +
+    packed-BCD (DECIMAL, ``strings/decimal.c bin2decimal``), or
+    charset-encoded bytes (STRING) (``UserVarLogEvent.java:69-127``).
+    Reuses the engine's byte-level DECIMAL and charset decoders."""
+    if len(body) < 5:
+        raise ValueError("USER_VAR_EVENT body too short")
+    (name_len,) = struct.unpack_from("<I", body, 0)
+    if len(body) < 4 + name_len + 1:
+        raise ValueError("USER_VAR_EVENT: truncated name")
+    name = body[4 : 4 + name_len].decode("utf-8", "replace")
+    off = 4 + name_len
+    if body[off]:
+        return {"name": name, "value": None, "type": UV_STRING_RESULT}
+    off += 1
+    if len(body) < off + 9:
+        raise ValueError("USER_VAR_EVENT: truncated value header")
+    vtype = body[off]
+    (charset_id,) = struct.unpack_from("<I", body, off + 1)
+    (val_len,) = struct.unpack_from("<I", body, off + 5)
+    off += 9
+    if len(body) < off + val_len:
+        raise ValueError("USER_VAR_EVENT: truncated value")
+    raw = body[off : off + val_len]
+    if vtype == UV_REAL_RESULT:
+        if val_len != 8:
+            raise ValueError(f"REAL_RESULT length {val_len}")
+        value = struct.unpack("<d", raw)[0]
+    elif vtype == UV_INT_RESULT:
+        if val_len == 8:
+            value = struct.unpack("<q", raw)[0]
+        elif val_len == 4:
+            value = struct.unpack("<I", raw)[0]
+        else:
+            raise ValueError(f"INT_RESULT length {val_len}")
+    elif vtype == UV_DECIMAL_RESULT:
+        if val_len < 2:
+            raise ValueError("DECIMAL_RESULT too short")
+        from .mysql_types import decode_decimal
+
+        value = decode_decimal(raw[2:], raw[0], raw[1])
+    elif vtype == UV_STRING_RESULT:
+        from .mysql_types import charset_decode
+
+        value = charset_decode(raw, charset_id)
+    else:
+        raise ValueError(f"unsupported USER_VAR result type {vtype}")
+    return {
+        "name": name,
+        "type": vtype,
+        "charset_id": charset_id,
+        "value": value,
+    }
+
+
+def decode_anonymous_gtid_body(body: bytes) -> dict:
+    """ANONYMOUS_GTID_LOG_EVENT (34): same layout as GTID_LOG_EVENT —
+    the SID/GNO bytes are present but carry no identity
+    (``LogDecoder.java:425-432`` routes both to the same decoder)."""
+    out = decode_gtid_body(body)
+    out["anonymous"] = True
+    return out
+
+
 # ------------------------------------------------- generator flavoring
 
 

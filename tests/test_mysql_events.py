@@ -349,3 +349,84 @@ def test_wire_gtid_fence_survives_restart_and_any_batch_split(spark, tmp_path):
         job.run()
         got = normalize(job.table.read(spark).toPandas())
         assert got.equals(exp), f"fence result differs at n_batches={nb}"
+
+
+def test_statement_context_event_vectors():
+    """INTVAR / RAND / USER_VAR / ANONYMOUS_GTID byte decoders
+    (LogDecoder.java:240-290,425-432): typed vectors for every
+    USER_VAR result type, reusing the engine's packed-BCD DECIMAL and
+    charset decoders."""
+    from decimal import Decimal
+
+    from mysql_tracker_spark.sources.mysql_events import (
+        UV_DECIMAL_RESULT,
+        UV_INT_RESULT,
+        UV_REAL_RESULT,
+        UV_STRING_RESULT,
+        decode_anonymous_gtid_body,
+        decode_intvar_body,
+        decode_rand_body,
+        decode_user_var_body,
+    )
+    from mysql_tracker_spark.sources.row_image import encode_decimal
+
+    iv = decode_intvar_body(bytes([2]) + struct.pack("<Q", 1234567))
+    assert iv == {"type": 2, "type_name": "INSERT_ID", "value": 1234567}
+    with pytest.raises(ValueError):
+        decode_intvar_body(b"\x01")
+
+    rd = decode_rand_body(struct.pack("<QQ", 11, 22))
+    assert (rd["seed1"], rd["seed2"]) == (11, 22)
+
+    def uv(name, is_null, vtype=None, charset=63, raw=b""):
+        b = struct.pack("<I", len(name)) + name + bytes([is_null])
+        if not is_null:
+            b += bytes([vtype]) + struct.pack("<I", charset)
+            b += struct.pack("<I", len(raw)) + raw
+        return b
+
+    assert decode_user_var_body(uv(b"x", 1))["value"] is None
+    got = decode_user_var_body(
+        uv(b"pi", 0, UV_REAL_RESULT, raw=struct.pack("<d", 3.5))
+    )
+    assert got["value"] == 3.5
+    assert (
+        decode_user_var_body(
+            uv(b"n", 0, UV_INT_RESULT, raw=struct.pack("<q", -7))
+        )["value"]
+        == -7
+    )
+    dec_raw = bytes([14, 4]) + encode_decimal(Decimal("-1234567890.1234"), 14, 4)
+    got_d = decode_user_var_body(uv(b"d", 0, UV_DECIMAL_RESULT, raw=dec_raw))
+    assert got_d["value"] == Decimal("-1234567890.1234")
+    got_s = decode_user_var_body(
+        uv(b"s", 0, UV_STRING_RESULT, charset=33, raw="héllo".encode("utf-8"))
+    )
+    assert got_s["value"] == "héllo"
+    with pytest.raises(ValueError):
+        decode_user_var_body(uv(b"r", 0, 3, raw=b""))  # ROW_RESULT banned
+
+    sid = _uuid.UUID(SERVER_UUID)
+    ag = decode_anonymous_gtid_body(
+        bytes([0]) + sid.bytes + struct.pack("<Q", 5)
+    )
+    assert ag["anonymous"] is True and ag["gno"] == 5
+
+    # garbage-safety for the new decoders too
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(garbage=st.binary(max_size=60))
+    def never_crashes(garbage):
+        for fn in (
+            decode_intvar_body,
+            decode_rand_body,
+            decode_user_var_body,
+            decode_anonymous_gtid_body,
+        ):
+            try:
+                fn(garbage)
+            except ValueError:
+                pass
+
+    never_crashes()
