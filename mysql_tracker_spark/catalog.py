@@ -27,6 +27,7 @@ from __future__ import annotations
 import re
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -104,28 +105,37 @@ def register_table(
 
     bseen: set[str] = set()
     for bname in t.branch_names():
-        try:
-            br = t.load_branch(bname)
-            safe = re.sub(r"[^A-Za-z0-9_]", "_", bname)
-            if safe in bseen:
-                safe = f"{safe}_v{br.current_version()}"
-            bseen.add(safe)
-            br.read(spark).createOrReplaceTempView(f"{name}__branch_{safe}")
-        except FileNotFoundError:
-            # a concurrent fast_forward/drop_branch removed the branch
-            # dir between the listing and the load — skip it rather
-            # than abort the whole registration
-            continue
-        except AnalysisException:
-            # Spark surfaces a vanished data path as AnalysisException
-            # too (rmtree is not atomic w.r.t. readers) — but the same
-            # exception also covers GENUINE failures (corrupt branch
-            # manifest, incompatible schema). Skip only if the branch
-            # provably vanished; otherwise surface the error.
-            if bname in t.branch_names():
-                raise
-            continue
-        created.append(f"{name}__branch_{safe}")
+        registered = False
+        # two attempts: AnalysisException covers BOTH a mid-rmtree
+        # concurrent drop (transient — the dir vanishes moments later)
+        # and a genuinely corrupt branch (persistent). A vanished
+        # branch resolves by the retry (gone from branch_names, or
+        # FileNotFoundError); a still-listed branch that fails twice
+        # is corrupt and must surface, not be silently omitted.
+        for attempt in (0, 1):
+            try:
+                br = t.load_branch(bname)
+                safe = re.sub(r"[^A-Za-z0-9_]", "_", bname)
+                if safe in bseen:
+                    safe = f"{safe}_v{br.current_version()}"
+                br.read(spark).createOrReplaceTempView(
+                    f"{name}__branch_{safe}"
+                )
+                bseen.add(safe)
+                registered = True
+                break
+            except FileNotFoundError:
+                # concurrent fast_forward/drop_branch removed the
+                # branch dir between the listing and the load — skip
+                break
+            except AnalysisException:
+                if bname not in t.branch_names():
+                    break  # provably vanished mid-read
+                if attempt == 1:
+                    raise  # still listed, failed twice: corrupt
+                time.sleep(0.2)  # let a mid-rmtree drop finish
+        if registered:
+            created.append(f"{name}__branch_{safe}")
 
     # retire STALE derived views from an earlier registration of this
     # name (a fast-forwarded branch's view, a deleted tag's __at_

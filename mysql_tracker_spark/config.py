@@ -84,6 +84,15 @@ class JobConfig:
     # batch shared buckets per subsequent batch; None disables
     auto_split_rows_per_bucket: int | None = None
     auto_split_migrate_per_batch: int = 16
+    # GTID replication-state fences (see CdcApplyJob): MariaDB
+    # GTID_LIST form "0-1-100,1-2-7" and MySQL executed-set form
+    # "uuid:1-100[,uuid2:...]". Typed/jsonl sources fence on the gtid
+    # column; the wire source fences via its GTID control frames.
+    gtid_list: str | None = None
+    gtid_set: str | None = None
+    # C5 incident policy: what to do when an INCIDENT frame ("possibly
+    # lost events on the master") is found past the fence
+    incident_policy: str = "fail"  # fail | record
     # ingest transform hook (Debezium single-message-transform
     # analogue) as an importable dotted path "package.module:callable";
     # the callable takes and returns the batch change-set DataFrame

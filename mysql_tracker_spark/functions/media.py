@@ -205,6 +205,13 @@ def _decode_pgm(payload: bytes) -> np.ndarray:
     if len(toks) < 4 or toks[0] not in (b"P5", b"P2"):
         raise ValueError("not a PGM image")
     w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval > 255:
+        # 16-bit PGM stores 2 big-endian bytes per sample — reading it
+        # as uint8 would silently produce garbage (review fix)
+        raise NotImplementedError(
+            "16-bit PGM (maxval > 255) needs pillow (pip install "
+            "pillow); the dependency-free fallback decodes 8-bit only"
+        )
     if toks[0] == b"P5":
         data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i + 1)
     else:

@@ -15,6 +15,8 @@ integers), so per-turn text equality is preserved end-to-end.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from ..schema import LOG_ORDER
@@ -120,15 +122,19 @@ def avro_flat_records(
 class _DurableBarrierHandle:
     """Release handle for ``global_sequence(barrier="durable")`` —
     quacks like the persisted-DataFrame handle (``unpersist()``) but
-    removes the scratch directory instead."""
+    removes the scratch directory instead. When global_sequence
+    created the base temp dir itself (``scratch_dir=None``), the
+    handle owns and removes that base too — callers' explicit
+    scratch_dirs are left in place (only the tagged subdir goes)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, owned_base: str | None = None):
         self.path = path
+        self._owned_base = owned_base
 
     def unpersist(self, blocking: bool = False):
         import shutil
 
-        shutil.rmtree(self.path, ignore_errors=True)
+        shutil.rmtree(self._owned_base or self.path, ignore_errors=True)
         return self
 
 
@@ -215,7 +221,9 @@ def global_sequence(
         # materialization whatever blocks or executors are lost
         tagged.write.parquet(path)
         tagged = df.sparkSession.read.parquet(path)
-        seq_cache = _DurableBarrierHandle(path)
+        seq_cache = _DurableBarrierHandle(
+            path, owned_base=None if scratch_dir else base
+        )
     elif df.sparkSession.sparkContext.master.startswith("local"):
         # single JVM: MEMORY_AND_DISK spills but can never lose a block,
         # so the cache IS the barrier
@@ -325,6 +333,47 @@ def after_gtid_set(df: DataFrame, executed: str) -> DataFrame:
     return df.filter(F.col("gtid").isNull() | ~inside)
 
 
+_UUID_RE = re.compile(
+    r"^[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$"
+)
+
+
+def parse_gtid_set(executed: str) -> dict[str, list[tuple[int, int]]]:
+    """Parse the MySQL executed-GTID-set text form
+    ``"uuid:lo-hi[:lo2-hi2...][,uuid2:...]"`` into
+    ``{uuid: [(lo, hi), ...]}`` — THE one parser behind the Column
+    predicate (:func:`gtid_inside_predicate`), the wire path's
+    driver-side carry decision, and job-build validation, so the three
+    can never disagree about the same gtid. A bare ``"uuid"`` entry
+    (no intervals — the decode of an interval-less PREVIOUS_GTIDS SID
+    block) is accepted and covers nothing; anything else malformed
+    raises rather than silently fencing nothing. An EMPTY executed set
+    also raises — spell "no fence" as ``None`` (``decode_previous_
+    gtids_body() or None`` for fence self-seeding from a fresh
+    server's empty preamble)."""
+    entries = [e.strip() for e in executed.split(",") if e.strip()]
+    if not entries:
+        raise ValueError(f"malformed GTID set: {executed!r}")
+    out: dict[str, list[tuple[int, int]]] = {}
+    for entry in entries:
+        parts = entry.split(":")
+        if not parts[0]:
+            raise ValueError(f"malformed GTID set: {entry!r}")
+        if len(parts) < 2:
+            if not _UUID_RE.match(parts[0]):
+                raise ValueError(f"malformed GTID set: {entry!r}")
+            out.setdefault(parts[0], [])
+            continue
+        ivs = out.setdefault(parts[0], [])
+        for rng in parts[1:]:
+            if "-" in rng:
+                lo_s, hi_s = rng.split("-", 1)
+                ivs.append((int(lo_s), int(hi_s)))
+            else:
+                ivs.append((int(rng), int(rng)))
+    return out
+
+
 def gtid_inside_predicate(executed: str):
     """The constant Column predicate ``gtid ∈ executed`` over a
     ``gtid`` column in MySQL ``"uuid:txn"`` text form — the core of
@@ -332,25 +381,13 @@ def gtid_inside_predicate(executed: str):
     apply it to the tiny GTID-frame projection (one row per
     transaction-opening GTID_LOG_EVENT) instead of per data row.
     Multi-uuid sets (comma-separated) are supported; malformed sets
-    raise rather than silently fencing nothing."""
-    entries = [e.strip() for e in executed.split(",") if e.strip()]
-    if not entries:
-        raise ValueError(f"malformed GTID set: {executed!r}")
+    raise (via :func:`parse_gtid_set`) rather than silently fencing
+    nothing."""
+    parsed = parse_gtid_set(executed)
     g_uuid = F.substring_index(F.col("gtid"), ":", 1)
     g_txn = F.split(F.col("gtid"), ":").getItem(1).cast("long")
     inside = F.lit(False)
-    for entry in entries:
-        parts = entry.split(":")
-        if len(parts) < 2 or not parts[0]:
-            raise ValueError(f"malformed GTID set: {entry!r}")
-        uuid, ranges = parts[0], parts[1:]
-        intervals: list[tuple[int, int]] = []
-        for rng in ranges:
-            if "-" in rng:
-                lo_s, hi_s = rng.split("-", 1)
-                intervals.append((int(lo_s), int(hi_s)))
-            else:
-                intervals.append((int(rng), int(rng)))
+    for uuid, intervals in parsed.items():
         in_any = F.lit(False)
         for lo, hi in intervals:
             in_any = in_any | ((g_txn >= lo) & (g_txn <= hi))

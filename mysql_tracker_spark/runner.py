@@ -296,8 +296,18 @@ class CdcApplyJob:
         # 162) open each transaction, so _wire_gtid_fence runs the same
         # executed-set predicate on that tiny per-txn projection and
         # anti-joins the fenced xids out of the decoded DML
-        self.gtid_list = gtid_list
-        self.gtid_set = gtid_set
+        self.gtid_list = gtid_list or None  # "" = no fence (empty
+        self.gtid_set = gtid_set or None    # PREVIOUS_GTIDS preamble)
+        # validate + pre-parse the MySQL set ONCE at job build with the
+        # shared parser — the Column predicate and the driver-side
+        # carry decision then cannot disagree, and a malformed set
+        # fails here instead of mid-batch
+        if self.gtid_set is not None:
+            from .operators.parse import parse_gtid_set
+
+            self._gtid_set_parsed = parse_gtid_set(self.gtid_set)
+        else:
+            self._gtid_set_parsed = None
         # C5 incident policy: an INCIDENT_EVENT (LogEvent.java:161-163,
         # "possibly lost events") past the fence either fails the batch
         # (default — an operator must decide, like reset_policy) or is
@@ -1069,7 +1079,11 @@ class CdcApplyJob:
                 and self._gtid_text_inside(g["ggtid"])
                 else None
             )
-        self._gtid_carry = carry_out
+        # STAGED, not committed: the in-memory carry cache is promoted
+        # only after this batch's snapshot commit succeeds (review fix:
+        # a failed batch must not poison the cache — its retry re-reads
+        # the last COMMITTED carry from _gtid_fence_carry())
+        self._gtid_carry_pending = carry_out
         return dml.join(fenced, "xid", "left_anti")
 
     _GTID_CARRY_UNSET = object()
@@ -1088,7 +1102,13 @@ class CdcApplyJob:
 
     def _gtid_text_inside(self, gtid: str | None) -> bool:
         """Driver-side twin of the fence predicates for ONE gtid text —
-        used only for the single open-group carry decision."""
+        used only for the single open-group carry decision. Both forms
+        evaluate against structures built by the SAME parsers the
+        Column predicates use (``parse_gtid_set`` / ``gtid_list_fence``
+        — review fix: no third hand-rolled parser to drift), so a
+        malformed CONFIG fails at job build, and a malformed gtid TEXT
+        in a frame simply doesn't match (same null/shape tolerance as
+        the predicates)."""
         if not gtid:
             return False
         if self.gtid_list is not None:
@@ -1100,24 +1120,15 @@ class CdcApplyJob:
                 d, _s, q = (int(x) for x in bits)
                 if d in fence and q <= fence[d]:
                     return True
-        if self.gtid_set is not None and ":" in gtid:
+        if self._gtid_set_parsed is not None and ":" in gtid:
             uuid_part, txn_part = gtid.split(":", 1)
             try:
                 txn = int(txn_part)
             except ValueError:
                 return False
-            for entry in self.gtid_set.split(","):
-                entry = entry.strip()
-                parts = entry.split(":")
-                if len(parts) < 2 or parts[0] != uuid_part:
-                    continue
-                for rng in parts[1:]:
-                    if "-" in rng:
-                        lo_s, hi_s = rng.split("-", 1)
-                        if int(lo_s) <= txn <= int(hi_s):
-                            return True
-                    elif int(rng) == txn:
-                        return True
+            for lo, hi in self._gtid_set_parsed.get(uuid_part, []):
+                if lo <= txn <= hi:
+                    return True
         return False
 
     def _lww(self, keyed: DataFrame, payload_cols: list[str]) -> DataFrame:
@@ -1902,8 +1913,8 @@ class CdcApplyJob:
         }
         if self.gtid_set is not None or self.gtid_list is not None:
             # open-group fence carry, atomic with the watermark (see
-            # _wire_gtid_fence; set eagerly when _wire_lww built the plan)
-            carry = getattr(self, "_gtid_carry", None)
+            # _wire_gtid_fence; staged when _wire_lww built the plan)
+            carry = getattr(self, "_gtid_carry_pending", None)
             props["gtid_fence_carry"] = "" if carry is None else str(carry)
         if stats.txn_file_end is not None:
             props["txn_end_file"] = stats.txn_file_end
@@ -1952,6 +1963,10 @@ class CdcApplyJob:
         else:
             stats.snapshot_version = self.table.set_properties(props)
         shutil.rmtree(delta_dir, ignore_errors=True)
+        if self.gtid_set is not None or self.gtid_list is not None:
+            # the commit persisting the staged carry succeeded — NOW
+            # promote it to the in-memory cache the next batch reads
+            self._gtid_carry = getattr(self, "_gtid_carry_pending", None)
         stats.phase_ms["merge"] = int((time.time() - t1) * 1000)
         stats.rows_applied = int(m["n_dml"] or 0)
         stats.wall_ms = int((time.time() - t0) * 1000)

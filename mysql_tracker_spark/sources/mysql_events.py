@@ -206,7 +206,12 @@ def decode_previous_gtids_body(body: bytes) -> str:
     pairs — ends are EXCLUSIVE in the wire form, inclusive in the text
     form (MySQL Gtid_set encoding).  Returns the canonical executed-set
     text ``"uuid:lo-hi[:lo-hi...][,uuid:...]"`` that
-    ``operators.parse.after_gtid_set`` accepts directly."""
+    ``operators.parse.after_gtid_set`` accepts; a fresh server's EMPTY
+    preamble decodes to ``""`` — self-seed a fence with
+    ``CdcApplyJob(gtid_set=decode_previous_gtids_body(...) or None)``
+    (the job also normalizes ``""`` to no-fence itself), and an
+    interval-less SID decodes to a bare ``"uuid"`` entry that the
+    parser accepts as covering nothing."""
     if len(body) < 8:
         raise ValueError("PREVIOUS_GTIDS_LOG_EVENT body too short")
     (n_sids,) = struct.unpack_from("<Q", body, 0)
@@ -425,6 +430,24 @@ def mysql_control_flavor(
     # END, so injected frames get fractional order keys.
     ev["__ord"] = np.arange(len(ev), dtype="float64")
 
+    # frame-boundary snap for arbitrary-index injections (HEARTBEAT /
+    # INCIDENT): rows sharing one (file,pos) are ONE multi-row event,
+    # and write_batches promises never to tear an event across batch
+    # files — injecting BETWEEN two rows of a frame would split it into
+    # two same-offset frames a batch cut could then separate (review
+    # fix; reproduced with other seeds: the second half fails the
+    # strict past-watermark fence and its rows vanish). Anchor every
+    # injection at the START of the frame containing the target index.
+    fpkey = ev["file"].astype(str) + ":" + ev["pos"].astype(str)
+    frame_start_idx = np.flatnonzero((fpkey != fpkey.shift(1)).to_numpy())
+
+    def snap(i: int) -> int:
+        return int(
+            frame_start_idx[
+                np.searchsorted(frame_start_idx, i, side="right") - 1
+            ]
+        )
+
     extra = []
     dml = ev[ev["op"].isin(["INSERT", "UPDATE", "DELETE"])]
     first = dml.drop_duplicates(subset=["xid"], keep="first")
@@ -449,22 +472,27 @@ def mysql_control_flavor(
     ro["__ord"] = -0.7
     extra += [fd, pg, ro]
     for i in range(heartbeat_every, len(ev), heartbeat_every):
-        r = ev.iloc[i]
+        j = snap(i)
+        r = ev.iloc[j]
+        # pos-2: distinct from a ROWS_QUERY injected at pos-1 of the
+        # same frame (adjacent same-(file,pos) rows would pack into one
+        # frame and hide the heartbeat's type byte)
         hb = _ctl(
-            r["file"], int(r["pos"]) - 1, r["ts"], "HEARTBEAT", str(r["file"])
+            r["file"], int(r["pos"]) - 2, r["ts"], "HEARTBEAT", str(r["file"])
         )
-        hb["__ord"] = float(i) - 0.4
+        hb["__ord"] = float(j) - 0.45
         extra.append(hb)
     if incident_at is not None:
-        r = ev.iloc[incident_at]
+        j = snap(incident_at)
+        r = ev.iloc[j]
         inc = _ctl(
             r["file"],
-            int(r["pos"]) - 1,
+            int(r["pos"]) - 3,
             r["ts"],
             "INCIDENT",
             "1:possibly lost events on master",
         )
-        inc["__ord"] = float(incident_at) - 0.3
+        inc["__ord"] = float(j) - 0.42
         extra.append(inc)
     st = _ctl(tail["file"], int(tail["pos"]) + 1, tail["ts"], "STOP", "")
     st["__ord"] = float(len(ev))

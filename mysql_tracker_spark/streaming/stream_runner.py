@@ -365,13 +365,18 @@ class Heartbeat:
         # HEARTBEAT_LOG_EVENT the master sends at idle). Informational
         # — it measures the MASTER's pulse, not this engine's progress
         # — so it is excluded from the reload decision below.
-        hb = [
-            s.heartbeat_ts
-            for s in self.stream_job.stats
-            if getattr(s, "heartbeat_ts", None) is not None
-        ]
+        # reverse scan, first hit wins: batch order follows stream
+        # time, so the newest batch carrying a heartbeat holds the max
+        # ts — probe cost stays O(batches since last heartbeat), not
+        # O(uptime) (review fix)
+        hb = None
+        for s in reversed(self.stream_job.stats):
+            ts = getattr(s, "heartbeat_ts", None)
+            if ts is not None:
+                hb = ts
+                break
         checks["master_heartbeat_age_s"] = (
-            time.time() - max(hb) if hb else None
+            time.time() - hb if hb is not None else None
         )
         checks["reload_needed"] = not all(
             v

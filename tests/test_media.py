@@ -197,6 +197,9 @@ def test_real_codec_seam_decodes_pgm_and_wav(spark):
     # unknown formats name the missing optional library
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image(b"\x89PNG\r\n\x1a\nrest", codec="real")
+    # 16-bit PGM stores 2 bytes/sample: refuse rather than misdecode
+    with pytest.raises(NotImplementedError, match="16-bit PGM"):
+        decode_image(b"P5\n2 2\n65535\n" + b"\x00" * 8, codec="real")
     with pytest.raises(NotImplementedError, match="soundfile"):
         decode_audio(b"OggS...", codec="real")
 

@@ -430,3 +430,98 @@ def test_statement_context_event_vectors():
                 pass
 
     never_crashes()
+
+
+def test_wire_gtid_carry_not_poisoned_by_failed_batch(spark, tmp_path):
+    """Review fix: a batch that FAILS after its fence consumed the
+    carry (e.g. WAP audit abort) must not poison the in-memory carry
+    cache — the retry re-reads the last COMMITTED carry and still
+    fences the spanning transaction's tail rows."""
+    from pyspark.sql import functions as F
+
+    from mysql_tracker_spark import quality
+    from mysql_tracker_spark.runner import CdcApplyJob
+    from mysql_tracker_spark.sources.mariadb_events import mariadb_flavor
+
+    ev = gen_change_events(GenConfig(n_events=1200, n_conversations=40, seed=29))
+    fl = mariadb_flavor(ev)
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(fl, in_dir, n_batches=2)
+    xids = sorted(ev["xid"].dropna().astype(int).unique())
+    mid = xids[len(xids) // 2]
+    job = CdcApplyJob(
+        spark, in_dir, str(tmp_path / "t"), n_buckets=8,
+        source_format="wire", gtid_list=f"0-1-{mid}",
+    )
+    job.run(max_batches=1)
+    committed = job.table.properties().get("gtid_fence_carry")
+    assert committed  # the spanning fenced group is carried
+
+    # make batch 1 fail AFTER the fence ran (staged-table audit abort)
+    job.table_expectations = [
+        quality.predicate("always_fail", F.lit(False), blocking=True)
+    ]
+    with pytest.raises(Exception, match="always_fail|expectation|audit"):
+        job.run()
+    assert str(job._gtid_fence_carry()) == committed, (
+        "failed batch poisoned the in-memory carry cache"
+    )
+
+    job.table_expectations = []
+    job.run()
+    keep = ev[(ev["xid"].isna()) | (ev["xid"].astype("Int64") > mid)]
+    got = normalize(job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(keep))
+    assert got.equals(exp), "retry after failed batch broke the fence"
+
+
+def test_flavor_injections_never_tear_frames():
+    """Review fix: HEARTBEAT/INCIDENT injections snap to frame starts —
+    rows sharing one (file,pos) stay contiguous in stream order for
+    EVERY seed, so no batch cut can separate the halves of a multi-row
+    event (seeds 7/9/10 reproduced tearing before the fix)."""
+    ctl_ops = {
+        "HEARTBEAT", "INCIDENT", "ROWS_QUERY", "FORMAT_DESC",
+        "PREV_GTIDS", "ROTATE", "STOP",
+    }
+    for seed in (7, 9, 10, 13, 29):
+        ev = gen_change_events(
+            GenConfig(n_events=5000, n_conversations=100, seed=seed)
+        )
+        fl = mysql_control_flavor(ev, heartbeat_every=137, incident_at=777)
+        fp = (fl["file"].astype(str) + ":" + fl["pos"].astype(str)).tolist()
+        ops = fl["op"].tolist()
+        # a control row strictly inside a same-(file,pos) run means a
+        # multi-row event was torn into two frames at one offset
+        # (the dup replay tail repeats offsets far apart — that is
+        # legitimate and NOT a tear, so only adjacency matters)
+        for i in range(1, len(fl) - 1):
+            if ops[i] in ctl_ops:
+                assert fp[i - 1] != fp[i + 1], (
+                    f"seed {seed}: {ops[i]} injected inside frame {fp[i-1]}"
+                )
+
+
+def test_gtid_set_parser_contract():
+    """parse_gtid_set: bare-uuid entries cover nothing (interval-less
+    PREVIOUS_GTIDS SID), empty/garbage raise, and CdcApplyJob
+    normalizes an empty executed set ('' — fresh-server preamble) to
+    no-fence and validates the set at job build."""
+    from mysql_tracker_spark.operators.parse import parse_gtid_set
+    from mysql_tracker_spark.runner import CdcApplyJob
+
+    u = SERVER_UUID
+    assert parse_gtid_set(f"{u}:1-5:9") == {u: [(1, 5), (9, 9)]}
+    assert parse_gtid_set(u) == {u: []}  # covers nothing, accepted
+    for bad in ("", "  ", "garbage", f"{u}:1-5,notauuid", ":1-5"):
+        with pytest.raises(ValueError):
+            parse_gtid_set(bad)
+
+    # empty set normalizes to None at the real constructor (the
+    # constructor needs only plain args — no SparkSession touched)
+    j = CdcApplyJob(None, "/tmp/x", "/tmp/y", gtid_set="")
+    assert j.gtid_set is None and j._gtid_set_parsed is None
+    with pytest.raises(ValueError):
+        CdcApplyJob(None, "/tmp/x", "/tmp/y", gtid_set="garbage")
+    j2 = CdcApplyJob(None, "/tmp/x", "/tmp/y", gtid_set=f"{u}:1-3")
+    assert j2._gtid_set_parsed == {u: [(1, 3)]}

@@ -281,6 +281,12 @@ def test_seq_numbering_durable_barrier_equals_cached(spark, tmp_path):
     assert not os.listdir(scratch) or not os.path.exists(
         gs_d._mts_seq_cache.path
     )
+    # scratch_dir=None: the handle owns (and removes) the temp base
+    gs_t = global_sequence(ev, ["ts", "event_id"], barrier="durable")
+    base = os.path.dirname(gs_t._mts_seq_cache.path)
+    assert os.path.isdir(base)
+    gs_t._mts_seq_cache.unpersist()
+    assert not os.path.exists(base), "mkdtemp base leaked"
     import pytest
 
     with pytest.raises(ValueError, match="barrier"):
