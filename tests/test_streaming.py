@@ -478,3 +478,33 @@ def test_stream_syncs_index_views_per_microbatch(spark, tmp_path):
     job3.run_available()
     assert ann.synced_version() == v_before == t.current_version()
     assert {(r.conv_id, r.turn_idx): r.cell for r in ann.read(spark).collect()} == full_ann
+
+
+def test_stream_wire_gtid_fence_carry_across_microbatches(spark, tmp_path):
+    """Streaming front-end + wire GTID fence: foreachBatch drives one
+    micro-batch per input file (several boundaries), so the open-group
+    carry threads through the streaming path too — the drained table
+    equals the suffix oracle over unfenced transactions."""
+    from mysql_tracker_spark.sources.mariadb_events import mariadb_flavor
+    from mysql_tracker_spark.sources.wire import write_wire_batches
+
+    ev = gen_change_events(GenConfig(n_events=1500, n_conversations=50, seed=29))
+    fl = mariadb_flavor(ev)
+    in_dir = str(tmp_path / "in")
+    write_wire_batches(fl, in_dir, n_batches=4)
+    xids = sorted(ev["xid"].dropna().astype(int).unique())
+    mid = xids[len(xids) // 2]
+    job = CdcStreamJob(
+        spark,
+        in_dir,
+        str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="wire",
+        n_buckets=8,
+        gtid_list=f"0-1-{mid}",
+    )
+    job.run_available()
+    keep = ev[(ev["xid"].isna()) | (ev["xid"].astype("Int64") > mid)]
+    got = normalize(job.job.table.read(spark).toPandas())
+    exp = normalize(expected_final_state(keep))
+    pd.testing.assert_frame_equal(got[CMP], exp[CMP])
